@@ -1,0 +1,99 @@
+"""Host-side math helper tests, including KS tests of the numpy samplers."""
+import numpy as np
+import pytest
+from scipy import stats
+
+from nexoclom_tpu.mathutils import (Histogram, Histogram2d, MaxwellianDist,
+                                    minmaxmean, random_deviates_1d,
+                                    random_deviates_2d, rotation_matrix,
+                                    smooth, smooth2d, sputdist)
+from nexoclom_tpu.mathutils.randomdeviates import cdf_from_pdf
+
+pytestmark = pytest.mark.mathutils
+
+
+def test_histogram_bin_centers():
+    h = Histogram([0.5, 1.5, 2.5], bins=3, range=[0, 3])
+    assert np.allclose(h.x, [0.5, 1.5, 2.5])
+    assert np.allclose(h.histogram, [1, 1, 1])
+
+
+def test_histogram2d_axes():
+    h = Histogram2d([0.5, 1.5], [0.5, 0.5], bins=2, range=[[0, 2], [0, 1]])
+    assert np.allclose(h.x, [0.5, 1.5])
+    assert np.allclose(h.y, [0.25, 0.75])
+    assert h.histogram.sum() == 2
+
+
+def test_rotation_matrix_z_quarter_turn():
+    M = rotation_matrix(np.pi / 2, [0, 0, 1])
+    # reference (row-vector) convention: v_new = M @ v rotates x -> -y
+    v = M @ np.array([1.0, 0, 0])
+    assert np.allclose(v, [0, -1, 0], atol=1e-12)
+    # orthonormality
+    assert np.allclose(M @ M.T, np.eye(3), atol=1e-12)
+
+
+def test_maxwellian_shape():
+    v = np.linspace(0.01, 5, 500)
+    f = MaxwellianDist(v, 1200.0, 'Na')
+    assert f.max() == 1.0
+    # peak at v = sqrt(3/2) v_th for v^3 exp(-v^2/vth^2)
+    from nexoclom_tpu.constants import thermal_speed_kms
+    from nexoclom_tpu.atomicdata import atomicmass
+    vth = thermal_speed_kms(1200.0, atomicmass('Na'))
+    vpeak = v[np.argmax(f)]
+    assert abs(vpeak - np.sqrt(1.5) * vth) < 0.05
+
+
+def test_sputdist_shape():
+    v = np.linspace(0.1, 50, 5000)
+    f = sputdist(v, 2.0, 3.0, 0.0, 'Na')
+    assert f.max() == 1.0
+    assert f[0] < 1.0 and f[-1] < 0.1
+
+
+def test_random_deviates_1d_gaussian_ks():
+    rng = np.random.default_rng(12345)
+    x = np.linspace(-5, 5, 2001)
+    pdf = np.exp(-x ** 2 / 2)
+    samples = random_deviates_1d(x, pdf, 100000, rng=rng)
+    _, pvalue = stats.kstest(samples, 'norm')
+    assert pvalue > 0.01
+
+
+def test_random_deviates_2d_separable_ks():
+    rng = np.random.default_rng(999)
+    x = np.linspace(0, 2 * np.pi, 361)
+    y = np.linspace(-1, 1, 181)
+    pdf = np.outer(np.ones_like(x), 1 + 0.5 * y)  # uniform in x, linear in y
+    xs, ys = random_deviates_2d(pdf, x, y, 100000, rng=rng)
+    _, px = stats.kstest(xs, 'uniform', args=(0, 2 * np.pi))
+    assert px > 0.01
+    # analytic CDF of f(y) = (1 + 0.5 y)/2 on [-1, 1]: F = (y+1)/2 + (y^2-1)/8
+    cdf = lambda y_: (y_ + 1) / 2 + (y_ ** 2 - 1) / 8
+    _, py = stats.kstest(ys, cdf)
+    assert py > 0.01
+
+
+def test_cdf_from_pdf_monotone():
+    c = cdf_from_pdf(np.array([1.0, 2.0, 3.0]))
+    assert c[0] == 0 and c[-1] == 1
+    assert np.all(np.diff(c) > 0)
+
+
+def test_smooth_mean_wrap():
+    arr = np.array([1.0, 2.0, 3.0, 4.0])
+    out = smooth(arr, num=3, method='mean', wrap=True)
+    assert np.isclose(out[0], np.mean([4, 1, 2]))
+
+
+def test_smooth2d_preserves_mean():
+    arr = np.random.default_rng(0).random((16, 16))
+    out = smooth2d(arr, num=2)
+    assert abs(out.mean() - arr.mean()) < 0.05
+
+
+def test_minmaxmean():
+    lo, hi, mean = minmaxmean(np.array([1.0, np.nan, 3.0]))
+    assert (lo, hi, mean) == (1.0, 3.0, 2.0)
