@@ -1,0 +1,400 @@
+"""Input-file section classes.
+
+Reimplements the seven configuration sections of the reference input grammar
+(``nexoclom/initial_state/input_classes.py``) with the same parameter names,
+defaults, validation rules, and value semantics, but:
+
+* plain floats in fixed units (radians, km/s, s, K, eV) instead of astropy
+  quantities;
+* a ``to_dict()`` canonical form used by the JSON catalog for run matching
+  (replacing the per-section PostgreSQL search/insert methods);
+* no ``eval()`` of user input (the reference evaluates the Forces booleans,
+  ``input_classes.py:426-431``).
+
+Search-tolerance parity: run matching treats two geometries as equal when the
+true anomaly agrees within +/-0.5 deg (``input_classes.py:16,225-226``); that
+logic lives in :mod:`nexoclom_tpu.utilities.catalog`.
+"""
+from __future__ import annotations
+
+import math
+
+from nexoclom_tpu.solarsystem import SSObject
+from nexoclom_tpu.utilities.exceptions import InputError
+
+TWO_PI = 2.0 * math.pi
+DTAA = math.radians(1.0)   # full width of the TAA matching window
+
+
+def _parse_bool(value: str, context: str) -> bool:
+    v = value.strip().casefold()
+    if v in ('true', '1', 'yes'):
+        return True
+    if v in ('false', '0', 'no'):
+        return False
+    raise InputError(context, f'invalid boolean value {value!r}')
+
+
+def _pair(value: str, context: str) -> tuple[float, float]:
+    parts = [p.strip() for p in value.split(',')]
+    if len(parts) != 2:
+        raise InputError(context, f'expected two comma-separated values, '
+                                  f'got {value!r}')
+    return float(parts[0]), float(parts[1])
+
+
+def _clamp(x: float, lo: float, hi: float) -> float:
+    return min(max(x, lo), hi)
+
+
+class _Section:
+    """Shared value-equality / repr over the instance dict."""
+
+    section_name = 'section'
+
+    def __eq__(self, other):
+        if not isinstance(other, type(self)):
+            return False
+        return self.to_dict() == other.to_dict()
+
+    def __hash__(self):
+        return hash(repr(sorted(self.to_dict().items(), key=lambda kv: kv[0])))
+
+    def __str__(self):
+        return '\n'.join(f'{self.section_name}.{k} = {v}'
+                         for k, v in self.__dict__.items()
+                         if not k.startswith('_'))
+
+    def to_dict(self) -> dict:
+        out = {}
+        for key, value in self.__dict__.items():
+            if key.startswith('_'):
+                continue
+            if isinstance(value, SSObject):
+                value = value.object
+            elif isinstance(value, (set, frozenset)):
+                value = sorted(v.object if isinstance(v, SSObject) else v
+                               for v in value)
+            elif isinstance(value, tuple):
+                value = list(value)
+            out[key] = value
+        return out
+
+
+class Geometry(_Section):
+    """Planetary geometry: planet, startpoint, included objects, phase angles,
+    subsolar point, and true anomaly (``input_classes.py:19-111``)."""
+
+    section_name = 'geometry'
+
+    def __init__(self, gparam: dict):
+        planet = gparam.get('planet')
+        if planet is None:
+            raise InputError('Geometry.__init__',
+                             'Planet not defined in inputfile.')
+        self.planet = SSObject(planet.title())
+        if self.planet.object is None:
+            raise InputError('Geometry.__init__', f'Unknown planet {planet}')
+
+        objlist = [self.planet.object]
+        if self.planet.moons is not None:
+            objlist.extend(m.object for m in self.planet.moons)
+
+        self.startpoint = gparam.get('startpoint', self.planet.object).title()
+        if self.startpoint not in objlist:
+            raise InputError('Geometry.__init__',
+                             f'{self.startpoint} is not a valid starting '
+                             f'point; choices: {objlist}')
+
+        if 'objects' in gparam:
+            included = {o.strip().title() for o in gparam['objects'].split(',')}
+        else:
+            included = {self.planet.object, self.startpoint}
+        for obj in included:
+            if obj not in objlist:
+                raise InputError('Geometry.__init__',
+                                 f'Invalid object {obj} in geometry.objects')
+        self.objects = frozenset(SSObject(o) for o in included)
+
+        if 'starttime' in gparam:
+            self.type = 'geometry with starttime'
+            self.time = gparam['starttime'].upper()
+        else:
+            self.type = 'geometry without starttime'
+            if len(self.planet) == 1:
+                self.phi = None
+            elif 'phi' in gparam:
+                phi = tuple(float(p) for p in gparam['phi'].split(','))
+                nmoons = len(self.objects - {self.planet})
+                if len(phi) != nmoons:
+                    raise InputError('Geometry.__init__',
+                                     'The wrong number of orbital positions '
+                                     'was given.')
+                self.phi = phi
+            else:
+                raise InputError('Geometry.__init__',
+                                 'geometry.phi was not specified.')
+
+            if 'subsolarpoint' in gparam:
+                try:
+                    self.subsolarpoint = _pair(gparam['subsolarpoint'],
+                                               'Geometry.__init__')
+                except (ValueError, InputError):
+                    raise InputError('Geometry.__init__',
+                                     'The format for geometry.subsolarpoint '
+                                     'is wrong.')
+            else:
+                self.subsolarpoint = (0.0, 0.0)
+
+            self.taa = float(gparam.get('taa', 0.0))
+
+
+class SurfaceInteraction(_Section):
+    """Sticking/re-emission model (``input_classes.py:250-318``)."""
+
+    section_name = 'surfaceinteraction'
+
+    def __init__(self, sparam: dict):
+        sticktype = sparam.get('sticktype', '').lower() or None
+
+        if sticktype == 'temperature dependent':
+            self.sticktype = sticktype
+            if 'accomfactor' not in sparam:
+                raise InputError('SurfaceInteraction.__init__',
+                                 'surfaceinteraction.accomfactor not given.')
+            self.accomfactor = float(sparam['accomfactor'])
+            if 'a' in sparam:
+                A = tuple(float(a) for a in sparam['a'].split(','))
+                if len(A) != 3:
+                    raise InputError('SurfaceInteraction.__init__',
+                                     'surfaceinteraction.A must have 3 values')
+                self.A = A
+            else:
+                self.A = (1.57014, -0.006262, 0.1614157)
+        elif sticktype == 'surface map':
+            self.sticktype = sticktype
+            self.stick_mapfile = sparam.get('stick_mapfile', 'default')
+            subsolarlon = sparam.get('subsolarlon')
+            self.subsolarlon = (float(subsolarlon)
+                                if subsolarlon is not None else None)
+            if 'accomfactor' not in sparam:
+                raise InputError('SurfaceInteraction.__init__',
+                                 'surfaceinteraction.accomfactor not given.')
+            self.accomfactor = float(sparam['accomfactor'])
+        elif 'stickcoef' in sparam:
+            self.sticktype = 'constant'
+            self.stickcoef = _clamp(float(sparam['stickcoef']), 0.0, 1.0)
+            if 'accomfactor' in sparam:
+                self.accomfactor = float(sparam['accomfactor'])
+            elif self.stickcoef == 1:
+                self.accomfactor = None
+            else:
+                raise InputError('SurfaceInteraction.__init__',
+                                 'surfaceinteraction.accomfactor not given.')
+        else:
+            self.sticktype = 'constant'
+            self.stickcoef = 1.0
+            self.accomfactor = None
+
+
+class Forces(_Section):
+    """Force toggles (``input_classes.py:419-431``); both default True."""
+
+    section_name = 'forces'
+
+    def __init__(self, fparam: dict):
+        self.gravity = (_parse_bool(fparam['gravity'], 'Forces.__init__')
+                        if 'gravity' in fparam else True)
+        self.radpres = (_parse_bool(fparam['radpres'], 'Forces.__init__')
+                        if 'radpres' in fparam else True)
+
+
+class SpatialDist(_Section):
+    """Source spatial distribution (``input_classes.py:490-569``)."""
+
+    section_name = 'spatialdist'
+
+    def __init__(self, sparam: dict):
+        if 'type' not in sparam:
+            raise InputError('SpatialDist.__init__', 'SpatialDist.type not given')
+        self.type = sparam['type']
+
+        if self.type == 'uniform':
+            self.exobase = float(sparam.get('exobase', 1.0))
+            if 'longitude' in sparam:
+                lon0, lon1 = _pair(sparam['longitude'], 'SpatialDist.__init__')
+                self.longitude = (_clamp(lon0, 0.0, TWO_PI),
+                                  _clamp(lon1, 0.0, TWO_PI))
+            else:
+                self.longitude = (0.0, TWO_PI)
+            if 'latitude' in sparam:
+                lat0, lat1 = _pair(sparam['latitude'], 'SpatialDist.__init__')
+                lat0 = _clamp(lat0, -math.pi / 2, math.pi / 2)
+                lat1 = _clamp(lat1, -math.pi / 2, math.pi / 2)
+                if lat0 > lat1:
+                    raise InputError('SpatialDist.__init__',
+                                     'SpatialDist.latitude[0] > '
+                                     'SpatialDist.latitude[1]')
+                self.latitude = (lat0, lat1)
+            else:
+                self.latitude = (-math.pi / 2, math.pi / 2)
+        elif self.type == 'surface map':
+            self.exobase = float(sparam.get('exobase', 1.0))
+            self.mapfile = sparam.get('mapfile', 'default')
+            subsolarlon = sparam.get('subsolarlon')
+            self.subsolarlon = (float(subsolarlon)
+                                if subsolarlon is not None else None)
+            self.coordinate_system = sparam.get('coordinate_system',
+                                                'solar-fixed')
+        elif self.type == 'surface spot':
+            self.exobase = float(sparam.get('exobase', 1.0))
+            for par in ('longitude', 'latitude', 'sigma'):
+                if par not in sparam:
+                    raise InputError('SpatialDist.__init__',
+                                     f'SpatialDist.{par} not given.')
+            self.longitude = float(sparam['longitude'])
+            self.latitude = float(sparam['latitude'])
+            self.sigma = float(sparam['sigma'])
+        elif self.type == 'fitted output':
+            self.unfit_outid = -1
+            self.query = None
+        else:
+            raise InputError('SpatialDist.__init__',
+                             f'SpatialDist.type = {self.type} not defined.')
+
+
+class SpeedDist(_Section):
+    """Source speed distribution (``input_classes.py:702-761``).  Speeds in
+    km/s, temperature in K, sputtering binding energy U in eV."""
+
+    section_name = 'speeddist'
+
+    def __init__(self, sparam: dict):
+        if 'type' not in sparam:
+            raise InputError('SpeedDist.__init__', 'SpeedDist.type not given')
+        self.type = sparam['type']
+
+        def require(par):
+            if par not in sparam:
+                raise InputError('SpeedDist.__init__',
+                                 f'SpeedDist.{par} not given.')
+            return sparam[par]
+
+        if self.type == 'gaussian':
+            self.vprob = float(require('vprob'))
+            self.sigma = float(require('sigma'))
+        elif self.type == 'sputtering':
+            self.alpha = float(require('alpha'))
+            self.beta = float(require('beta'))
+            self.U = float(require('u'))
+        elif self.type == 'maxwellian':
+            self.temperature = float(require('temperature'))
+        elif self.type == 'flat':
+            self.vprob = float(require('vprob'))
+            self.delv = float(require('delv'))
+        elif self.type == 'user defined':
+            self.vdistfile = sparam.get('vdistfile', 'default')
+        elif self.type == 'fitted output':
+            self.unfit_outid = -1
+            self.query = None
+        else:
+            raise InputError('SpeedDist.__init__',
+                             f'SpeedDist.type = {self.type} not available')
+
+
+class AngularDist(_Section):
+    """Source angular distribution (``input_classes.py:905-960``)."""
+
+    section_name = 'angulardist'
+
+    def __init__(self, aparam: dict):
+        if 'type' not in aparam:
+            self.type = 'isotropic'
+            self.azimuth = (0.0, TWO_PI)
+            self.altitude = (0.0, math.pi / 2)
+            return
+
+        self.type = aparam['type'].lower()
+        if self.type == 'radial':
+            pass
+        elif self.type == 'isotropic':
+            if 'azimuth' in aparam:
+                az0, az1 = _pair(aparam['azimuth'], 'AngularDist.__init__')
+                self.azimuth = (_clamp(az0, 0.0, TWO_PI),
+                                _clamp(az1, 0.0, TWO_PI))
+            else:
+                self.azimuth = (0.0, TWO_PI)
+            if 'altitude' in aparam:
+                alt0, alt1 = _pair(aparam['altitude'], 'AngularDist.__init__')
+                alt0 = _clamp(alt0, 0.0, math.pi / 2)
+                alt1 = _clamp(alt1, 0.0, math.pi / 2)
+                if alt0 > alt1:
+                    raise InputError('AngularDist.__init__',
+                                     'AngularDist.altitude[0] > '
+                                     'AngularDist.altitude[1]')
+                self.altitude = (alt0, alt1)
+            else:
+                self.altitude = (0.0, math.pi / 2)
+        elif self.type == '2d':
+            if 'altitude' in aparam:
+                alt0, alt1 = _pair(aparam['altitude'], 'AngularDist.__init__')
+                alt0 = _clamp(alt0, 0.0, math.pi)
+                alt1 = _clamp(alt1, 0.0, math.pi)
+                if alt0 > alt1:
+                    raise InputError('AngularDist.__init__',
+                                     'AngularDist.altitude[0] > '
+                                     'AngularDist.altitude[1]')
+                self.altitude = (alt0, alt1)
+            else:
+                self.altitude = (0.0, math.pi)
+        else:
+            raise InputError('AngularDist.__init__',
+                             f'AngularDist.type = {self.type} not defined.')
+
+
+class Options(_Section):
+    """Runtime options (``input_classes.py:1055-1100``).
+
+    Parity notes: the reference's ``stepsize`` alias is broken (reads the
+    wrong key, ``input_classes.py:1086-1087``); here both spellings work.
+    ``resolution`` is stored as a float (the reference keeps the raw string
+    when explicitly specified).
+    """
+
+    section_name = 'options'
+
+    def __init__(self, oparam: dict):
+        if 'endtime' not in oparam:
+            raise InputError('Options.__init__', 'options.endtime not specified.')
+        self.endtime = float(oparam['endtime'])
+
+        if 'species' in oparam:
+            self.species = oparam['species'].capitalize()
+        elif 'atom' in oparam:
+            self.species = oparam['atom'].capitalize()
+        else:
+            raise InputError('Options.__init__', 'options.species not specified.')
+
+        self.lifetime = float(oparam.get('lifetime', 0))
+
+        if 'outeredge' in oparam:
+            self.outeredge = float(oparam['outeredge'])
+        elif 'outer_edge' in oparam:
+            self.outeredge = float(oparam['outer_edge'])
+        else:
+            self.outeredge = 1e30
+
+        if 'step_size' in oparam:
+            self.step_size = float(oparam['step_size'])
+        elif 'stepsize' in oparam:
+            self.step_size = float(oparam['stepsize'])
+        else:
+            self.step_size = 0.0
+
+        if self.step_size == 0:
+            self.resolution = float(oparam.get('resolution', 1e-4))
+        else:
+            self.resolution = None
+
+        self.fitted = (oparam.get('fitted', 'false').casefold() ==
+                       'true'.casefold())

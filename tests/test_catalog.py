@@ -1,0 +1,91 @@
+"""Catalog round-trip tests (replaces the reference's DB search tests,
+``test_input_search.py``): insert outputs, search with TAA tolerance,
+cascade delete."""
+import copy
+import os
+
+import pytest
+
+from nexoclom_tpu.initial_state import Input
+from nexoclom_tpu.utilities.catalog import get_catalog
+
+pytestmark = pytest.mark.utilities
+
+INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+
+
+def _inputs():
+    return Input(os.path.join(INPUTFILES, 'Gravity.input'))
+
+
+def test_search_empty():
+    assert _inputs().search() == ([], [], 0, 0.0)
+
+
+def test_insert_and_search():
+    catalog = get_catalog()
+    inp = _inputs()
+    id1, f1 = catalog.insert_output(inp.to_dict(), 1000, 1000.0)
+    id2, f2 = catalog.insert_output(inp.to_dict(), 500, 500.0)
+    ids, files, npackets, totalsource = inp.search()
+    assert sorted(ids) == [id1, id2]
+    assert npackets == 1500 and totalsource == 1500.0
+    assert all(f.endswith('.npz') for f in files)
+    # directory layout mirrors the reference
+    assert f1.split(os.sep)[-6:-1] == ['modeloutput0', 'Mercury', 'Na',
+                                       'uniform', 'flat'] or 'Mercury' in f1
+
+
+def test_taa_tolerance_and_tiebreak():
+    catalog = get_catalog()
+    inp = _inputs()
+    base = inp.to_dict()
+
+    near = copy.deepcopy(base)
+    near['geometry']['taa'] = 3.14 + 0.004      # within +/-0.5 deg
+    nearer = copy.deepcopy(base)
+    nearer['geometry']['taa'] = 3.14 + 0.001
+    far = copy.deepcopy(base)
+    far['geometry']['taa'] = 3.14 + 0.02        # outside window
+
+    id_near, _ = catalog.insert_output(near, 10, 10.0)
+    id_nearer, _ = catalog.insert_output(nearer, 20, 20.0)
+    catalog.insert_output(far, 40, 40.0)
+
+    ids, _, npackets, _ = inp.search()
+    # nearest stored TAA wins; far record excluded entirely
+    assert ids == [id_nearer]
+    assert npackets == 20
+
+
+def test_other_section_mismatch_excluded():
+    catalog = get_catalog()
+    inp = _inputs()
+    other = copy.deepcopy(inp.to_dict())
+    other['options']['species'] = 'Ca'
+    catalog.insert_output(other, 10, 10.0)
+    assert inp.search() == ([], [], 0, 0.0)
+
+
+def test_delete_cascade():
+    catalog = get_catalog()
+    inp = _inputs()
+    idnum, fname = catalog.insert_output(inp.to_dict(), 10, 10.0)
+    # dependent artifacts
+    catalog.insert_losmodel(out_idnum=idnum, quantity='radiance',
+                            filename=fname + '.model.npz')
+    catalog.insert_image(out_idnum=idnum, quantity='column',
+                         filename=fname + '.image.npz')
+    # fitted output derived from this run
+    fitted = copy.deepcopy(inp.to_dict())
+    fitted['spatialdist'] = {'type': 'fitted output', 'unfit_outid': idnum,
+                             'query': None}
+    fid, ffile = catalog.insert_output(fitted, 10, 10.0)
+
+    files = catalog.delete_outputs([idnum])
+    assert inp.search() == ([], [], 0, 0.0)
+    assert not catalog.search_losmodels(out_idnum=idnum)
+    assert not catalog.search_images(out_idnum=idnum)
+    # fitted output cascaded too
+    assert not any(r['idnum'] == fid for r in catalog.outputs.records())
+    assert fname in files and ffile in files
