@@ -91,6 +91,18 @@ class Input:
         inputs.options = options
         return inputs
 
+    @classmethod
+    def from_dict(cls, data: dict) -> 'Input':
+        """Rebuild an Input from its canonical dict (Output.restore path)."""
+        return cls.from_sections(
+            Geometry.from_dict(data['geometry']),
+            SurfaceInteraction.from_dict(data['surfaceinteraction']),
+            Forces.from_dict(data['forces']),
+            SpatialDist.from_dict(data['spatialdist']),
+            SpeedDist.from_dict(data['speeddist']),
+            AngularDist.from_dict(data['angulardist']),
+            Options.from_dict(data['options']))
+
     # ------------------------------------------------------------- identity
     def _sections(self):
         return (self.geometry, self.surfaceinteraction, self.forces,

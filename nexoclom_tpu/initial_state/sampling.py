@@ -1,0 +1,172 @@
+"""Build initial packet states (X0) from an Input specification.
+
+Orchestrates the on-device samplers in :mod:`nexoclom_tpu.ops.samplers` to
+produce the same initial-state columns as the reference
+(``particle_tracking/Output.py:136-182``):
+
+    time, x, y, z, vx, vy, vz, frac, v,
+    longitude, latitude, local_time, altitude, azimuth
+
+Units: positions in R_planet, velocities in R_planet/s, time in seconds,
+angles in radians (identical to the reference's model units).
+
+Time-sampling parity (``Output.py:136-139``): constant-step runs start every
+packet with the full endtime; adaptive runs draw each packet's age uniformly
+in [0, endtime] — the reference's steady-state trick.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexoclom_tpu.atomicdata import atomicmass
+from nexoclom_tpu.constants import thermal_speed_kms
+from nexoclom_tpu.initial_state.sourcemap import SourceMap
+from nexoclom_tpu.mathutils.distributions import MaxwellianDist, sputdist
+from nexoclom_tpu.ops import samplers
+from nexoclom_tpu.utilities.exceptions import InputError
+
+TWO_PI = 2.0 * math.pi
+
+
+def _spatial(key, inputs, n, dtype):
+    spatial = inputs.spatialdist
+    if spatial.type == 'uniform':
+        lon, lat = samplers.sample_uniform_lonlat(
+            key, n, spatial.longitude, spatial.latitude, dtype=dtype)
+    elif spatial.type == 'surface spot':
+        pdf, lon_grid, lat_grid = samplers.spot_pdf_grid(
+            spatial.longitude, spatial.latitude, spatial.sigma)
+        tables = samplers.build_2d_sampler_tables(pdf, lon_grid, lat_grid)
+        lon, lat = samplers.sample_2d(key, tables, n, dtype=dtype)
+    elif spatial.type == 'surface map':
+        sourcemap = SourceMap(spatial.mapfile)
+        if sourcemap.abundance is None:
+            raise InputError('build_initial_state',
+                             f'no abundance in mapfile {spatial.mapfile}')
+        if sourcemap.latitude is None:
+            lon = samplers.sample_tabulated_1d(
+                key, jnp.asarray(sourcemap.abundance, dtype=dtype),
+                float(sourcemap.longitude.min()),
+                float(sourcemap.longitude.max()), n, dtype=dtype)
+            lat = jnp.zeros(n, dtype=dtype)
+        else:
+            tables = samplers.build_2d_sampler_tables(
+                sourcemap.abundance, sourcemap.longitude,
+                np.sin(sourcemap.latitude))
+            lon, sinlat = samplers.sample_2d(key, tables, n, dtype=dtype)
+            lat = jnp.arcsin(jnp.clip(sinlat, -1.0, 1.0))
+        if 'planet' in sourcemap.coordinate_system:
+            if spatial.subsolarlon is None:
+                raise InputError('build_initial_state',
+                                 'spatialdist.subsolarlon is required for a '
+                                 'planet-fixed source map')
+            # rotate planet-fixed map longitudes into the solar-fixed model
+            # frame (source_distribution.py:85-91; unverified in the
+            # reference — see docs/QUIRKS.md)
+            lon = (spatial.subsolarlon - lon + TWO_PI) % TWO_PI
+    else:
+        raise InputError('build_initial_state',
+                         f'spatialdist.type = {spatial.type} not valid here')
+    return lon, lat
+
+
+def _speed_kms(key, inputs, n, dtype):
+    speed = inputs.speeddist
+    species = inputs.options.species
+    if speed.type == 'gaussian':
+        return samplers.sample_gaussian_speed(key, n, speed.vprob,
+                                              speed.sigma, dtype=dtype)
+    elif speed.type == 'flat':
+        return samplers.sample_flat_speed(key, n, speed.vprob, speed.delv,
+                                          dtype=dtype)
+    elif speed.type == 'maxwellian':
+        if speed.temperature == 0:
+            raise InputError('build_initial_state',
+                             'maxwellian with surface-temperature map not '
+                             'implemented (matches reference)')
+        vth = thermal_speed_kms(speed.temperature, atomicmass(species))
+        grid = np.linspace(0.1, 5 * vth, 5000)
+        f_v = MaxwellianDist(grid, speed.temperature, species)
+        return samplers.sample_tabulated_1d(key, jnp.asarray(f_v, dtype=dtype),
+                                            float(grid[0]), float(grid[-1]),
+                                            n, dtype=dtype)
+    elif speed.type == 'sputtering':
+        grid = np.linspace(0.1, 50, 5000)
+        f_v = sputdist(grid, speed.U, speed.alpha, speed.beta, species)
+        return samplers.sample_tabulated_1d(key, jnp.asarray(f_v, dtype=dtype),
+                                            float(grid[0]), float(grid[-1]),
+                                            n, dtype=dtype)
+    elif speed.type == 'user defined':
+        vdist = SourceMap(speed.vdistfile)
+        if vdist.speed is None or vdist.speed_dist is None:
+            raise InputError('build_initial_state',
+                             f'{speed.vdistfile} has no speed distribution')
+        # reference regrids the pdf onto a uniform axis over [min, max]
+        # regardless of the source grid (randomdeviates.py:29)
+        return samplers.sample_tabulated_1d(
+            key, jnp.asarray(vdist.speed_dist, dtype=dtype),
+            float(np.min(vdist.speed)), float(np.max(vdist.speed)),
+            n, dtype=dtype)
+    else:
+        raise InputError('build_initial_state',
+                         f'speeddist.type = {speed.type} not valid here')
+
+
+def build_initial_state(inputs, n: int, seed=None, dtype=jnp.float64):
+    """Sample ``n`` packets' initial states.  Returns a dict of jnp arrays
+    with the reference's X0 columns (model units)."""
+    if seed is None:
+        seed = int(np.random.SeedSequence().entropy % (2 ** 63))
+    key = jax.random.PRNGKey(seed)
+    k_time, k_spatial, k_speed, k_angular = jax.random.split(key, 4)
+
+    options = inputs.options
+    radius_km = inputs.geometry.planet.radius
+
+    if options.step_size != 0:
+        t = jnp.full((n,), options.endtime, dtype=dtype)
+    else:
+        t = jax.random.uniform(k_time, (n,), dtype=dtype) * options.endtime
+
+    lon, lat = _spatial(k_spatial, inputs, n, dtype)
+    x, y, z = samplers.xyz_from_lonlat(
+        lon, lat, inputs.spatialdist.exobase,
+        is_planet=(inputs.geometry.planet.type == 'Planet'))
+
+    v_model = _speed_kms(k_speed, inputs, n, dtype) / radius_km
+
+    angular = inputs.angulardist
+    if angular.type == 'radial':
+        alt = jnp.full((n,), math.pi / 2, dtype=dtype)
+        az = jnp.zeros(n, dtype=dtype)
+        vx, vy, vz = samplers.velocity_from_angles(alt, az, v_model, x, y, z)
+    elif angular.type == 'isotropic':
+        alt, az = samplers.sample_isotropic_angles(
+            k_angular, n, angular.altitude, angular.azimuth, dtype=dtype)
+        vx, vy, vz = samplers.velocity_from_angles(alt, az, v_model, x, y, z)
+    elif angular.type == '2d':
+        c0, c1 = math.cos(angular.altitude[0]), math.cos(angular.altitude[1])
+        u = jax.random.uniform(k_angular, (n,), dtype=dtype)
+        alt = jnp.arccos(u * (c1 - c0) + c0)
+        az = jnp.zeros(n, dtype=dtype)
+        vx, vy, vz = samplers.velocity_from_angles_2d(alt, v_model, x, y)
+    else:
+        raise InputError('build_initial_state',
+                         f'angulardist.type = {angular.type} not defined')
+
+    local_time = (lon * 12 / math.pi + 12) % 24
+    return {
+        'time': t,
+        'x': x.astype(dtype), 'y': y.astype(dtype), 'z': z.astype(dtype),
+        'vx': vx.astype(dtype), 'vy': vy.astype(dtype),
+        'vz': vz.astype(dtype),
+        'frac': jnp.ones(n, dtype=dtype),
+        'v': v_model.astype(dtype),
+        'longitude': lon.astype(dtype), 'latitude': lat.astype(dtype),
+        'local_time': local_time.astype(dtype),
+        'altitude': alt.astype(dtype), 'azimuth': az.astype(dtype),
+    }

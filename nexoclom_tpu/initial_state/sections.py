@@ -80,12 +80,33 @@ class _Section:
             out[key] = value
         return out
 
+    # fields that round-trip list -> tuple through to_dict/from_dict
+    _tuple_fields = ()
+
+    @classmethod
+    def from_dict(cls, data: dict):
+        """Inverse of :meth:`to_dict` (used by Output.restore)."""
+        obj = cls.__new__(cls)
+        for key, value in data.items():
+            if key in cls._tuple_fields and isinstance(value, list):
+                value = tuple(value)
+            setattr(obj, key, value)
+        return obj
+
 
 class Geometry(_Section):
     """Planetary geometry: planet, startpoint, included objects, phase angles,
     subsolar point, and true anomaly (``input_classes.py:19-111``)."""
 
     section_name = 'geometry'
+    _tuple_fields = ('subsolarpoint', 'phi')
+
+    @classmethod
+    def from_dict(cls, data: dict):
+        obj = super().from_dict(data)
+        obj.planet = SSObject(data['planet'])
+        obj.objects = frozenset(SSObject(o) for o in data.get('objects', []))
+        return obj
 
     def __init__(self, gparam: dict):
         planet = gparam.get('planet')
@@ -153,6 +174,7 @@ class SurfaceInteraction(_Section):
     """Sticking/re-emission model (``input_classes.py:250-318``)."""
 
     section_name = 'surfaceinteraction'
+    _tuple_fields = ('A',)
 
     def __init__(self, sparam: dict):
         sticktype = sparam.get('sticktype', '').lower() or None
@@ -213,6 +235,7 @@ class SpatialDist(_Section):
     """Source spatial distribution (``input_classes.py:490-569``)."""
 
     section_name = 'spatialdist'
+    _tuple_fields = ('longitude', 'latitude')
 
     def __init__(self, sparam: dict):
         if 'type' not in sparam:
@@ -306,6 +329,7 @@ class AngularDist(_Section):
     """Source angular distribution (``input_classes.py:905-960``)."""
 
     section_name = 'angulardist'
+    _tuple_fields = ('azimuth', 'altitude')
 
     def __init__(self, aparam: dict):
         if 'type' not in aparam:

@@ -1,0 +1,396 @@
+"""The particle-tracking engine: Dormand-Prince RK5(4) over packet batches.
+
+TPU-native re-design of ``nexoclom/particle_tracking/{rk5,state,Output}.py``:
+
+* State is a structure-of-arrays pytree over the packet axis; every operation
+  is elementwise, so XLA fuses an entire 6-stage RK step (gravity + radiation
+  pressure table lookup + shadow masks + photoionization) into a handful of
+  vector kernels, and the packet axis shards transparently over a device mesh.
+* The constant-step driver is one ``lax.scan`` over time steps; the adaptive
+  driver is one ``lax.while_loop`` with per-packet step sizes and lockstep
+  predication — dead packets are masked, never compacted (fixed shapes).
+* The survival fraction integrates in log space inside the step
+  (``rk5.py:25,49-50``), with the photoionization rate as d(log f)/dt.
+
+Physics parity (``state.py:17-74``):
+  - gravity: a = GM r / |r|^3 with GM negative;
+  - radiation pressure: tabulated accel vs. heliocentric radial velocity
+    (vy + vrplanet), applied along +y, zeroed in the planet's shadow
+    (sqrt(x^2 + z^2) < 1 and y > 0);
+  - ionization: 1/lifetime everywhere when an explicit lifetime is given,
+    else the photo rate zeroed in shadow.
+
+Step-control parity (``Output.py:221-366``): identical error scaling
+(resolution on position, resolution/10 on velocity, log-frac error scaled
+against the fractional tolerance), accept when errmax < 1, grow
+0.95 h errmax^-0.2, shrink 0.95 h errmax^-0.25 floored at 0.1 h, reject-and-
+retry with 10x step when errmax < 1e-7, kill on surface impact (full
+sticking), escape, or frac < 1e-10.
+
+Documented deviations (docs/QUIRKS.md): the adaptive driver compares the
+*radius* (not radius squared) against ``outeredge``, and supports surface
+bounce (the reference's adaptive path asserts it unsupported).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Dormand-Prince RK5(4) tableau (identical coefficients to rk5.py:5-18)
+_DP_C = np.array([0.0, 0.2, 0.3, 0.8, 8.0 / 9.0, 1.0, 1.0])
+_DP_B = np.array([35.0 / 384.0, 0.0, 500.0 / 1113.0, 125.0 / 192.0,
+                  -2187.0 / 6784.0, 11.0 / 84.0, 0.0])
+_DP_BS = np.array([5179.0 / 57600.0, 0.0, 7571.0 / 16695.0, 393.0 / 640.0,
+                   -92097.0 / 339200.0, 187.0 / 2100.0, 1.0 / 40.0])
+_DP_BD = _DP_B - _DP_BS
+_DP_A = np.zeros((7, 7))
+_DP_A[1, 0] = 0.2
+_DP_A[2, :2] = [3.0 / 40.0, 9.0 / 40.0]
+_DP_A[3, :3] = [44.0 / 45.0, -56.0 / 15.0, 32.0 / 9.0]
+_DP_A[4, :4] = [19372.0 / 6561.0, -25360.0 / 2187.0, 64448.0 / 6561.0,
+                -212.0 / 729.0]
+_DP_A[5, :5] = [9017.0 / 3168.0, -355.0 / 33.0, 46732.0 / 5247.0,
+                49.0 / 176.0, -5103.0 / 18656.0]
+_DP_A[6, :] = _DP_B
+
+FRAC_FLOOR = 1e-10      # packet kill threshold (Output.py:321,413)
+_TINY = 1e-300
+
+
+@dataclass(frozen=True)
+class EngineSpec:
+    """Static (compile-time) engine configuration."""
+    gravity: bool = True
+    radpres: bool = True
+    constant_rate: bool = False   # True: ionization everywhere (lifetime > 0)
+    surface_bounce: bool = False  # False: full sticking kills on impact
+    sticktype: str = 'constant'   # 'constant' | 'temperature dependent'
+    accom: bool = False           # thermal accommodation at the surface
+    check_outer_edge: bool = True
+
+
+class ForceTable(NamedTuple):
+    """Traced physics parameters (model units: R_planet, s)."""
+    gm: jnp.ndarray              # scalar, negative
+    vrplanet: jnp.ndarray        # scalar
+    rp_v0: jnp.ndarray           # radpres table origin
+    rp_dv: jnp.ndarray           # radpres table spacing
+    rp_accel: jnp.ndarray        # (K,) radpres accel vs radial velocity
+    ion_rate: jnp.ndarray        # scalar ionization rate (1/s)
+
+
+class SurfaceTable(NamedTuple):
+    """Traced surface-interaction parameters (see ops/surface.py)."""
+    stickcoef: jnp.ndarray       # scalar
+    accomfactor: jnp.ndarray     # scalar
+    stick_A: jnp.ndarray         # (3,) temperature-dependent sticking coefs
+    taa: jnp.ndarray             # scalar, for the surface-temperature model
+    v_table: jnp.ndarray         # (nt, nprob) emission speed (model units)
+    temp0: jnp.ndarray           # temperature grid origin (K)
+    dtemp: jnp.ndarray           # temperature grid spacing (K)
+
+
+class PacketState(NamedTuple):
+    """Structure-of-arrays packet batch; every leaf has shape (N,)."""
+    t: jnp.ndarray
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    frac: jnp.ndarray
+    lossfrac: jnp.ndarray
+
+
+def empty_force_table(dtype=jnp.float64) -> ForceTable:
+    zero = jnp.zeros((), dtype)
+    return ForceTable(gm=zero, vrplanet=zero, rp_v0=zero,
+                      rp_dv=jnp.ones((), dtype),
+                      rp_accel=jnp.zeros((2,), dtype), ion_rate=zero)
+
+
+def uniform_lookup(table, v0, dv, value):
+    """O(1) linear interpolation on a uniform grid, clamping at the ends
+    (np.interp edge semantics, as used by state.py:35-36)."""
+    pos = (value - v0) / dv
+    pos = jnp.clip(pos, 0.0, table.shape[0] - 1.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, table.shape[0] - 2)
+    w = pos - lo
+    return table[lo] * (1.0 - w) + table[lo + 1] * w
+
+
+def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable):
+    """Acceleration components and ionization rate for one RK stage."""
+    zero = jnp.zeros_like(x)
+    if spec.gravity:
+        r2 = x * x + y * y + z * z
+        inv_r3 = jax.lax.rsqrt(r2) / r2
+        gm_r3 = forces.gm * inv_r3
+        ax, ay, az = gm_r3 * x, gm_r3 * y, gm_r3 * z
+    else:
+        ax, ay, az = zero, zero, zero
+
+    out_of_shadow = None
+    if spec.radpres or not spec.constant_rate:
+        rho2 = x * x + z * z
+        out_of_shadow = (rho2 > 1.0) | (y < 0.0)
+
+    if spec.radpres:
+        vv = vy + forces.vrplanet
+        arad = uniform_lookup(forces.rp_accel, forces.rp_v0, forces.rp_dv, vv)
+        ay = ay + arad * out_of_shadow
+
+    if spec.constant_rate:
+        ion = jnp.full_like(x, forces.ion_rate)
+    else:
+        ion = forces.ion_rate * out_of_shadow
+
+    return ax, ay, az, ion
+
+
+def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
+             want_delta: bool):
+    """One Dormand-Prince step of size ``h`` (per-packet vector) for the whole
+    batch.  Returns the stepped state and, if requested, the embedded
+    4th-order error estimate per component group (positions, velocities,
+    log-frac), mirroring ``rk5.py:21-54``."""
+    a = _DP_A
+    logf0 = jnp.log(jnp.maximum(state.frac, _TINY))
+
+    # stage values
+    xs = [state.x]
+    ys = [state.y]
+    zs = [state.z]
+    vxs = [state.vx]
+    vys = [state.vy]
+    vzs = [state.vz]
+    accels = []
+    ions = []
+
+    for n in range(6):
+        ax, ay, az, ion = state_eval(xs[n], ys[n], zs[n], vys[n], spec, forces)
+        accels.append((ax, ay, az))
+        ions.append(ion)
+        if n == 5:
+            break
+        # build stage n+1
+        dx = jnp.zeros_like(state.x)
+        dy = jnp.zeros_like(state.x)
+        dz = jnp.zeros_like(state.x)
+        dvx = jnp.zeros_like(state.x)
+        dvy = jnp.zeros_like(state.x)
+        dvz = jnp.zeros_like(state.x)
+        for i in range(n + 1):
+            coef = a[n + 1, i]
+            if coef == 0.0:
+                continue
+            dx = dx + coef * vxs[i]
+            dy = dy + coef * vys[i]
+            dz = dz + coef * vzs[i]
+            dvx = dvx + coef * accels[i][0]
+            dvy = dvy + coef * accels[i][1]
+            dvz = dvz + coef * accels[i][2]
+        xs.append(state.x + h * dx)
+        ys.append(state.y + h * dy)
+        zs.append(state.z + h * dz)
+        vxs.append(state.vx + h * dvx)
+        vys.append(state.vy + h * dvy)
+        vzs.append(state.vz + h * dvz)
+
+    # 5th-order solution: y + h sum(b_i f_i); b == a[6]
+    b = _DP_B
+    dx = sum(b[i] * vxs[i] for i in range(6) if b[i] != 0.0)
+    dy = sum(b[i] * vys[i] for i in range(6) if b[i] != 0.0)
+    dz = sum(b[i] * vzs[i] for i in range(6) if b[i] != 0.0)
+    dvx = sum(b[i] * accels[i][0] for i in range(6) if b[i] != 0.0)
+    dvy = sum(b[i] * accels[i][1] for i in range(6) if b[i] != 0.0)
+    dvz = sum(b[i] * accels[i][2] for i in range(6) if b[i] != 0.0)
+    dion = sum(b[i] * ions[i] for i in range(6) if b[i] != 0.0)
+
+    new = PacketState(
+        t=state.t - h,
+        x=state.x + h * dx, y=state.y + h * dy, z=state.z + h * dz,
+        vx=state.vx + h * dvx, vy=state.vy + h * dvy, vz=state.vz + h * dvz,
+        frac=jnp.exp(logf0 - h * dion),
+        lossfrac=state.lossfrac,
+    )
+
+    if not want_delta:
+        return new, None
+
+    bd = _DP_BD
+    ex = sum(bd[i] * vxs[i] for i in range(6))
+    ey = sum(bd[i] * vys[i] for i in range(6))
+    ez = sum(bd[i] * vzs[i] for i in range(6))
+    evx = sum(bd[i] * accels[i][0] for i in range(6))
+    evy = sum(bd[i] * accels[i][1] for i in range(6))
+    evz = sum(bd[i] * accels[i][2] for i in range(6))
+    ef = sum(bd[i] * ions[i] for i in range(6))
+    delta = tuple(jnp.abs(h * e) for e in (ex, ey, ez, evx, evy, evz, ef))
+    return new, delta
+
+
+def _apply_kills(stepped: PacketState, spec: EngineSpec,
+                 surface: Optional[SurfaceTable], forces: ForceTable,
+                 outeredge, radius_km, bounce_key):
+    """Surface impact / escape / vanish checks after an accepted step
+    (``Output.py:306-324, 394-416``)."""
+    r2 = stepped.x ** 2 + stepped.y ** 2 + stepped.z ** 2
+    hit = r2 < 1.0
+
+    if spec.surface_bounce:
+        from nexoclom_tpu.ops.surface import bounce_packets
+        stepped = bounce_packets(bounce_key, stepped, hit, spec, surface,
+                                 forces.gm, radius_km)
+        frac = stepped.frac
+    else:
+        frac = jnp.where(hit, 0.0, stepped.frac)
+
+    if spec.check_outer_edge:
+        frac = jnp.where(r2 > outeredge ** 2, 0.0, frac)
+    frac = jnp.where(frac < FRAC_FLOOR, 0.0, frac)
+    t = jnp.where(frac == 0.0, 0.0, stepped.t)
+    return stepped._replace(frac=frac, t=t)
+
+
+# ---------------------------------------------------------------------------
+# Constant-step driver
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('spec', 'nsteps', 'save_history'))
+def constant_step_driver(state0: PacketState, spec: EngineSpec,
+                         forces: ForceTable, surface: Optional[SurfaceTable],
+                         step_size, outeredge, radius_km, key,
+                         nsteps: int, save_history: bool = True):
+    """Fixed-step integration as one ``lax.scan``.
+
+    Returns ``(final_state, history)`` where ``history`` (if requested) is a
+    PacketState whose leaves have shape (nsteps-1, N): the state after steps
+    1..nsteps-1.  Dead packets emit all-zero rows from the step after their
+    death, matching the zero-initialised history tensor of the reference
+    (``Output.py:376,419``).
+    """
+    h = jnp.asarray(step_size, state0.x.dtype)
+
+    def body(carry, step_idx):
+        st = carry
+        active = st.frac > 0.0
+        stepped, _ = rk5_step(st, h, spec, forces, want_delta=False)
+        bounce_key = jax.random.fold_in(key, step_idx)
+        stepped = _apply_kills(stepped, spec, surface, forces, outeredge,
+                               radius_km, bounce_key)
+        lossfrac = st.lossfrac + (st.frac - stepped.frac)
+        stepped = stepped._replace(lossfrac=lossfrac)
+
+        new = jax.tree.map(lambda new_leaf, old_leaf:
+                           jnp.where(active, new_leaf, old_leaf),
+                           stepped, st)
+        if save_history:
+            emitted = jax.tree.map(
+                lambda leaf: jnp.where(active, leaf, 0.0), new)
+        else:
+            emitted = None
+        return new, emitted
+
+    final, history = jax.lax.scan(body, state0, jnp.arange(1, nsteps))
+    return final, history
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-step driver
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('spec', 'max_iterations'))
+def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
+                         forces: ForceTable, surface: Optional[SurfaceTable],
+                         resolution, outeredge, radius_km, key,
+                         initial_step=1000.0, max_iterations: int = 100000):
+    """Adaptive integration as one ``lax.while_loop`` with per-packet step
+    sizes and lockstep predication.
+
+    Error-control parity with ``Output.py:221-346``; see module docstring.
+    Returns ``(final_state, iterations)``.
+    """
+    dtype = state0.x.dtype
+    res = jnp.asarray(resolution, dtype)
+    resx = res
+    resv = 0.1 * res
+    resf = res
+
+    def moretogo(st):
+        return (st.t > res) & (st.frac > 0.0)
+
+    def cond(carry):
+        st, h, it = carry
+        return jnp.any(moretogo(st)) & (it < max_iterations)
+
+    def body(carry):
+        st, h, it = carry
+        active = moretogo(st)
+        h_eff = jnp.minimum(h, st.t)
+        h_eff = jnp.maximum(h_eff, jnp.asarray(1e-30, dtype))
+
+        stepped, delta = rk5_step(st, h_eff, spec, forces, want_delta=True)
+        ex, ey, ez, evx, evy, evz, ef = delta
+
+        scale_x = resx + jnp.abs(stepped.x) * resx
+        scale_y = resx + jnp.abs(stepped.y) * resx
+        scale_z = resx + jnp.abs(stepped.z) * resx
+        scale_vx = resv + jnp.abs(stepped.vx) * resv
+        scale_vy = resv + jnp.abs(stepped.vy) * resv
+        scale_vz = resv + jnp.abs(stepped.vz) * resv
+        scale_f = resf + jnp.abs(stepped.frac) * resf
+
+        errmax = jnp.maximum(ex / scale_x, ey / scale_y)
+        errmax = jnp.maximum(errmax, ez / scale_z)
+        errmax = jnp.maximum(errmax, evx / scale_vx)
+        errmax = jnp.maximum(errmax, evy / scale_vy)
+        errmax = jnp.maximum(errmax, evz / scale_vz)
+        errmax = jnp.maximum(errmax, ef / scale_f)
+
+        # guard: reject growth of frac beyond tolerance (Output.py:291)
+        frac_grew = (stepped.frac - st.frac) > scale_f
+        errmax = jnp.where(frac_grew & (errmax > 1.0), 1.1, errmax)
+
+        # tiny-error: retry with 10x step (Output.py:294-296; such packets
+        # are classified "not good" because errmax is reset to exactly 1)
+        noerr = errmax < 1e-7
+        errmax = jnp.where(noerr, 1.0, errmax)
+        h_big = jnp.where(noerr, h_eff * 10.0, h_eff)
+
+        good = active & (errmax < 1.0)
+
+        bounce_key = jax.random.fold_in(key, it)
+        killed = _apply_kills(stepped, spec, surface, forces, outeredge,
+                              radius_km, bounce_key)
+        killed = killed._replace(
+            lossfrac=st.lossfrac + (st.frac - killed.frac))
+
+        new_state = jax.tree.map(
+            lambda new_leaf, old_leaf: jnp.where(good, new_leaf, old_leaf),
+            killed, st)
+
+        h_grow = 0.95 * h_eff * errmax ** -0.2
+        h_shrink = jnp.maximum(0.95 * h_big * errmax ** -0.25, 0.1 * h_big)
+        new_h = jnp.where(active, jnp.where(good, h_grow, h_shrink), h)
+
+        return new_state, new_h, it + 1
+
+    h0 = jnp.full_like(state0.t, initial_step)
+    final, _, iterations = jax.lax.while_loop(
+        cond, body, (state0, h0, jnp.asarray(0, jnp.int32)))
+    return final, iterations
+
+
+def packet_state_from_dict(x0: dict) -> PacketState:
+    """Assemble the engine state from the initial-state column dict."""
+    return PacketState(t=x0['time'], x=x0['x'], y=x0['y'], z=x0['z'],
+                       vx=x0['vx'], vy=x0['vy'], vz=x0['vz'],
+                       frac=x0['frac'],
+                       lossfrac=jnp.zeros_like(x0['frac']))

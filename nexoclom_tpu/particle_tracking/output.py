@@ -1,0 +1,325 @@
+"""Output: run one simulation chunk and persist it.
+
+Mirrors the orchestration of ``nexoclom/particle_tracking/Output.py`` with a
+TPU-native execution model:
+
+* host side builds scalar physics parameters and lookup tables in model units
+  (R_planet, s): GM (``Output.py:105``), heliocentric distance and radial
+  velocity from the TAA (``:108-110``), photoionization rate (``:113-118``),
+  the radiation-pressure table (``:121-128``), and the surface-interaction
+  emission-speed table when bouncing (``:131-133``);
+* initial states are sampled on device (:mod:`nexoclom_tpu.initial_state.sampling`)
+  with the reference's steady-state time trick: constant-step packets all
+  start with the full endtime, adaptive packets get a uniform random age
+  (``:136-139``);
+* the whole integration is one jitted driver call
+  (:mod:`nexoclom_tpu.ops.integrator`);
+* results persist as a float32 ``.npz`` plus a JSON catalog record (replacing
+  the PostgreSQL insert + pickle of ``Output.save``, ``:480-548``), with
+  ``compress=True`` dropping frac == 0 rows exactly like the reference.
+
+Public attributes match the reference: ``X0`` and ``X`` (pandas DataFrames),
+``npackets``, ``totalsource``, ``aplanet`` (AU), ``vrplanet`` (km/s, positive
+away from the Sun), ``GM`` (R_p^3/s^2, negative), ``idnum``, ``filename``,
+``compress``, ``inputs``, and for constant-step runs ``nsteps``.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from nexoclom_tpu.atomicdata import radpres_table
+from nexoclom_tpu.initial_state.loss_info import LossInfo
+from nexoclom_tpu.initial_state.sampling import build_initial_state
+from nexoclom_tpu.ops.integrator import (EngineSpec, ForceTable, PacketState,
+                                         SurfaceTable, adaptive_step_driver,
+                                         constant_step_driver,
+                                         empty_force_table,
+                                         packet_state_from_dict)
+from nexoclom_tpu.ops.surface import build_emission_speed_table
+from nexoclom_tpu.solarsystem import planet_dist
+from nexoclom_tpu.utilities.catalog import get_catalog
+from nexoclom_tpu.utilities.config import get_config
+
+X0_COLUMNS = ['time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'v',
+              'longitude', 'latitude', 'local_time', 'altitude', 'azimuth']
+
+
+def engine_spec_from_inputs(inputs) -> EngineSpec:
+    """Map Input sections onto the static engine configuration."""
+    sint = inputs.surfaceinteraction
+    full_stick = (sint.sticktype == 'constant' and
+                  getattr(sint, 'stickcoef', None) == 1.0)
+    return EngineSpec(
+        gravity=inputs.forces.gravity,
+        radpres=inputs.forces.radpres,
+        constant_rate=inputs.options.lifetime > 0,
+        surface_bounce=not full_stick,
+        sticktype=sint.sticktype,
+        accom=bool(getattr(sint, 'accomfactor', None)),
+        check_outer_edge=inputs.options.outeredge < 1e29,
+    )
+
+
+def build_force_table(inputs, aplanet: float, vrplanet_model: float,
+                      radius_km: float, dtype) -> ForceTable:
+    """Physics tables in model units."""
+    options = inputs.options
+    table = empty_force_table(dtype)
+    table = table._replace(
+        gm=jnp.asarray(inputs.geometry.planet.gm_rp3, dtype),
+        vrplanet=jnp.asarray(vrplanet_model, dtype))
+
+    if inputs.forces.radpres:
+        v0, dv, accel = radpres_table(options.species, aplanet)
+        table = table._replace(
+            rp_v0=jnp.asarray(v0 / radius_km, dtype),
+            rp_dv=jnp.asarray(dv / radius_km, dtype),
+            rp_accel=jnp.asarray(accel / radius_km, dtype))
+
+    if options.lifetime > 0:
+        rate = 1.0 / options.lifetime
+    else:
+        rate = LossInfo(options.species, options.lifetime, aplanet).photo
+    table = table._replace(ion_rate=jnp.asarray(rate, dtype))
+    return table
+
+
+def build_surface_table(inputs, spec: EngineSpec, radius_km: float,
+                        dtype) -> SurfaceTable:
+    """Surface-interaction parameters; the emission-speed table is built only
+    when thermal accommodation is active."""
+    sint = inputs.surfaceinteraction
+    taa = inputs.geometry.taa
+    if spec.accom:
+        v_table, temp0, dtemp = build_emission_speed_table(
+            taa, inputs.options.species, radius_km)
+    else:
+        v_table, temp0, dtemp = np.zeros((2, 2)), 0.0, 1.0
+    A = getattr(sint, 'A', (0.0, 0.0, 0.0))
+    return SurfaceTable(
+        stickcoef=jnp.asarray(getattr(sint, 'stickcoef', 0.0) or 0.0, dtype),
+        accomfactor=jnp.asarray(getattr(sint, 'accomfactor', 0.0) or 0.0,
+                                dtype),
+        stick_A=jnp.asarray(A, dtype),
+        taa=jnp.asarray(taa, dtype),
+        v_table=jnp.asarray(v_table, dtype),
+        temp0=jnp.asarray(temp0, dtype),
+        dtemp=jnp.asarray(dtemp, dtype))
+
+
+class Output:
+    def __init__(self, inputs, npackets, compress=True, run_model=True,
+                 seed=None, dtype=None, sharded=False):
+        self.inputs = inputs
+        self.planet = inputs.geometry.planet
+        self.compress = compress
+        self.seed = seed
+
+        if not run_model:
+            self.X0 = pd.DataFrame()
+            self.X = pd.DataFrame()
+            self.npackets = npackets
+            self.totalsource = float(npackets)
+            r, v_r = planet_dist(self.planet, inputs.geometry.taa)
+            self.aplanet, self.vrplanet = r, v_r
+            self.GM = self.planet.gm_rp3
+            self.save()
+            return
+
+        if inputs.geometry.type == 'geometry with starttime':
+            raise NotImplementedError(
+                'Initialization with time stamp not implemented yet.')
+        if (inputs.geometry.planet.object != inputs.geometry.startpoint):
+            raise NotImplementedError('Satellite start points not set up.')
+
+        if dtype is None:
+            dtype = (jnp.float64 if get_config().precision == 'float64'
+                     else jnp.float32)
+        self._dtype = dtype
+
+        radius_km = self.planet.radius
+        self.GM = self.planet.gm_rp3
+        r, v_r = planet_dist(self.planet, inputs.geometry.taa)
+        self.aplanet = r                       # AU
+        self.vrplanet = v_r                    # km/s
+        vrplanet_model = v_r / radius_km       # R_p/s
+
+        spec = engine_spec_from_inputs(inputs)
+        forces = build_force_table(inputs, self.aplanet, vrplanet_model,
+                                   radius_km, dtype)
+        surface = build_surface_table(inputs, spec, radius_km, dtype)
+
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2 ** 31))
+            self.seed = seed
+        x0 = build_initial_state(inputs, int(npackets), seed=seed,
+                                 dtype=dtype)
+        self.npackets = int(npackets)
+        self.totalsource = float(np.asarray(x0['frac']).sum())
+
+        self.X0 = pd.DataFrame(
+            {col: np.asarray(x0[col], dtype=np.float64)
+             for col in X0_COLUMNS})
+
+        state0 = packet_state_from_dict(x0)
+        options = inputs.options
+        import jax
+        run_key = jax.random.PRNGKey(seed ^ 0x5EED)
+
+        if options.step_size != 0:
+            self.nsteps = int(np.ceil(options.endtime /
+                                      options.step_size) + 1)
+            final, history = constant_step_driver(
+                state0, spec, forces, surface,
+                jnp.asarray(options.step_size, dtype),
+                jnp.asarray(options.outeredge, dtype),
+                jnp.asarray(radius_km, dtype),
+                run_key, nsteps=self.nsteps, save_history=True)
+            self.totalsource *= self.nsteps
+            self.X = self._assemble_history(state0, history)
+        else:
+            final, iterations = adaptive_step_driver(
+                state0, spec, forces, surface,
+                jnp.asarray(options.resolution, dtype),
+                jnp.asarray(options.outeredge, dtype),
+                jnp.asarray(radius_km, dtype), run_key)
+            self.X = self._assemble_final(final)
+
+        self.save()
+
+    # ------------------------------------------------------------ assembly
+    def _assemble_history(self, state0: PacketState, history) -> pd.DataFrame:
+        """Long-format trajectory table: every packet x every step snapshot
+        (reference ``Output.py:433-449``), packet-major ordering."""
+        n = self.npackets
+        nsteps = self.nsteps
+
+        def stack(initial, column):
+            # (N, nsteps): step 0 = initial state, steps 1.. from the scan
+            return np.concatenate(
+                [np.asarray(initial, np.float64)[:, None],
+                 np.asarray(column, np.float64).T], axis=1).reshape(-1)
+
+        x0 = self.X0
+        frames = {
+            'Index': np.repeat(np.arange(n), nsteps),
+            'time': stack(x0['time'], history.t),
+            'x': stack(x0['x'], history.x),
+            'y': stack(x0['y'], history.y),
+            'z': stack(x0['z'], history.z),
+            'vx': stack(x0['vx'], history.vx),
+            'vy': stack(x0['vy'], history.vy),
+            'vz': stack(x0['vz'], history.vz),
+            'frac': stack(x0['frac'], history.frac),
+            'lossfrac': stack(np.zeros(n), history.lossfrac),
+        }
+        return pd.DataFrame(frames)
+
+    def _assemble_final(self, final: PacketState) -> pd.DataFrame:
+        """Adaptive-mode result: one row per packet (reference keeps the
+        initial v/altitude/azimuth columns alongside the final state,
+        ``Output.py:185-190,361-366``)."""
+        out = pd.DataFrame({
+            'time': np.asarray(final.t, np.float64),
+            'x': np.asarray(final.x, np.float64),
+            'y': np.asarray(final.y, np.float64),
+            'z': np.asarray(final.z, np.float64),
+            'vx': np.asarray(final.vx, np.float64),
+            'vy': np.asarray(final.vy, np.float64),
+            'vz': np.asarray(final.vz, np.float64),
+            'frac': np.asarray(final.frac, np.float64),
+            'v': self.X0['v'].values,
+            'altitude': self.X0['altitude'].values,
+            'azimuth': self.X0['azimuth'].values,
+            'lossfrac': np.asarray(final.lossfrac, np.float64),
+        })
+        out['Index'] = out.index
+        return out
+
+    # ---------------------------------------------------------- persistence
+    def save(self):
+        """Catalog the run and write the array store."""
+        catalog = get_catalog()
+        self.idnum, self.filename = catalog.insert_output(
+            self.inputs.to_dict(), self.npackets, self.totalsource)
+
+        X = self.X
+        if self.compress and len(X):
+            X = X[X.frac > 0]
+        self.X = X
+
+        arrays = {}
+        for name, frame in (('X0', self.X0), ('X', X)):
+            for col in frame.columns:
+                values = frame[col].to_numpy()
+                if values.dtype == np.float64:
+                    values = values.astype(np.float32)
+                elif values.dtype == np.int64:
+                    values = values.astype(np.int32)
+                arrays[f'{name}.{col}'] = values
+
+        meta = {
+            'idnum': self.idnum,
+            'npackets': self.npackets,
+            'totalsource': self.totalsource,
+            'aplanet': float(self.aplanet),
+            'vrplanet': float(self.vrplanet),
+            'GM': float(self.GM),
+            'nsteps': getattr(self, 'nsteps', None),
+            'seed': self.seed,
+            'compress': self.compress,
+            'inputs': self.inputs.to_dict(),
+        }
+        arrays['meta'] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+        np.savez_compressed(self.filename, **arrays)
+
+    @classmethod
+    def restore(cls, filename: str) -> 'Output':
+        """Rebuild an Output (float64 frames) from its array store
+        (reference ``Output.py:550-572``)."""
+        from nexoclom_tpu.initial_state.input_class import Input
+
+        with np.load(filename) as data:
+            meta = json.loads(bytes(data['meta']).decode())
+            frames = {'X0': {}, 'X': {}}
+            for key in data.files:
+                if key == 'meta':
+                    continue
+                name, col = key.split('.', 1)
+                values = data[key]
+                if values.dtype == np.float32:
+                    values = values.astype(np.float64)
+                elif values.dtype == np.int32:
+                    values = values.astype(np.int64)
+                frames[name][col] = values
+
+        output = cls.__new__(cls)
+        output.inputs = Input.from_dict(meta['inputs'])
+        output.planet = output.inputs.geometry.planet
+        output.X0 = pd.DataFrame(frames['X0'])
+        output.X = pd.DataFrame(frames['X'])
+        output.idnum = meta['idnum']
+        output.filename = filename
+        output.npackets = meta['npackets']
+        output.totalsource = meta['totalsource']
+        output.aplanet = meta['aplanet']
+        output.vrplanet = meta['vrplanet']
+        output.GM = meta['GM']
+        output.seed = meta['seed']
+        output.compress = meta['compress']
+        if meta['nsteps'] is not None:
+            output.nsteps = meta['nsteps']
+        return output
+
+    def __len__(self):
+        return self.npackets
+
+    def __str__(self):
+        return (f'Output for {self.planet.object}: {self.npackets} packets, '
+                f'a={self.aplanet:.4f} AU, vr={self.vrplanet:.3f} km/s')

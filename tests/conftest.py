@@ -1,9 +1,12 @@
 """Hermetic test configuration.
 
 Forces JAX onto the CPU backend with 8 virtual devices (so sharding tests run
-without TPU hardware) and enables x64 for physics-invariant tests.  This must
-run before jax initialises its backends, hence the env vars are set at import
-time of this conftest.
+without TPU hardware) and enables x64 for physics-invariant tests.
+
+Note: this environment preloads ``jax`` at interpreter startup with the axon
+TPU plugin, so ``JAX_PLATFORMS`` in the environment is ignored; the platform
+must be selected through ``jax.config`` before any backend initialises
+(backends are not yet initialised at conftest-import time).
 
 The reference test suite requires a live PostgreSQL server and a developer
 config file (``conftest.py:4-5`` in the reference); this suite is hermetic:
@@ -11,12 +14,15 @@ the catalog is redirected to a per-session temporary directory.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (_flags +
                                ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_ENABLE_X64', 'true')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
 
 import pytest  # noqa: E402
 

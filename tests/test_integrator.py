@@ -1,0 +1,231 @@
+"""Engine physics-invariant tests (mirrors the reference's
+``test_gravity.py`` energy-conservation strategy, plus analytic checks of
+each force/loss term and adaptive-vs-constant agreement)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexoclom_tpu.ops.integrator import (EngineSpec, ForceTable, PacketState,
+                                         adaptive_step_driver,
+                                         constant_step_driver,
+                                         empty_force_table, rk5_step)
+
+pytestmark = pytest.mark.particle_tracking
+
+GM_MERCURY = -6.6743e-11 * 3.30103e23 / (2440.53e3) ** 3  # R_p^3/s^2
+RADIUS_KM = 2440.53
+KEY = jax.random.PRNGKey(7)
+
+
+def make_state(n=64, seed=0, r0=1.0, vmin=2.0, vmax=8.0, endtime=20000.0):
+    """Radially-launched packets with a spread of speeds (km/s -> model)."""
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(0, 2 * np.pi, n)
+    sinlat = rng.uniform(-1, 1, n)
+    lat = np.arcsin(sinlat)
+    x = r0 * np.sin(lon) * np.cos(lat)
+    y = -r0 * np.cos(lon) * np.cos(lat)
+    z = r0 * np.sin(lat)
+    v = rng.uniform(vmin, vmax, n) / RADIUS_KM
+    return PacketState(
+        t=jnp.full(n, endtime), x=jnp.asarray(x), y=jnp.asarray(y),
+        z=jnp.asarray(z), vx=jnp.asarray(v * x / r0),
+        vy=jnp.asarray(v * y / r0), vz=jnp.asarray(v * z / r0),
+        frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+
+
+def gravity_forces():
+    return empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM_MERCURY))
+
+
+GRAVITY_SPEC = EngineSpec(gravity=True, radpres=False, constant_rate=False,
+                          surface_bounce=False, check_outer_edge=False)
+
+
+def energy(state):
+    ke = 0.5 * (np.asarray(state.vx) ** 2 + np.asarray(state.vy) ** 2 +
+                np.asarray(state.vz) ** 2)
+    r = np.sqrt(np.asarray(state.x) ** 2 + np.asarray(state.y) ** 2 +
+                np.asarray(state.z) ** 2)
+    return ke + GM_MERCURY / r
+
+
+def test_energy_conservation_constant_step():
+    state0 = make_state(n=128, vmin=3.0, vmax=8.0)
+    nsteps = int(np.ceil(20000.0 / 30.0 + 1))
+    final, history = constant_step_driver(
+        state0, GRAVITY_SPEC, gravity_forces(), None, 30.0, 1e30, RADIUS_KM,
+        KEY, nsteps=nsteps, save_history=True)
+
+    e0 = energy(state0)
+    alive = np.asarray(final.frac) > 0
+    assert alive.sum() > 10
+    # per-trajectory energy at every surviving snapshot
+    hx = np.asarray(history.x)
+    hfrac = np.asarray(history.frac)
+    e_hist = (0.5 * (np.asarray(history.vx) ** 2 + np.asarray(history.vy) ** 2
+                     + np.asarray(history.vz) ** 2) +
+              GM_MERCURY / np.sqrt(hx ** 2 + np.asarray(history.y) ** 2 +
+                                   np.asarray(history.z) ** 2))
+    live = hfrac > 0
+    rel_err = np.abs(e_hist - e0[None, :]) / np.abs(e0[None, :])
+    # RK5 truncation at h=30 s accumulates ~2e-8 over 667 steps; 1e-6 bounds
+    # it with margin while still catching force-term sign/scale errors
+    assert np.nanmax(np.where(live, rel_err, 0.0)) < 1e-6
+
+
+def test_escape_speed_partition():
+    """Packets above escape speed must survive outbound; slow packets must
+    fall back and die on the (fully sticking) surface."""
+    n = 32
+    v_esc = math.sqrt(2 * abs(GM_MERCURY))  # from r=1, model units
+    fast = make_state(n=n, vmin=v_esc * RADIUS_KM * 1.3,
+                      vmax=v_esc * RADIUS_KM * 2.0, endtime=40000.0)
+    slow = make_state(n=n, vmin=1.0, vmax=2.0, endtime=40000.0)
+    nsteps = int(np.ceil(40000.0 / 30.0 + 1))
+    for state0, survive in ((fast, True), (slow, False)):
+        final, _ = constant_step_driver(
+            state0, GRAVITY_SPEC, gravity_forces(), None, 30.0, 1e30,
+            RADIUS_KM, KEY, nsteps=nsteps, save_history=False)
+        frac = np.asarray(final.frac)
+        if survive:
+            assert np.all(frac == 1.0)
+            r = np.sqrt(np.asarray(final.x) ** 2 + np.asarray(final.y) ** 2 +
+                        np.asarray(final.z) ** 2)
+            assert np.all(r > 5.0)
+        else:
+            assert np.all(frac == 0.0)
+
+
+def test_photoionization_decay_rate():
+    """Force-free packets in sunlight decay as exp(-rate * t)."""
+    rate = 1e-4
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(rate))
+    n = 8
+    # sunward side (y < 0): always out of shadow
+    state0 = PacketState(
+        t=jnp.full(n, 3000.0), x=jnp.zeros(n), y=jnp.full(n, -5.0),
+        z=jnp.zeros(n), vx=jnp.zeros(n), vy=jnp.zeros(n), vz=jnp.zeros(n),
+        frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+    nsteps = int(np.ceil(3000.0 / 30.0 + 1))
+    final, _ = constant_step_driver(state0, spec, forces, None, 30.0, 1e30,
+                                    RADIUS_KM, KEY, nsteps=nsteps,
+                                    save_history=False)
+    elapsed = 30.0 * (nsteps - 1)
+    assert np.allclose(np.asarray(final.frac), math.exp(-rate * elapsed),
+                       rtol=1e-10)
+    assert np.allclose(np.asarray(final.lossfrac),
+                       1 - math.exp(-rate * elapsed), rtol=1e-10)
+
+
+def test_shadow_blocks_ionization_and_radpres():
+    """Packets in the planet's shadow (rho < 1, y > 0) feel no photo loss and
+    no radiation pressure (state.py:28-36,50-52)."""
+    rate = 1e-3
+    spec = EngineSpec(gravity=False, radpres=True, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(rate),
+        rp_v0=jnp.asarray(-100.0), rp_dv=jnp.asarray(1.0),
+        rp_accel=jnp.ones(201) * 1e-6)
+    n = 4
+    state0 = PacketState(
+        t=jnp.full(n, 1000.0),
+        x=jnp.zeros(n), y=jnp.full(n, 5.0), z=jnp.zeros(n),  # anti-sunward
+        vx=jnp.zeros(n), vy=jnp.zeros(n), vz=jnp.zeros(n),
+        frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+    nsteps = int(np.ceil(1000.0 / 50.0 + 1))
+    final, _ = constant_step_driver(state0, spec, forces, None, 50.0, 1e30,
+                                    RADIUS_KM, KEY, nsteps=nsteps,
+                                    save_history=False)
+    assert np.allclose(np.asarray(final.frac), 1.0)
+    assert np.allclose(np.asarray(final.vy), 0.0)
+
+    # same packets on the sunward side decay and accelerate along +y
+    state_sun = state0._replace(y=jnp.full(n, -5.0))
+    final_sun, _ = constant_step_driver(state_sun, spec, forces, None, 50.0,
+                                        1e30, RADIUS_KM, KEY, nsteps=nsteps,
+                                        save_history=False)
+    elapsed = 50.0 * (nsteps - 1)
+    assert np.allclose(np.asarray(final_sun.frac), math.exp(-rate * elapsed),
+                       rtol=1e-9)
+    assert np.allclose(np.asarray(final_sun.vy), 1e-6 * elapsed, rtol=1e-6)
+
+
+def test_radpres_velocity_dependence():
+    """The radiation-pressure lookup keys on vy + vrplanet."""
+    spec = EngineSpec(gravity=False, radpres=True, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False)
+    # accel table: a(v) = |v| * 1e-8 (distinguishable by radial velocity)
+    grid_v0, grid_dv = -50.0, 0.5
+    grid = grid_v0 + grid_dv * np.arange(201)
+    forces = empty_force_table(jnp.float64)._replace(
+        rp_v0=jnp.asarray(grid_v0), rp_dv=jnp.asarray(grid_dv),
+        rp_accel=jnp.asarray(np.abs(grid) * 1e-8),
+        vrplanet=jnp.asarray(10.0))
+    # y far on the sunward side so the packet stays out of shadow all step
+    state0 = PacketState(
+        t=jnp.full(1, 100.0), x=jnp.zeros(1), y=jnp.full(1, -50.0),
+        z=jnp.zeros(1), vx=jnp.zeros(1), vy=jnp.full(1, 5.0), vz=jnp.zeros(1),
+        frac=jnp.ones(1), lossfrac=jnp.zeros(1))
+    stepped, _ = rk5_step(state0, jnp.asarray(1.0), spec, forces,
+                          want_delta=False)
+    # at vv = 15: accel = 1.5e-7
+    assert np.isclose(float(stepped.vy[0]) - 5.0, 1.5e-7, rtol=1e-3)
+
+
+def test_adaptive_matches_constant_step():
+    state0 = make_state(n=64, vmin=3.0, vmax=6.0, endtime=5000.0)
+    nsteps = int(np.ceil(5000.0 / 10.0 + 1))
+    final_c, _ = constant_step_driver(
+        state0, GRAVITY_SPEC, gravity_forces(), None, 10.0, 1e30, RADIUS_KM,
+        KEY, nsteps=nsteps, save_history=False)
+    final_a, iterations = adaptive_step_driver(
+        state0, GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM,
+        KEY)
+    assert int(iterations) < 100000
+    alive = (np.asarray(final_c.frac) > 0) & (np.asarray(final_a.frac) > 0)
+    assert alive.sum() > 10
+    # trajectories agree to the error tolerance (positions within ~1e-3 R_p)
+    for comp in ('x', 'y', 'z'):
+        c = np.asarray(getattr(final_c, comp))[alive]
+        a = np.asarray(getattr(final_a, comp))[alive]
+        assert np.max(np.abs(c - a)) < 1e-3
+    # adaptive runs to t <= resolution
+    assert np.all(np.asarray(final_a.t)[alive] <= 1e-6 + 1e-12)
+
+
+def test_adaptive_energy_conservation():
+    state0 = make_state(n=64, vmin=3.0, vmax=8.0, endtime=20000.0)
+    final, _ = adaptive_step_driver(
+        state0, GRAVITY_SPEC, gravity_forces(), None, 1e-7, 1e30, RADIUS_KM,
+        KEY)
+    alive = np.asarray(final.frac) > 0
+    assert alive.sum() > 10
+    e0 = energy(state0)[alive]
+    e1 = energy(final)[alive]
+    assert np.max(np.abs((e1 - e0) / e0)) < 1e-5
+
+
+def test_outer_edge_kill():
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=True)
+    forces = empty_force_table(jnp.float64)
+    state0 = PacketState(
+        t=jnp.full(1, 10000.0), x=jnp.zeros(1), y=jnp.full(1, -2.0),
+        z=jnp.zeros(1), vx=jnp.zeros(1),
+        vy=jnp.full(1, -10.0 / RADIUS_KM), vz=jnp.zeros(1),
+        frac=jnp.ones(1), lossfrac=jnp.zeros(1))
+    nsteps = int(np.ceil(10000.0 / 30.0 + 1))
+    final, _ = constant_step_driver(state0, spec, forces, None, 30.0, 5.0,
+                                    RADIUS_KM, KEY, nsteps=nsteps,
+                                    save_history=False)
+    assert float(final.frac[0]) == 0.0
+    assert float(final.t[0]) == 0.0

@@ -1,0 +1,128 @@
+"""End-to-end Output tests: full simulation runs through the public API,
+catalog round-trips, and physics invariants on the results (the analogue of
+the reference's ``test_gravity.py`` + system run-through)."""
+import os
+
+import numpy as np
+import pytest
+
+from nexoclom_tpu.initial_state import Input
+from nexoclom_tpu.particle_tracking import Output
+
+pytestmark = pytest.mark.integration
+
+INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+
+
+def _shrink(inp, endtime=3000.0):
+    """Scale the case down for CI speed."""
+    inp.options.endtime = endtime
+    return inp
+
+
+def test_gravity_run_energy_conservation():
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    out = Output(inp, 300, seed=42, compress=False)
+
+    assert out.npackets == 300
+    assert out.nsteps == int(np.ceil(3000.0 / 30.0 + 1))
+    assert out.totalsource == 300 * out.nsteps
+
+    X, X0 = out.X, out.X0
+    assert len(X) == 300 * out.nsteps
+    # per-trajectory energy conservation (reference test_gravity.py:46-55)
+    gm = out.GM
+    live = X.frac > 0
+    r = np.sqrt(X.x ** 2 + X.y ** 2 + X.z ** 2)[live]
+    ke = 0.5 * (X.vx ** 2 + X.vy ** 2 + X.vz ** 2)[live]
+    energy = ke + gm / r
+    e0 = (0.5 * (X0.vx ** 2 + X0.vy ** 2 + X0.vz ** 2) +
+          gm / np.sqrt(X0.x ** 2 + X0.y ** 2 + X0.z ** 2))
+    e0_per_row = e0.values[X.loc[live, 'Index'].values.astype(int)]
+    rel = np.abs((energy.values - e0_per_row) / e0_per_row)
+    assert np.max(rel) < 1e-5  # float32 storage bounds the residual
+
+    # X0 sanity: unit sphere launch, speeds within the flat dist bounds
+    r0 = np.sqrt(X0.x ** 2 + X0.y ** 2 + X0.z ** 2)
+    assert np.allclose(r0, 1.0, atol=1e-6)
+    v_kms = X0.v * inp.geometry.planet.radius
+    assert v_kms.min() > -1e-6 and v_kms.max() < 8.0 + 1e-3
+
+
+def test_output_catalog_and_restore(tmp_path):
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    out = Output(inp, 50, seed=7)
+
+    ids, files, npackets, totalsource = inp.search()
+    assert ids == [out.idnum]
+    assert npackets == 50
+    assert os.path.exists(out.filename)
+
+    restored = Output.restore(files[0])
+    assert restored.npackets == 50
+    assert restored.totalsource == out.totalsource
+    assert restored.inputs == inp
+    assert restored.X0.x.dtype == np.float64
+    # float32 storage round-trip
+    assert np.allclose(restored.X.x.values, out.X.x.values, atol=1e-5)
+    assert restored.aplanet == pytest.approx(out.aplanet)
+
+
+def test_compress_drops_dead_packets():
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    out_c = Output(inp, 100, seed=3, compress=True)
+    assert np.all(out_c.X.frac > 0)
+    out_u = Output(inp, 100, seed=3, compress=False)
+    assert len(out_u.X) == 100 * out_u.nsteps
+    assert len(out_c.X) < len(out_u.X)  # slow packets die on the surface
+
+
+def test_input_run_resumes_from_catalog(capsys):
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')), 600.0)
+    inp.run(100, packs_per_it=50, seed=11)
+    ids, files, npackets, _ = inp.search()
+    assert npackets == 100 and len(files) == 2
+    # second call finds everything already done
+    inp.run(100, packs_per_it=50, seed=11)
+    ids2, files2, npackets2, _ = inp.search()
+    assert npackets2 == 100 and len(files2) == 2
+    # asking for more only runs the difference
+    inp.run(150, packs_per_it=50, seed=11)
+    _, files3, npackets3, _ = inp.search()
+    assert npackets3 == 150 and len(files3) == 3
+    # overwrite clears and reruns
+    inp.run(50, packs_per_it=50, overwrite=True, seed=11)
+    _, files4, npackets4, _ = inp.search()
+    assert npackets4 == 50 and len(files4) == 1
+
+
+def test_adaptive_output_run():
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')), 2000.0)
+    inp.options.step_size = 0.0
+    inp.options.resolution = 1e-5
+    out = Output(inp, 100, seed=5, compress=False)
+    X = out.X
+    assert len(X) == 100  # one row per packet in adaptive mode
+    live = X.frac > 0
+    assert live.sum() > 5
+    # adaptive packets integrate to t <= resolution
+    assert np.all(X.loc[live, 'time'] <= 1e-5 + 1e-9)
+    # energy conservation final vs initial
+    gm = out.GM
+    X0 = out.X0
+    e0 = (0.5 * (X0.vx ** 2 + X0.vy ** 2 + X0.vz ** 2) +
+          gm / np.sqrt(X0.x ** 2 + X0.y ** 2 + X0.z ** 2))
+    e1 = (0.5 * (X.vx ** 2 + X.vy ** 2 + X.vz ** 2) +
+          gm / np.sqrt(X.x ** 2 + X.y ** 2 + X.z ** 2))
+    rel = np.abs((e1 - e0) / e0)[live]
+    assert np.max(rel) < 1e-4
+    # totalsource is NOT multiplied by nsteps in adaptive mode
+    assert out.totalsource == 100.0
+
+
+def test_run_model_false_catalogs_placeholder():
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    out = Output(inp, 500, run_model=False)
+    assert out.totalsource == 500.0
+    _, _, npackets, _ = inp.search()
+    assert npackets == 500
