@@ -1,0 +1,163 @@
+"""Compute one LOS iteration (one output file against one spacecraft
+dataset) and persist it.
+
+Parity with ``nexoclom/data_simulation/compute_iteration.py``, with the
+KDTree cone search replaced by the batched device reduction in
+:mod:`nexoclom_tpu.ops.los` (see that module for the inclusion-test parity
+notes).  Results are cataloged in ``losmodels.json`` + an ``.npz`` beside the
+output file (replacing the ``uvvsmodels`` table + model pickle).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from nexoclom_tpu.ops.los import los_geometry, los_reduce
+from nexoclom_tpu.particle_tracking.output import Output
+from nexoclom_tpu.utilities.catalog import get_catalog
+
+CM_PER_KM = 1.0e5
+
+
+class IterationResult:
+    """Radiance along every line of sight from one output file."""
+
+    def __init__(self, iteration: dict, losresult):
+        self.radiance = iteration['radiance']        # (S,) raw weight sums
+        self.npackets = iteration['npackets']        # (S,) packets in view
+        self.totalsource = iteration['totalsource']
+        self.outputfile = iteration['outputfile']
+        self.out_idnum = iteration['out_idnum']
+        self.included = iteration['included']        # per-X0 bool
+        self.used_packets = iteration.get('used_packets')  # per-X-row bool
+
+        self.modelfile = None
+        self.model_idnum = None
+        self.fitted = losresult.fitted
+        self.quantity = losresult.quantity
+        self.query = losresult.query
+        self.dphi = losresult.dphi
+        self.mechanism = losresult.mechanism
+        self.wavelength = losresult.wavelength
+
+    def _record(self):
+        ufit_id = getattr(self, 'unfit_outid', None)
+        return dict(out_idnum=self.out_idnum, unfit_idnum=ufit_id,
+                    quantity=self.quantity, query=self.query, dphi=self.dphi,
+                    mechanism=list(self.mechanism or []),
+                    wavelength=list(self.wavelength or []),
+                    fitted=bool(self.fitted))
+
+    def save_iteration(self):
+        catalog = get_catalog()
+        self.idnum = catalog.insert_losmodel(**self._record())
+        self.modelfile = os.path.join(
+            os.path.dirname(self.outputfile), f'model.{self.idnum}.npz')
+        catalog.losmodels.update(self.idnum, filename=self.modelfile)
+
+        arrays = {
+            'radiance': np.asarray(self.radiance, np.float64),
+            'npackets': np.asarray(self.npackets, np.int64),
+            'included': np.asarray(self.included, bool),
+            'meta': np.frombuffer(json.dumps({
+                'totalsource': float(self.totalsource),
+                'outputfile': self.outputfile,
+                'out_idnum': int(self.out_idnum),
+                'idnum': int(self.idnum),
+                'fitted': bool(self.fitted),
+                'unfit_outid': getattr(self, 'unfit_outid', None),
+            }).encode(), dtype=np.uint8),
+        }
+        if self.used_packets is not None:
+            arrays['used_packets'] = np.asarray(self.used_packets, bool)
+        np.savez_compressed(self.modelfile, **arrays)
+        print(f'Saved model file {self.modelfile}')
+
+    @classmethod
+    def load(cls, modelfile: str, losresult) -> 'IterationResult':
+        with np.load(modelfile) as data:
+            meta = json.loads(bytes(data['meta']).decode())
+            iteration = {
+                'radiance': data['radiance'],
+                'npackets': data['npackets'],
+                'included': data['included'],
+                'used_packets': (data['used_packets']
+                                 if 'used_packets' in data.files else None),
+                'totalsource': meta['totalsource'],
+                'outputfile': meta['outputfile'],
+                'out_idnum': meta['out_idnum'],
+            }
+        if meta.get('fitted') and meta.get('unfit_outid') is not None:
+            result = IterationResultFitted(
+                {**iteration, 'unfit_outid': meta['unfit_outid'],
+                 'unfit_outputfile': None, 'unfit_modelfile': None},
+                losresult)
+        else:
+            result = cls(iteration, losresult)
+        result.modelfile = modelfile
+        result.model_idnum = meta['idnum']
+        return result
+
+
+class IterationResultFitted(IterationResult):
+    def __init__(self, iteration, losresult):
+        super().__init__(iteration, losresult)
+        self.unfit_outputfile = iteration.get('unfit_outputfile')
+        self.unfit_outid = iteration['unfit_outid']
+        self.unfit_modelfile = iteration.get('unfit_modelfile')
+        self.fitted = True
+
+
+def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
+    """Simulate one output file along every spacecraft line of sight."""
+    t0 = time.time()
+    output = Output.restore(outputfile)
+    packets = output.X
+    vr_model = output.vrplanet / losresult.radius_km
+
+    radvel = packets['vy'].to_numpy() + vr_model
+    weight = losresult.packet_weighting(packets['frac'].to_numpy(), radvel,
+                                        output.aplanet)
+
+    data = scdata.data
+    sc_pos = data[['x', 'y', 'z']].to_numpy(dtype=float)
+    bore = data[['xbore', 'ybore', 'zbore']].to_numpy(dtype=float)
+    obstruction, outer_dd = los_geometry(
+        sc_pos, bore, losresult.inputs.options.outeredge)
+
+    rad, npack, used = los_reduce(
+        jnp.asarray(packets['x'].to_numpy()),
+        jnp.asarray(packets['y'].to_numpy()),
+        jnp.asarray(packets['z'].to_numpy()),
+        jnp.asarray(weight),
+        jnp.asarray(sc_pos), jnp.asarray(bore),
+        jnp.asarray(obstruction), jnp.asarray(outer_dd),
+        losresult.dphi, losresult.radius_km * CM_PER_KM,
+        quantity=losresult.quantity)
+    rad = np.asarray(rad)
+    npack = np.asarray(npack)
+    used = np.asarray(used)
+
+    # per-initial-packet inclusion flags (compute_iteration.py:145,191)
+    included = np.zeros(len(output.X0), dtype=bool)
+    packet_ids = packets['Index'].to_numpy().astype(int)
+    included[packet_ids[used]] = True
+
+    iteration = {
+        'radiance': rad,
+        'npackets': npack,
+        'totalsource': output.totalsource,
+        'outputfile': outputfile,
+        'out_idnum': output.idnum,
+        'included': included,
+        'used_packets': used,
+    }
+    result = IterationResult(iteration, losresult)
+    result.save_iteration()
+    print(f'Iteration time: {time.time() - t0:.1f} s '
+          f'({len(data)} spectra x {len(packets)} packet rows)')
+    return result

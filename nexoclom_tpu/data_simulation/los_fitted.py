@@ -1,0 +1,208 @@
+"""Fitted-source retrieval: reweight a model run so its LOS radiance matches
+the data, producing a data-driven source map.
+
+Parity with ``nexoclom/data_simulation/LOSResultFitted.py``:
+
+* per-initial-packet multiplier = weighted mean over (masked) spectra of
+  data/model radiance ratios, weights 1 | 1/d | 1/d^2 | 2/sigma
+  (``:136-183``) — computed here as one chunked device scatter-add
+  (:func:`nexoclom_tpu.ops.los.los_fitted_accumulate`);
+* the multiplier rescales frac in both X and X0; totalsource becomes
+  X0.frac.sum() * nsteps; the reweighted run is saved as a new (fitted)
+  Output (``:184-214``);
+* the fitted radiance re-evaluates the LOS sums with the new weights
+  (equivalent to the reference's used-packet-set recomputation — the sets
+  are exactly the in-view, unshadowed, positive-weight packets);
+* ``use_selected`` keeps one random snapshot per trajectory, drawn from the
+  global time grid and dropped when the trajectory has no row at the drawn
+  time (``:96-113``).
+"""
+from __future__ import annotations
+
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from nexoclom_tpu.data_simulation.compute_iteration import (
+    IterationResultFitted)
+from nexoclom_tpu.data_simulation.los_result import LOSResult
+from nexoclom_tpu.ops.los import (los_fitted_accumulate, los_geometry,
+                                  los_reduce)
+from nexoclom_tpu.particle_tracking.output import Output
+from nexoclom_tpu.utilities.catalog import get_catalog
+
+CM_PER_KM = 1.0e5
+
+
+class LOSResultFitted(LOSResult):
+    def __init__(self, scdata, label_for_fitted, params=None, dphi=None,
+                 **kwargs):
+        unfit = scdata.model_result[label_for_fitted]
+        inputs = copy.deepcopy(unfit.inputs)
+        inputs.options.fitted = True
+        if dphi is None:
+            dphi = unfit.dphi
+        kwargs.setdefault('label', f'{label_for_fitted}_fitted')
+        super().__init__(scdata, inputs, params=params, dphi=dphi, **kwargs)
+        self.fitted = True
+        self.unfitted_label = label_for_fitted
+        self.unfit_outid = None
+        self.unfit_outputfiles = None
+
+    def fitted_iteration_search(self, ufit_id):
+        catalog = get_catalog()
+        rows = catalog.search_losmodels(
+            **self._iteration_criteria(fitted=True, unfit_idnum=ufit_id))
+        if len(rows) > 1:
+            raise RuntimeError('multiple cached fitted iterations')
+        if rows:
+            return rows[0]['idnum'], ufit_id, rows[0]['filename']
+        return None
+
+    @staticmethod
+    def _select_one_snapshot_per_trajectory(output, rng):
+        """Reference ``use_selected`` subsampling
+        (``LOSResultFitted.py:96-113``)."""
+        X = output.X
+        times = X.time.unique()
+        chosen = rng.choice(times, output.npackets)
+        want = pd.DataFrame({'Index': np.arange(output.npackets),
+                             'time': chosen})
+        merged = X.merge(want, on=['Index', 'time'], how='inner')
+        output.X = merged
+
+    def determine_source_from_data(self, scdata, overwrite=False,
+                                   use_selected=False, use_weight=None):
+        unfit = scdata.model_result[self.unfitted_label]
+        data = scdata.data
+        if overwrite:
+            self.inputs.delete_files()
+
+        if unfit.mask is not None:
+            spec_mask = np.asarray(unfit.mask, dtype=bool)
+        else:
+            spec_mask = np.ones(len(data), dtype=bool)
+
+        with np.errstate(invalid='ignore', divide='ignore'):
+            ratio = (data.radiance.to_numpy() /
+                     unfit.radiance.to_numpy())
+        ratio[~np.isfinite(ratio)] = 0.0
+
+        sc_pos = data[['x', 'y', 'z']].to_numpy(dtype=float)
+        bore = data[['xbore', 'ybore', 'zbore']].to_numpy(dtype=float)
+        obstruction, outer_dd = los_geometry(
+            sc_pos, bore, self.inputs.options.outeredge)
+        sigma = data.sigma.to_numpy(dtype=float)
+
+        fitted_results = []
+        print(f'LOSResultFitted: {len(unfit.outid)} unfitted files.')
+        for ct, (ufit_id, ufit_outfile) in enumerate(
+                zip(unfit.outid, unfit.outputfiles)):
+            cached = self.fitted_iteration_search(ufit_id)
+            if cached is not None:
+                print(f'Using saved fitted iteration {cached[2]}')
+                result = self.restore_iteration(cached)
+                fitted_results.append(result)
+                continue
+
+            output = Output.restore(ufit_outfile)
+            if use_selected:
+                rng = np.random.default_rng(output.seed)
+                self._select_one_snapshot_per_trajectory(output, rng)
+            packets = output.X
+            vr_model = output.vrplanet / self.radius_km
+
+            radvel = packets['vy'].to_numpy() + vr_model
+            weight_unfit = self.packet_weighting(
+                packets['frac'].to_numpy(), radvel, output.aplanet)
+
+            n_x0 = len(output.X0)
+            ratio_x_sigma, sigma_sum = los_fitted_accumulate(
+                jnp.asarray(packets['x'].to_numpy()),
+                jnp.asarray(packets['y'].to_numpy()),
+                jnp.asarray(packets['z'].to_numpy()),
+                jnp.asarray(weight_unfit),
+                jnp.asarray(packets['Index'].to_numpy().astype(int)),
+                jnp.asarray(sc_pos), jnp.asarray(bore),
+                jnp.asarray(obstruction), jnp.asarray(outer_dd),
+                jnp.asarray(ratio), jnp.asarray(spec_mask),
+                jnp.asarray(sigma),
+                self.dphi, n_x0=n_x0, use_weight=use_weight)
+            ratio_x_sigma = np.asarray(ratio_x_sigma)
+            sigma_sum = np.asarray(sigma_sum)
+
+            used = sigma_sum > 0
+            weighting = np.zeros(n_x0)
+            weighting[used] = ratio_x_sigma[used] / sigma_sum[used]
+            mean = weighting[used].mean() if used.any() else 1.0
+            if mean > 0:
+                weighting = weighting / mean
+
+            packet_ids = packets['Index'].to_numpy().astype(int)
+            output.X = packets.assign(
+                frac=packets['frac'].to_numpy() * weighting[packet_ids])
+            output.X0 = output.X0.assign(
+                frac=output.X0['frac'].to_numpy() * weighting)
+            nsteps = getattr(output, 'nsteps', 1)
+            output.totalsource = float(output.X0['frac'].sum() * nsteps)
+
+            # save the reweighted run as a new fitted Output
+            output.inputs = self.inputs
+            output.compress = False
+            output.save()
+
+            # fitted radiance with the updated weights
+            radvel = output.X['vy'].to_numpy() + vr_model
+            weight_fit = self.packet_weighting(
+                output.X['frac'].to_numpy(), radvel, output.aplanet)
+            rad, npack, used_rows = los_reduce(
+                jnp.asarray(output.X['x'].to_numpy()),
+                jnp.asarray(output.X['y'].to_numpy()),
+                jnp.asarray(output.X['z'].to_numpy()),
+                jnp.asarray(weight_fit),
+                jnp.asarray(sc_pos), jnp.asarray(bore),
+                jnp.asarray(obstruction), jnp.asarray(outer_dd),
+                self.dphi, self.radius_km * CM_PER_KM,
+                quantity=self.quantity)
+
+            included = np.zeros(n_x0, dtype=bool)
+            ids = output.X['Index'].to_numpy().astype(int)
+            included[ids[np.asarray(used_rows)]] = True
+
+            iteration = {
+                'radiance': np.asarray(rad),
+                'npackets': np.asarray(npack),
+                'totalsource': output.totalsource,
+                'outputfile': output.filename,
+                'out_idnum': output.idnum,
+                'included': included,
+                'used_packets': np.asarray(used_rows),
+                'unfit_outputfile': ufit_outfile,
+                'unfit_outid': ufit_id,
+                'unfit_modelfile': unfit.modelfiles.get(ufit_outfile),
+            }
+            result = IterationResultFitted(iteration, self)
+            result.save_iteration()
+            fitted_results.append(result)
+            print(f'Completed {ct + 1} of {len(unfit.outid)}')
+
+        self.modelfiles = {}
+        self.outputfiles = []
+        radiance = np.zeros(len(data))
+        self.totalsource = 0.0
+        for result in fitted_results:
+            radiance += np.asarray(result.radiance)
+            self.totalsource += result.totalsource
+            self.modelfiles[result.outputfile] = result.modelfile
+            self.outputfiles.append(result.outputfile)
+        self.radiance = pd.Series(radiance, index=data.index)
+
+        model_rate = self.totalsource / self.inputs.options.endtime
+        self.atoms_per_packet = 1e23 / model_rate
+        self.radiance *= self.atoms_per_packet / 1e3     # kR
+        self.determine_source_rate(scdata, use_weight=False)
+        self.unfit_outputfiles = list(self.modelfiles.keys())
+        print(f'totalsource = {self.totalsource}, '
+              f'atoms/packet = {self.atoms_per_packet}')

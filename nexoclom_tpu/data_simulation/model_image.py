@@ -1,0 +1,225 @@
+"""Sky-plane column/radiance images.
+
+Parity with ``nexoclom/data_simulation/ModelImage.py``:
+
+* params: dims (default 800,800), center (0,0), width (8,8 R_p),
+  subobslongitude (0), subobslatitude (pi/2) — observer over the north pole
+  by default (``ModelImage.py:53-78``);
+* packets rotate into the observer frame with the axis-angle matrix from the
+  sub-observer point (``image_rotation``, ``:367-384``);
+* planet-occultation mask in the observer frame, shadow mask in the solar
+  frame (``:250-258``);
+* per-pixel area Apix = (width/dims)^2 in cm^2; radiance scales by
+  atoms_per_packet = 1e23 / (totalsource / endtime) (``:77-78,102-105``);
+* per-output images cache through the catalog (``save``/``restore``).
+
+The histogram itself is a device scatter-add
+(:func:`nexoclom_tpu.ops.histograms.histogram2d`) instead of host
+``np.histogram2d``.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from nexoclom_tpu.data_simulation.model_result import ModelResult
+from nexoclom_tpu.mathutils import rotation_matrix
+from nexoclom_tpu.ops.histograms import histogram2d
+from nexoclom_tpu.particle_tracking.output import Output
+from nexoclom_tpu.utilities.catalog import get_catalog
+
+CM_PER_KM = 1.0e5
+
+
+class ModelImage(ModelResult):
+    def __init__(self, inputs, params, overwrite=False):
+        super().__init__(inputs, params)
+        self.type = 'image'
+        self.origin = inputs.geometry.planet
+
+        dims = str(self.params.get('dims', '800,800')).split(',')
+        self.dims = [int(dims[0]), int(dims[1])]
+        center = str(self.params.get('center', '0,0')).split(',')
+        self.center = [float(center[0]), float(center[1])]
+        width = str(self.params.get('width', '8,8')).split(',')
+        self.width = [float(width[0]), float(width[1])]
+        self.subobslongitude = float(self.params.get('subobslongitude', 0.0))
+        self.subobslatitude = float(self.params.get('subobslatitude',
+                                                    np.pi / 2))
+
+        self.image = np.zeros(self.dims)
+        self.packet_image = np.zeros(self.dims)
+        self.xrange = [self.center[0] - self.width[0] / 2,
+                       self.center[0] + self.width[0] / 2]
+        self.zrange = [self.center[1] - self.width[1] / 2,
+                       self.center[1] + self.width[1] / 2]
+        scale = (self.width[0] / self.dims[0], self.width[1] / self.dims[1])
+        radius_cm = self.radius_km * CM_PER_KM
+        self.Apix = scale[0] * scale[1] * radius_cm ** 2   # cm^2
+
+        self.xaxis = None
+        self.zaxis = None
+        self.outid, self.outputfiles, _, _ = self.inputs.search()
+
+        for fname in self.outputfiles:
+            print(f'Output filename: {fname}')
+            cached = self.restore(fname, overwrite=overwrite)
+            output = Output.restore(fname)
+            if cached is None:
+                image, packim = self.create_image(fname)
+            else:
+                print('previously completed.')
+                image, packim = cached
+            self.image += image
+            self.packet_image += packim
+            self.totalsource += output.totalsource
+
+        mod_rate = self.totalsource / self.inputs.options.endtime
+        self.atoms_per_packet = 1e23 / mod_rate
+        self.sourcerate = 1.0       # x 1e23 atoms/s
+        self.image *= self.atoms_per_packet
+        dx = (self.xrange[1] - self.xrange[0]) / self.dims[0]
+        dz = (self.zrange[1] - self.zrange[0]) / self.dims[1]
+        self.xaxis = self.xrange[0] + dx * (np.arange(self.dims[0]) + 0.5)
+        self.zaxis = self.zrange[0] + dz * (np.arange(self.dims[1]) + 0.5)
+
+    # ------------------------------------------------------------- geometry
+    def image_rotation(self) -> np.ndarray:
+        """Sun-frame -> observer-frame rotation from the sub-observer point
+        (``ModelImage.py:367-384``)."""
+        slong, slat = self.subobslongitude, self.subobslatitude
+        p_sun = np.array([0.0, -1.0, 0.0])
+        p_obs = np.array([np.sin(slong) * np.cos(slat),
+                          -np.cos(slong) * np.cos(slat),
+                          np.sin(slat)])
+        if np.allclose(p_sun, p_obs):
+            return np.eye(3)
+        costh = np.clip(np.dot(p_sun, p_obs), -1.0, 1.0)
+        return rotation_matrix(np.arccos(costh), np.cross(p_sun, p_obs))
+
+    # -------------------------------------------------------------- compute
+    def create_image(self, fname):
+        M = self.image_rotation()
+        output = Output.restore(fname)
+        packets = output.X
+        vr_model = output.vrplanet / self.radius_km
+
+        pts_sun = packets[['x', 'y', 'z']].to_numpy(dtype=float)
+        pts_obs = pts_sun @ M.T
+
+        # planet occultation in the observer frame (observer at +y_obs...
+        # reference convention: blocked when rho_obs < 1 and y_obs > 0)
+        rho_obs = np.sqrt(pts_obs[:, 0] ** 2 + pts_obs[:, 2] ** 2)
+        inview = (rho_obs > 1) | (pts_obs[:, 1] < 0)
+
+        rho_sun = np.sqrt(pts_sun[:, 0] ** 2 + pts_sun[:, 2] ** 2)
+        out_of_shadow = (rho_sun > 1) | (pts_sun[:, 1] < 0)
+
+        frac = packets['frac'].to_numpy() * inview
+        radvel = packets['vy'].to_numpy() + vr_model
+        weight = self.packet_weighting(frac, radvel, output.aplanet,
+                                       out_of_shadow) / self.Apix
+
+        image = np.asarray(histogram2d(
+            jnp.asarray(pts_obs[:, 0]), jnp.asarray(pts_obs[:, 2]),
+            jnp.asarray(weight),
+            self.xrange[0], self.xrange[1], self.dims[0],
+            self.zrange[0], self.zrange[1], self.dims[1]))
+        packim = np.asarray(histogram2d(
+            jnp.asarray(pts_obs[:, 0]), jnp.asarray(pts_obs[:, 2]),
+            jnp.ones(len(pts_obs)),
+            self.xrange[0], self.xrange[1], self.dims[0],
+            self.zrange[0], self.zrange[1], self.dims[1]))
+
+        self.save(fname, image, packim)
+        return image, packim
+
+    # ---------------------------------------------------------- persistence
+    def _criteria(self, out_idnum):
+        crit = dict(out_idnum=out_idnum, quantity=self.quantity,
+                    origin=self.origin.object, dims=list(self.dims),
+                    center=list(self.center), width=list(self.width),
+                    subobslongitude=self.subobslongitude,
+                    subobslatitude=self.subobslatitude,
+                    mechanism=list(self.mechanism or []))
+        if self.quantity == 'radiance':
+            crit['wavelength'] = list(self.wavelength or [])
+            crit['g'] = self.g
+        return crit
+
+    def _out_idnum(self, fname):
+        for oid, file in zip(self.outid, self.outputfiles):
+            if file == fname:
+                return oid
+        raise KeyError(fname)
+
+    def save(self, fname, image, packim):
+        catalog = get_catalog()
+        idnum = catalog.insert_image(**self._criteria(self._out_idnum(fname)))
+        self.idnum = idnum
+        savefile = os.path.join(os.path.dirname(fname), f'image.{idnum}.npz')
+        catalog.images.update(idnum, filename=savefile)
+        np.savez_compressed(savefile, image=image, packets=packim)
+
+    def restore(self, fname, overwrite=False):
+        catalog = get_catalog()
+        rows = catalog.search_images(**self._criteria(self._out_idnum(fname)))
+        if rows and overwrite:
+            catalog.images.delete([r['idnum'] for r in rows])
+            for row in rows:
+                if row.get('filename') and os.path.exists(row['filename']):
+                    os.remove(row['filename'])
+            return None
+        for row in rows:
+            path = row.get('filename')
+            if path and os.path.exists(path):
+                with np.load(path) as data:
+                    return data['image'], data['packets']
+        return None
+
+    # ----------------------------------------------------------- reporting
+    def display(self, savefile='image.png', show=False, log=True,
+                limits=None):
+        """Render with matplotlib (the reference used bokeh, unavailable
+        here)."""
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from matplotlib.colors import LogNorm, Normalize
+
+        positive = self.image[self.image > 0]
+        if limits is None:
+            if log and positive.size:
+                limits = (positive.min(), self.image.max())
+            else:
+                limits = (0, self.image.max() or 1)
+        norm = (LogNorm(*limits) if log and positive.size
+                else Normalize(*limits))
+
+        fig, ax = plt.subplots(figsize=(8, 8))
+        mesh = ax.pcolormesh(self.xaxis, self.zaxis, self.image.T,
+                             norm=norm, cmap='inferno')
+        theta = np.linspace(0, 2 * np.pi, 361)
+        ax.fill(np.cos(theta), np.sin(theta), color='gold')
+        ax.set_xlabel(f'Distance (R_{self.origin.object})')
+        ax.set_ylabel(f'Distance (R_{self.origin.object})')
+        unit = 'kR' if self.quantity == 'radiance' else 'cm$^{-2}$'
+        fig.colorbar(mesh, ax=ax,
+                     label=f'{self.inputs.options.species} '
+                           f'{self.quantity} ({unit})')
+        ax.set_aspect('equal')
+        fig.savefig(savefile, dpi=150)
+        if not show:
+            plt.close(fig)
+        return fig
+
+    def export(self, filename='image.json'):
+        if not filename.endswith('.json'):
+            raise TypeError('Not a valid file format')
+        with open(filename, 'w') as f:
+            json.dump({'image': self.image.tolist(),
+                       'xaxis': self.xaxis.tolist(),
+                       'zaxis': self.zaxis.tolist()}, f)

@@ -160,7 +160,11 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
     batch.  Returns the stepped state and, if requested, the embedded
     4th-order error estimate per component group (positions, velocities,
     log-frac), mirroring ``rk5.py:21-54``."""
-    a = _DP_A
+    # python-float coefficients: numpy scalars are strongly typed and would
+    # promote float32 packet arrays to float64 under jax_enable_x64
+    a = _DP_A.tolist()
+    b = _DP_B.tolist()
+    bd = _DP_BD.tolist()
     logf0 = jnp.log(jnp.maximum(state.frac, _TINY))
 
     # stage values
@@ -187,7 +191,7 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
         dvy = jnp.zeros_like(state.x)
         dvz = jnp.zeros_like(state.x)
         for i in range(n + 1):
-            coef = a[n + 1, i]
+            coef = a[n + 1][i]
             if coef == 0.0:
                 continue
             dx = dx + coef * vxs[i]
@@ -204,7 +208,6 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
         vzs.append(state.vz + h * dvz)
 
     # 5th-order solution: y + h sum(b_i f_i); b == a[6]
-    b = _DP_B
     dx = sum(b[i] * vxs[i] for i in range(6) if b[i] != 0.0)
     dy = sum(b[i] * vys[i] for i in range(6) if b[i] != 0.0)
     dz = sum(b[i] * vzs[i] for i in range(6) if b[i] != 0.0)
@@ -224,7 +227,6 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
     if not want_delta:
         return new, None
 
-    bd = _DP_BD
     ex = sum(bd[i] * vxs[i] for i in range(6))
     ey = sum(bd[i] * vys[i] for i in range(6))
     ez = sum(bd[i] * vzs[i] for i in range(6))

@@ -1,0 +1,83 @@
+"""Sharded ensemble simulation steps.
+
+One compiled program that advances an ensemble of independent exosphere runs
+(parameter sweeps over sources / species / true anomaly) with the packet axis
+sharded over the ``'packets'`` mesh axis and the ensemble axis over
+``'ensemble'`` — the TPU-native replacement for the reference's
+Condor-job-per-run fan-out (``utilities/Condor.py``; SURVEY.md section 2.6).
+
+The full step = sample sources on device -> integrate nsteps of RK5(4) ->
+accumulate a column-density sky image per ensemble member.  All physics is
+elementwise over packets; the only cross-device communication is the psum XLA
+inserts when the per-member histogram reduces over the sharded packet axis.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nexoclom_tpu.ops import samplers
+from nexoclom_tpu.ops.histograms import histogram2d
+from nexoclom_tpu.ops.integrator import (EngineSpec, ForceTable, PacketState,
+                                         constant_step_driver)
+
+
+def sample_uniform_flat_source(key, n: int, vprob, delv, endtime,
+                               dtype=jnp.float32) -> PacketState:
+    """On-device source: uniform surface, flat speed (km/s handled by the
+    caller scaling vprob/delv into model units), isotropic angles."""
+    k_sp, k_v, k_ang = jax.random.split(key, 3)
+    lon, lat = samplers.sample_uniform_lonlat(
+        k_sp, n, (0.0, 2 * math.pi), (-math.pi / 2, math.pi / 2), dtype=dtype)
+    x, y, z = samplers.xyz_from_lonlat(lon, lat, 1.0)
+    speed = samplers.sample_flat_speed(k_v, n, vprob, delv, dtype=dtype)
+    alt, az = samplers.sample_isotropic_angles(
+        k_ang, n, (0.0, math.pi / 2), (0.0, 2 * math.pi), dtype=dtype)
+    vx, vy, vz = samplers.velocity_from_angles(alt, az, speed, x, y, z)
+    zero = jnp.zeros(n, dtype=dtype)
+    return PacketState(t=jnp.full(n, endtime, dtype=dtype),
+                       x=x.astype(dtype), y=y.astype(dtype),
+                       z=z.astype(dtype), vx=vx, vy=vy, vz=vz,
+                       frac=jnp.ones(n, dtype=dtype), lossfrac=zero)
+
+
+def make_ensemble_step(spec: EngineSpec, step_size: float, outeredge: float,
+                       radius_km: float, nsteps: int, n_packets: int,
+                       vprob_model: float, delv_model: float,
+                       endtime: float, image_halfwidth: float = 8.0,
+                       image_bins: int = 128, dtype=jnp.float32):
+    """Build the jittable full ensemble step.
+
+    Returns a function ``step(keys[E, 2], forces_stacked) -> (final_state,
+    images[E, bins, bins])`` where ``forces_stacked`` is a ForceTable whose
+    leaves carry a leading ensemble axis.
+    """
+    hw = image_halfwidth
+
+    def single(key, forces: ForceTable):
+        state0 = sample_uniform_flat_source(key, n_packets, vprob_model,
+                                            delv_model, endtime, dtype=dtype)
+        final, _ = constant_step_driver(
+            state0, spec, forces, None,
+            jnp.asarray(step_size, dtype), jnp.asarray(outeredge, dtype),
+            jnp.asarray(radius_km, dtype), key,
+            nsteps=nsteps, save_history=False)
+        image = histogram2d(final.x, final.z, final.frac,
+                            -hw, hw, image_bins, -hw, hw, image_bins)
+        return final, image
+
+    def step(keys, forces_stacked: ForceTable):
+        return jax.vmap(single)(keys, forces_stacked)
+
+    return step
+
+
+def stack_force_tables(tables: list[ForceTable]) -> ForceTable:
+    """Stack per-ensemble-member force tables along a leading axis.
+
+    All members must share table shapes (resample radpres tables to a common
+    grid length before stacking)."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *tables)

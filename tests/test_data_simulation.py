@@ -1,0 +1,202 @@
+"""End-to-end data-simulation tests: LOSResult, ModelImage, ModelDensity,
+source maps, and the fitted retrieval, over small simulation runs."""
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nexoclom_tpu.data_simulation import (LOSResult, LOSResultFitted,
+                                          ModelDensity, ModelImage,
+                                          SpacecraftData)
+from nexoclom_tpu.initial_state import Input
+
+pytestmark = pytest.mark.data_simulation
+
+INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+
+
+@pytest.fixture(scope='module')
+def ca_run(tmp_path_factory):
+    """A small completed Ca run shared by the tests in this module (module-
+    scoped: one catalog for all)."""
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+    savepath = tmp_path_factory.mktemp('ca_run')
+    set_config(NexoclomConfig(savepath=str(savepath), precision='float64'))
+    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp.options.endtime = 2400.0
+    inp.run(2000, seed=99)
+    return inp, str(savepath)
+
+
+@pytest.fixture
+def use_ca_catalog(ca_run):
+    """Override the autouse hermetic config with the module run's catalog."""
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+    inp, savepath = ca_run
+    set_config(NexoclomConfig(savepath=savepath, precision='float64'))
+    return inp
+
+
+def _spacecraft_data(radiance=None):
+    """Synthetic spacecraft geometry: dawn-side views of the Ca spot."""
+    n = 12
+    angles = np.linspace(-0.4, 0.4, n)
+    sc = np.stack([-8.0 * np.ones(n), np.zeros(n), 8.0 * angles], axis=1)
+    bore = np.stack([np.ones(n), np.zeros(n), np.zeros(n)], axis=1)
+    data = pd.DataFrame({
+        'x': sc[:, 0], 'y': sc[:, 1], 'z': sc[:, 2],
+        'xbore': bore[:, 0], 'ybore': bore[:, 1], 'zbore': bore[:, 2],
+        'radiance': np.ones(n) if radiance is None else radiance,
+        'sigma': 0.1 * np.ones(n),
+        'alttan': np.abs(sc[:, 2]),
+    })
+    return SpacecraftData(data, species='Ca')
+
+
+def test_losresult_radiance_and_fit(use_ca_catalog):
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    los = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(3.0), label='test')
+    los.simulate_data_from_inputs(scdata)
+    model = los.radiance.to_numpy()
+    assert np.all(np.isfinite(model))
+    assert model.max() > 0
+    # the source-rate fit scales model onto data = 1 kR rows
+    resid_num = np.sum(model * (1.0 - model))
+    assert los.sourcerate > 0
+    # closed-form LSQ check: refit by hand
+    raw = model / los.sourcerate
+    factor = np.sum(raw * scdata.data.radiance) / np.sum(raw ** 2)
+    assert np.isclose(los.sourcerate, factor, rtol=1e-10)
+
+    # caching: a second LOSResult restores without recompute
+    los2 = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                     dphi=math.radians(3.0), label='test2')
+    los2.simulate_data_from_inputs(scdata)
+    assert np.allclose(los2.radiance.to_numpy(), model, rtol=1e-12)
+
+
+def test_losresult_mask_dsl(use_ca_catalog):
+    inp = use_ca_catalog
+    rad = np.linspace(0.1, 3.0, 12)
+    scdata = _spacecraft_data(radiance=rad)
+    los = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(3.0), masking='minsnr5; minalt1.0',
+                    label='masked')
+    mask, siglim = los.make_mask(scdata.data)
+    assert siglim is None
+    expected = (rad / 0.1 > 5) & (np.abs(scdata.data.z) >= 1.0)
+    assert np.array_equal(mask, expected)
+    los.masking = 'middle50'
+    mask, _ = los.make_mask(scdata.data)
+    lo, hi = np.percentile(rad, [25, 75])
+    assert np.array_equal(mask, (rad >= lo) & (rad <= hi))
+    los.masking = 'bogus10'
+    with pytest.raises(ValueError):
+        los.make_mask(scdata.data)
+
+
+def test_model_image_column(use_ca_catalog):
+    inp = use_ca_catalog
+    img = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',
+                           'width': '8,8'})
+    assert img.image.shape == (64, 64)
+    assert img.image.sum() > 0
+    assert np.all(np.isfinite(img.image))
+    # packets launched from the dawn spot -> column peaks off-centre
+    assert img.packet_image.sum() > 0
+    # cache hit on the second construction
+    img2 = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',
+                            'width': '8,8'})
+    assert np.allclose(img2.image, img.image)
+    # radiance image also works and differs (g-weighting + shadow)
+    img3 = ModelImage(inp, {'quantity': 'radiance', 'dims': '64,64',
+                            'width': '8,8'})
+    assert img3.image.sum() > 0
+
+
+def test_model_image_display_and_export(use_ca_catalog, tmp_path):
+    inp = use_ca_catalog
+    img = ModelImage(inp, {'quantity': 'column', 'dims': '32,32'})
+    png = tmp_path / 'im.png'
+    img.display(savefile=str(png))
+    assert png.exists() and png.stat().st_size > 1000
+    out = tmp_path / 'im.json'
+    img.export(str(out))
+    import json
+    loaded = json.loads(out.read_text())
+    assert np.allclose(np.array(loaded['image']), img.image)
+
+
+def test_model_density(use_ca_catalog):
+    inp = use_ca_catalog
+    # probe points on a dawn-side arc near the spot
+    pts = np.linspace(1.1, 3.0, 10)
+    dens = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3)
+    assert np.all(np.isfinite(dens.density))
+    assert dens.density.max() > 0
+    # density falls off with altitude over the source region
+    assert dens.density[0] > dens.density[-1]
+    # reference Vpix formula (QUIRKS): 4/(3 pi) dr^3
+    dr_cm = 0.3 * 2440.53 * 1e5
+    assert np.isclose(dens.Vpix, 4 / 3 / np.pi * dr_cm ** 3)
+
+
+def test_source_map(use_ca_catalog):
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    los = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(3.0), label='srcmap')
+    los.simulate_data_from_inputs(scdata)
+    params = dict(nlonbins=36, nlatbins=18, nvelbins=20, naltbins=8,
+                  nazbins=9)
+    source, available = los.make_source_map(params)
+    assert source.abundance.shape == (36, 18)
+    # unfitted run: every sampled packet has frac > 0 at t=0 -> fraction 1
+    sampled = source.n_total > 0
+    assert np.all(source.fraction_observed[sampled] == 1.0)
+    # the dawn spot (lon = 3pi/2) dominates the abundance
+    lon_idx = np.unravel_index(np.argmax(source.abundance),
+                               source.abundance.shape)[0]
+    assert abs(source.longitude[lon_idx] - 3 * np.pi / 2) < 0.5
+    # speed distribution integrates to the source rate
+    dv = source.speed[1] - source.speed[0]
+    total = source.speed_dist.sum() * dv
+    assert np.isclose(total, los.sourcerate * 1e23, rtol=1e-6)
+    assert available.abundance.shape == (36, 18)
+
+
+def test_fitted_retrieval(use_ca_catalog):
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                      dphi=math.radians(3.0), label='forfit')
+    unfit.simulate_data_from_inputs(scdata)
+
+    # synthetic "data": the model scaled by a smooth spatial pattern
+    pattern = 1.0 + 0.5 * np.sin(np.linspace(0, np.pi, 12))
+    scdata.data['radiance'] = unfit.radiance.to_numpy() * pattern
+    scdata.data['sigma'] = 0.05 * scdata.data['radiance'].clip(lower=1e-3)
+    unfit.determine_source_rate(scdata, use_weight=False)
+
+    fitted = LOSResultFitted(scdata, 'forfit',
+                             {'quantity': 'radiance'})
+    fitted.determine_source_from_data(scdata)
+    assert fitted.sourcerate > 0
+    model_fit = fitted.radiance.to_numpy()
+    model_unfit = unfit.radiance.to_numpy()
+    obs = scdata.data.radiance.to_numpy()
+    ok = obs > 0
+    err_fit = np.abs(model_fit[ok] / obs[ok] - 1).mean()
+    err_unfit = np.abs(model_unfit[ok] / obs[ok] - 1).mean()
+    assert err_fit <= err_unfit + 1e-9
+    # the fitted run is cataloged as a separate (fitted) output
+    ids, files, npackets, _ = fitted.inputs.search()
+    assert len(ids) >= 1
+    # rerun uses the cache
+    fitted2 = LOSResultFitted(scdata, 'forfit', {'quantity': 'radiance'})
+    fitted2.determine_source_from_data(scdata)
+    assert np.allclose(fitted2.radiance.to_numpy(), model_fit, rtol=1e-9)

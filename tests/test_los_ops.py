@@ -1,0 +1,158 @@
+"""Analytic unit tests of the LOS reduction kernel and geometry helpers."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexoclom_tpu.ops.los import los_fitted_accumulate, los_geometry, los_reduce
+
+pytestmark = pytest.mark.data_simulation
+
+RP_CM = 2440.53 * 1e5
+DPHI = math.radians(1.0)
+
+
+def _reduce(px, py, pz, w, sc, bore, obstruction=None, dd=None,
+            quantity='radiance'):
+    sc = np.atleast_2d(sc).astype(float)
+    bore = np.atleast_2d(bore).astype(float)
+    S = len(sc)
+    if obstruction is None:
+        obstruction = np.full(S, 1e30)
+    if dd is None:
+        dd = np.full(S, 1e30)
+    return los_reduce(jnp.asarray(px, jnp.float64),
+                      jnp.asarray(py, jnp.float64),
+                      jnp.asarray(pz, jnp.float64),
+                      jnp.asarray(w, jnp.float64),
+                      jnp.asarray(sc), jnp.asarray(bore),
+                      jnp.asarray(obstruction), jnp.asarray(dd),
+                      DPHI, RP_CM, quantity=quantity)
+
+
+def test_single_packet_on_boresight():
+    # packet 5 R_p straight down the boresight, sunward side (no shadow)
+    sc = [0.0, -10.0, 0.0]
+    bore = [0.0, 1.0, 0.0]    # looking anti-sunward from y=-10
+    rad, npack, used = _reduce([0.0], [-5.0], [0.0], [2.0], sc, bore)
+    d = 5.0
+    expected = 2.0 / (math.pi * (d * math.sin(DPHI) * RP_CM) ** 2)
+    assert np.isclose(float(rad[0]), expected, rtol=1e-12)
+    assert int(npack[0]) == 1
+    assert bool(used[0])
+
+
+def test_packet_outside_cone_excluded():
+    sc = [0.0, -10.0, 0.0]
+    bore = [0.0, 1.0, 0.0]
+    # packet offset 0.5 R_p at distance 5 -> angle ~5.7 deg > 1 deg
+    rad, npack, used = _reduce([0.5], [-5.0], [0.0], [1.0], sc, bore)
+    assert float(rad[0]) == 0.0 and int(npack[0]) == 0 and not bool(used[0])
+
+
+def test_shadowed_projection_dropped_for_radiance():
+    # packet behind the planet (y>0, rho<1): in view but its LOS point is in
+    # shadow -> radiance drops it, column keeps it
+    sc = [0.0, 10.0, 0.0]
+    bore = [0.0, -1.0, 0.0]    # looking sunward from behind the planet
+    px, py, pz, w = [0.0], [5.0], [0.0], [1.0]
+    rad, npack, used = _reduce(px, py, pz, w, sc, bore,
+                               obstruction=np.array([10.0]))
+    assert float(rad[0]) == 0.0      # shadowed
+    assert int(npack[0]) == 1        # still counted as in view
+    assert not bool(used[0])
+    col, _, used_c = _reduce(px, py, pz, w, sc, bore,
+                             obstruction=np.array([10.0]),
+                             quantity='column')
+    assert float(col[0]) > 0.0 and bool(used_c[0])
+
+
+def test_planet_obstruction_cuts_los():
+    # packet beyond the planet along a boresight that hits the planet
+    sc = [0.0, -10.0, 0.0]
+    bore = [0.0, 1.0, 0.0]     # looks straight at the planet centre
+    obstruction, dd = los_geometry([sc], [bore], 1e30)
+    assert obstruction[0] == 10.0     # distance to planet centre
+    # packet on the near side (losrad = 3 < 10): included
+    rad_near, _, _ = _reduce([0.0], [-7.0], [0.0], [1.0], sc, bore,
+                             obstruction=obstruction)
+    # packet on the far side (losrad = 15 > 10): blocked
+    rad_far, _, _ = _reduce([0.0], [5.0], [0.0], [1.0], sc, bore,
+                            obstruction=obstruction)
+    assert float(rad_near[0]) > 0.0
+    assert float(rad_far[0]) == 0.0
+
+
+def test_los_geometry_miss_and_outer_edge():
+    sc = [[0.0, -10.0, 0.0], [0.0, -10.0, 0.0]]
+    bore = [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]   # hit planet; miss planet
+    obstruction, dd = los_geometry(sc, bore, 20.0)
+    assert obstruction[0] == 10.0
+    assert obstruction[1] == 1e30
+    # outer edge at 20: along +y from y=-10, exit at y=+20 -> dd=30
+    assert np.isclose(dd[0], 30.0)
+    # perpendicular: dd = sqrt(20^2-10^2)
+    assert np.isclose(dd[1], math.sqrt(300.0))
+
+
+def test_many_spectra_chunking():
+    rng = np.random.default_rng(0)
+    n = 500
+    px = rng.normal(0, 3, n)
+    py = rng.normal(-5, 3, n)
+    pz = rng.normal(0, 3, n)
+    w = rng.random(n)
+    S = 70   # not a multiple of the 32-chunk
+    sc = np.tile([0.0, -20.0, 0.0], (S, 1))
+    bore = rng.normal(size=(S, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, dd = los_geometry(sc, bore, 1e30)
+    rad, npack, used = los_reduce(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), jnp.asarray(w),
+        jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+        jnp.asarray(dd), math.radians(20.0), RP_CM)
+    # brute-force reference
+    for s in range(0, S, 13):
+        rel = np.stack([px, py, pz], 1) - sc[s]
+        d = np.linalg.norm(rel, axis=1)
+        losrad = rel @ bore[s]
+        cosang = np.clip(losrad / d, -1, 1)
+        inview = ((losrad < obstruction[s]) &
+                  (cosang >= math.cos(math.radians(20.0))) & (losrad <= dd[s]))
+        hit = sc[s][None] + bore[s][None] * losrad[:, None]
+        oos = (hit[:, 0] ** 2 + hit[:, 2] ** 2 > 1) | (hit[:, 1] < 0)
+        apix = math.pi * (d * math.sin(math.radians(20.0)) * RP_CM) ** 2
+        expected = np.sum(np.where(inview & oos, w / apix, 0.0))
+        assert np.isclose(float(rad[s]), expected, rtol=1e-10)
+
+
+def test_fitted_accumulate_weighted_mean():
+    # two packets, two spectra, each spectrum sees one packet
+    px = np.array([0.0, 0.0])
+    py = np.array([-5.0, -5.0])
+    pz = np.array([0.0, 3.0])
+    w = np.array([1.0, 1.0])
+    x0_index = np.array([0, 1])
+    sc = np.array([[0.0, -10.0, 0.0], [0.0, -10.0, 3.0]])
+    bore = np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    obstruction = np.full(2, 1e30)
+    dd = np.full(2, 1e30)
+    ratio = np.array([2.0, 0.5])
+    mask = np.array([True, True])
+    sigma = np.ones(2)
+    rs, ss = los_fitted_accumulate(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), jnp.asarray(w),
+        jnp.asarray(x0_index), jnp.asarray(sc), jnp.asarray(bore),
+        jnp.asarray(obstruction), jnp.asarray(dd), jnp.asarray(ratio),
+        jnp.asarray(mask), jnp.asarray(sigma), DPHI, n_x0=2)
+    rs, ss = np.asarray(rs), np.asarray(ss)
+    assert np.allclose(ss, [1.0, 1.0])
+    assert np.allclose(rs, [2.0, 0.5])
+    # masked-out spectrum contributes nothing
+    rs2, ss2 = los_fitted_accumulate(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), jnp.asarray(w),
+        jnp.asarray(x0_index), jnp.asarray(sc), jnp.asarray(bore),
+        jnp.asarray(obstruction), jnp.asarray(dd), jnp.asarray(ratio),
+        jnp.asarray([True, False]), jnp.asarray(sigma), DPHI, n_x0=2)
+    assert np.asarray(ss2)[1] == 0.0
