@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from nexoclom_tpu.atomicdata import radpres_table
     from nexoclom_tpu.initial_state.loss_info import LossInfo
     from nexoclom_tpu.ops.integrator import (EngineSpec, constant_step_driver,
@@ -61,14 +63,19 @@ def main():
         return final
 
     # warmup / compile
-    jax.block_until_ready(run(state0))
+    warm = run(state0)
+    float(jnp.sum(warm.frac))   # device->host transfer: a real barrier
 
+    # block_until_ready is unreliable on the experimental axon platform, so
+    # every timed repetition ends with a scalar device->host transfer
     reps = 3
     t0 = time.perf_counter()
+    checksum = 0.0
     for _ in range(reps):
         final = run(state0)
-    jax.block_until_ready(final)
+        checksum += float(jnp.sum(final.frac))
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     packet_steps = reps * n_packets * (nsteps - 1)
     rate = packet_steps / elapsed

@@ -48,3 +48,8 @@ def binding_speed_kms(energy_ev: float, mass_amu: float) -> float:
     m_kg = mass_amu * ATOMIC_MASS_UNIT
     v_ms = (2.0 * energy_ev * ELECTRON_VOLT / m_kg) ** 0.5
     return v_ms / KM
+
+
+# Full width of the true-anomaly-angle run-matching window (radians);
+# matches the reference search tolerance (input_classes.py:16).
+TAA_MATCH_WIDTH = 0.017453292519943295  # radians(1.0)

@@ -22,8 +22,9 @@ import math
 from nexoclom_tpu.solarsystem import SSObject
 from nexoclom_tpu.utilities.exceptions import InputError
 
+from nexoclom_tpu.constants import TAA_MATCH_WIDTH as DTAA  # noqa: E402
+
 TWO_PI = 2.0 * math.pi
-DTAA = math.radians(1.0)   # full width of the TAA matching window
 
 
 def _parse_bool(value: str, context: str) -> bool:

@@ -29,7 +29,7 @@ import os
 from contextlib import contextmanager
 from datetime import datetime, timezone
 
-from nexoclom_tpu.initial_state.sections import DTAA
+from nexoclom_tpu.constants import TAA_MATCH_WIDTH as DTAA
 
 
 class _JsonStore:

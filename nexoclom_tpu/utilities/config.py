@@ -43,7 +43,7 @@ class NexoclomConfig:
     @classmethod
     def load(cls, configfile: str | None = None) -> 'NexoclomConfig':
         if configfile is None:
-            configfile = os.environ.get(_ENV_CONFIG)
+            configfile = os.environ.get(_ENV_CONFIG) or None
         if configfile is None and os.path.exists(_DEFAULT_CONFIGFILE):
             configfile = _DEFAULT_CONFIGFILE
 
