@@ -32,8 +32,10 @@ def main():
     radius_km = mercury.radius
     aplanet, vr = planet_dist(mercury, 0.0)
 
+    from nexoclom_tpu.ops.integrator import default_lookup_impl
     spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
-                      surface_bounce=False, check_outer_edge=True)
+                      surface_bounce=False, check_outer_edge=True,
+                      lookup_impl=default_lookup_impl())
     v0, dv, accel = radpres_table('Ca', aplanet)
     forces = empty_force_table(dtype)._replace(
         gm=jnp.asarray(mercury.gm_rp3, dtype),

@@ -116,9 +116,10 @@ def radpres_table(species: str, aplanet: float, npoints: int | None = None):
     rp = RadPresConst(species, aplanet)
     v = rp.velocity
     if npoints is None:
-        # Fine enough that re-gridding the (non-uniform) source table is
-        # lossless to well below the MC noise floor.
-        npoints = max(2048, 4 * len(v))
+        # At least as fine as the densest source table (the Killen grids are
+        # 49-389 points); kept small because the on-device dense lookup costs
+        # O(K) per packet (see ops/integrator.uniform_lookup).
+        npoints = max(512, len(v) + 1)
     grid = np.linspace(v[0], v[-1], npoints)
     accel = np.interp(grid, v, rp.accel)
     dv = grid[1] - grid[0] if npoints > 1 else 1.0

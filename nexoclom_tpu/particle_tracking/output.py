@@ -54,6 +54,7 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
     sint = inputs.surfaceinteraction
     full_stick = (sint.sticktype == 'constant' and
                   getattr(sint, 'stickcoef', None) == 1.0)
+    from nexoclom_tpu.ops.integrator import default_lookup_impl
     return EngineSpec(
         gravity=inputs.forces.gravity,
         radpres=inputs.forces.radpres,
@@ -62,6 +63,7 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         sticktype=sint.sticktype,
         accom=bool(getattr(sint, 'accomfactor', None)),
         check_outer_edge=inputs.options.outeredge < 1e29,
+        lookup_impl=default_lookup_impl(),
     )
 
 

@@ -22,21 +22,11 @@ building the mesh; the catalog needs no changes (any shared filesystem).
 """
 from __future__ import annotations
 
+import json
 import os
-import pickle
 import subprocess
 import sys
 import tempfile
-
-
-def _worker_script() -> str:
-    return ('import pickle, sys\n'
-            'from nexoclom_tpu.initial_state.input_class import Input\n'
-            'with open(sys.argv[1], "rb") as f:\n'
-            '    payload = pickle.load(f)\n'
-            'inputs = Input.from_dict(payload["inputs"])\n'
-            'inputs.run(payload["npackets"], seed=payload.get("seed"),\n'
-            '           packs_per_it=payload.get("packs_per_it"))\n')
 
 
 def run_sweep(inputs_list, npackets, njobs: int = 2, seed=None,
@@ -49,19 +39,18 @@ def run_sweep(inputs_list, npackets, njobs: int = 2, seed=None,
 
     Returns the list of per-run exit codes.
     """
-    jobs = []
     payload_files = []
     for i, inputs in enumerate(inputs_list):
-        payload = {'inputs': inputs.to_dict(), 'npackets': int(npackets),
+        payload = {'task': 'run', 'inputs': inputs.to_dict(),
+                   'npackets': int(npackets),
                    'seed': None if seed is None else seed + i,
                    'packs_per_it': packs_per_it}
-        handle = tempfile.NamedTemporaryFile('wb', suffix='.pkl',
+        handle = tempfile.NamedTemporaryFile('w', suffix='.json',
                                              delete=False)
-        pickle.dump(payload, handle)
+        json.dump(payload, handle)
         handle.close()
         payload_files.append(handle.name)
 
-    script = _worker_script()
     returncodes = [None] * len(inputs_list)
     active: list[tuple[int, subprocess.Popen]] = []
     try:
@@ -70,7 +59,8 @@ def run_sweep(inputs_list, npackets, njobs: int = 2, seed=None,
             while queue and len(active) < njobs:
                 idx, payload_file = queue.pop(0)
                 proc = subprocess.Popen(
-                    [sys.executable, '-c', script, payload_file],
+                    [sys.executable, '-m', 'nexoclom_tpu.worker',
+                     payload_file],
                     env={**os.environ, **(env or {})})
                 active.append((idx, proc))
             idx, proc = active.pop(0)

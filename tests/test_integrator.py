@@ -229,3 +229,47 @@ def test_outer_edge_kill():
                                     save_history=False)
     assert float(final.frac[0]) == 0.0
     assert float(final.t[0]) == 0.0
+
+
+def test_dense_lookup_matches_gather():
+    """The TPU 'dense' hat-contraction lookup must reproduce the gather-based
+    linear interpolation (and np.interp) everywhere, including the clamped
+    ends and non-block-aligned lengths."""
+    from nexoclom_tpu.ops.integrator import uniform_lookup
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.random(257))
+    v0, dv = -12.0, 24.0 / 256
+    values = jnp.asarray(np.concatenate([
+        rng.uniform(-15, 15, 10001),     # interior + out-of-range
+        [-12.0, 12.0, -20.0, 20.0]]))    # ends
+    got_gather = np.asarray(uniform_lookup(table, v0, dv, values, 'gather'))
+    got_dense = np.asarray(uniform_lookup(table, v0, dv, values, 'dense'))
+    expect = np.interp(np.asarray(values), v0 + dv * np.arange(257),
+                       np.asarray(table))
+    assert np.allclose(got_gather, expect, rtol=1e-12, atol=1e-12)
+    assert np.allclose(got_dense, expect, rtol=1e-9, atol=1e-12)
+
+
+def test_driver_dense_lookup_matches_gather_driver():
+    spec_g = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                        surface_bounce=False, check_outer_edge=False,
+                        lookup_impl='gather')
+    spec_d = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                        surface_bounce=False, check_outer_edge=False,
+                        lookup_impl='dense')
+    grid = np.linspace(-0.03, 0.03, 301)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM_MERCURY), ion_rate=jnp.asarray(1e-5),
+        rp_v0=jnp.asarray(grid[0]), rp_dv=jnp.asarray(grid[1] - grid[0]),
+        rp_accel=jnp.asarray(np.abs(np.sin(grid * 300)) * 1e-7))
+    state0 = make_state(n=256, vmin=2.0, vmax=6.0, endtime=3000.0)
+    nsteps = 101
+    out_g, _ = constant_step_driver(state0, spec_g, forces, None, 30.0, 1e30,
+                                    RADIUS_KM, KEY, nsteps=nsteps,
+                                    save_history=False)
+    out_d, _ = constant_step_driver(state0, spec_d, forces, None, 30.0, 1e30,
+                                    RADIUS_KM, KEY, nsteps=nsteps,
+                                    save_history=False)
+    for leaf_g, leaf_d in zip(out_g, out_d):
+        assert np.allclose(np.asarray(leaf_g), np.asarray(leaf_d),
+                           rtol=1e-10, atol=1e-12)
