@@ -17,22 +17,23 @@ from __future__ import annotations
 import numpy as np
 
 
-def subsolar_amplitude(taa: float, t1=None) -> float:
+def subsolar_amplitude(taa, t1=None, xp=np):
     """TAA-dependent dayside temperature amplitude t1 (K)."""
     if t1 is not None:
         return t1
-    return 600.0 + 125.0 * (np.cos(taa) - 1.0) / 2.0
+    return 600.0 + 125.0 * (xp.cos(taa) - 1.0) / 2.0
 
 
-def surface_temperature(longitude, latitude, taa: float,
+def surface_temperature(longitude, latitude, taa,
                         t0: float = 100.0, t1=None, n: float = 0.25,
                         xp=np):
     """Surface temperature (K) at model longitude/latitude (radians).
 
     ``xp`` selects the array namespace (numpy for host code, jax.numpy in
-    kernels); the expression is branch-free so it jits cleanly.
+    kernels); the expression is branch-free so it jits cleanly (``taa`` may
+    be a traced scalar).
     """
-    t1 = subsolar_amplitude(taa, t1)
+    t1 = subsolar_amplitude(taa, t1, xp=xp)
     longitude = xp.asarray(longitude)
     latitude = xp.asarray(latitude)
     dayside = (longitude <= xp.pi / 2) | (longitude >= 3 * xp.pi / 2)

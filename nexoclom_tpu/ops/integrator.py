@@ -299,23 +299,39 @@ def _apply_kills(stepped: PacketState, spec: EngineSpec,
 # Constant-step driver
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('spec', 'nsteps', 'save_history'))
+@partial(jax.jit, static_argnames=('spec', 'nsteps', 'save_history',
+                                   'accumulator'))
 def constant_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          step_size, outeredge, radius_km, key,
-                         nsteps: int, save_history: bool = True):
+                         nsteps: int, save_history: bool = True,
+                         accumulator=None, acc_init=None):
     """Fixed-step integration as one ``lax.scan``.
 
-    Returns ``(final_state, history)`` where ``history`` (if requested) is a
-    PacketState whose leaves have shape (nsteps-1, N): the state after steps
-    1..nsteps-1.  Dead packets emit all-zero rows from the step after their
-    death, matching the zero-initialised history tensor of the reference
-    (``Output.py:376,419``).
+    Returns ``(final_state, history, accumulated)``... specifically
+    ``(final, history)`` when no ``accumulator`` is given (API-stable with
+    earlier revisions) and ``(final, history, accumulated)`` otherwise.
+
+    ``history`` (if requested) is a PacketState whose leaves have shape
+    (nsteps-1, N): the state after steps 1..nsteps-1.  Dead packets emit
+    all-zero rows from the step after their death, matching the
+    zero-initialised history tensor of the reference (``Output.py:376,419``).
+
+    ``accumulator`` is an optional static callable ``(state, acc) -> acc``
+    folding observables (images, LOS sums, histograms) over every snapshot
+    *including the initial state* — the fused-observable mode that keeps
+    full-history statistics without materialising the (N x nsteps)
+    trajectory tensor in HBM.  ``acc_init`` is its starting pytree.
     """
     h = jnp.asarray(step_size, state0.x.dtype)
 
+    if accumulator is not None:
+        acc0 = accumulator(state0, acc_init)
+    else:
+        acc0 = None
+
     def body(carry, step_idx):
-        st = carry
+        st, acc = carry
         active = st.frac > 0.0
         stepped, _ = rk5_step(st, h, spec, forces, want_delta=False)
         bounce_key = jax.random.fold_in(key, step_idx)
@@ -327,15 +343,23 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
         new = jax.tree.map(lambda new_leaf, old_leaf:
                            jnp.where(active, new_leaf, old_leaf),
                            stepped, st)
+        if accumulator is not None:
+            # dead packets carry frac == 0, so they accumulate nothing
+            masked = jax.tree.map(lambda leaf: jnp.where(active, leaf, 0.0),
+                                  new)
+            acc = accumulator(masked, acc)
         if save_history:
             emitted = jax.tree.map(
                 lambda leaf: jnp.where(active, leaf, 0.0), new)
         else:
             emitted = None
-        return new, emitted
+        return (new, acc), emitted
 
-    final, history = jax.lax.scan(body, state0, jnp.arange(1, nsteps))
-    return final, history
+    (final, acc), history = jax.lax.scan(body, (state0, acc0),
+                                         jnp.arange(1, nsteps))
+    if accumulator is None:
+        return final, history
+    return final, history, acc
 
 
 # ---------------------------------------------------------------------------

@@ -85,3 +85,18 @@ def test_graft_dryrun_multichip():
     dryrun_multichip(8)
     dryrun_multichip(4)
     dryrun_multichip(1)
+
+
+def test_fused_image_sharded_matches_unsharded():
+    import os
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.parallel import make_mesh
+    from nexoclom_tpu.particle_tracking.fused import fused_image_run
+    inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+    inp = Input(os.path.join(inputfiles, 'Ca.spot.input'))
+    inp.options.endtime = 600.0
+    params = {'quantity': 'column', 'dims': '24,24', 'width': '8,8'}
+    plain = fused_image_run(inp, 256, dict(params), seed=9)
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    sharded = fused_image_run(inp, 256, dict(params), seed=9, mesh=mesh)
+    assert np.allclose(sharded.image, plain.image, rtol=1e-10, atol=1e-12)
