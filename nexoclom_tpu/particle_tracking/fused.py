@@ -17,8 +17,6 @@ tests/test_fused.py); the same atoms-per-packet normalisation applies
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,7 +118,6 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
         raise ValueError('fused_image_run requires constant-step inputs '
                          '(options.step_size > 0)')
     if dtype is None:
-        import jax.numpy as jnp_
         from nexoclom_tpu.utilities.config import get_config
         dtype = (jnp.float64 if get_config().precision == 'float64'
                  else jnp.float32)

@@ -246,6 +246,9 @@ class Output:
     # ---------------------------------------------------------- persistence
     def save(self):
         """Catalog the run and write the array store."""
+        from nexoclom_tpu.utilities.debug import debug_enabled, validate_output
+        if debug_enabled():
+            validate_output(self)
         catalog = get_catalog()
         self.idnum, self.filename = catalog.insert_output(
             self.inputs.to_dict(), self.npackets, self.totalsource)

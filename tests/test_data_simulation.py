@@ -200,3 +200,63 @@ def test_fitted_retrieval(use_ca_catalog):
     fitted2 = LOSResultFitted(scdata, 'forfit', {'quantity': 'radiance'})
     fitted2.determine_source_from_data(scdata)
     assert np.allclose(fitted2.radiance.to_numpy(), model_fit, rtol=1e-9)
+
+
+def test_fitted_retrieval_weight_modes(use_ca_catalog):
+    """All four fitted weighting modes run and produce usable retrievals."""
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                      dphi=math.radians(3.0), label='wmodes')
+    unfit.simulate_data_from_inputs(scdata)
+    scdata.data['radiance'] = unfit.radiance.to_numpy() * 1.3
+    scdata.data['sigma'] = 0.05 * scdata.data['radiance'].clip(lower=1e-3)
+    unfit.determine_source_rate(scdata, use_weight=False)
+
+    results = {}
+    for mode in (None, 'dist', 'dist2', 'sigma'):
+        label = f'wmodes_{mode}'
+        fitted = LOSResultFitted(scdata, 'wmodes', {'quantity': 'radiance'},
+                                 label=label)
+        fitted.determine_source_from_data(scdata, use_weight=mode,
+                                          overwrite=True)
+        model = fitted.radiance.to_numpy()
+        assert np.all(np.isfinite(model)) and model.max() > 0
+        results[mode] = model
+    # a uniform 1.3x pattern is matched closely by every weighting mode
+    obs = scdata.data.radiance.to_numpy()
+    for mode, model in results.items():
+        ok = obs > 0
+        err = np.abs(model[ok] / obs[ok] - 1).mean()
+        assert err < 0.15, (mode, err)
+
+
+def test_worker_los_task(use_ca_catalog, tmp_path):
+    """The worker CLI's 'los' task computes and catalogs an LOS iteration."""
+    import json
+    import subprocess
+    import sys
+    from nexoclom_tpu.utilities.config import get_config
+
+    inp = use_ca_catalog
+    _, files, _, _ = inp.search()
+    scdata = _spacecraft_data()
+    csv = tmp_path / 'sc.csv'
+    scdata.data.to_csv(csv, index=False)
+    payload = {'task': 'los', 'inputs': inp.to_dict(),
+               'outputfile': files[0], 'scdata': str(csv), 'species': 'Ca',
+               'params': {'quantity': 'radiance'},
+               'dphi': math.radians(3.0)}
+    pfile = tmp_path / 'payload.json'
+    pfile.write_text(json.dumps(payload))
+    r = subprocess.run(
+        [sys.executable, '-m', 'nexoclom_tpu.worker', str(pfile)],
+        capture_output=True, text=True,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu',
+             'NEXOCLOM_SAVEPATH': get_config().savepath,
+             'NEXOCLOM_TPU_CONFIG': ''})
+    assert r.returncode == 0, r.stderr[-500:]
+    from nexoclom_tpu.utilities.catalog import get_catalog
+    rows = get_catalog().search_losmodels(quantity='radiance',
+                                          dphi=math.radians(3.0))
+    assert any(os.path.exists(row['filename']) for row in rows)

@@ -169,3 +169,41 @@ def test_idl_import(tmp_path):
     finally:
         if real is not None:
             sio.readsav = real
+
+
+def test_debug_validators(monkeypatch):
+    import pandas as pd
+    from nexoclom_tpu.utilities import debug
+
+    frame = pd.DataFrame({'x': [2.0], 'y': [0.0], 'z': [0.0],
+                          'vx': [0.0], 'vy': [0.0], 'vz': [0.0],
+                          'frac': [0.5]})
+    debug.validate_packet_frame(frame)          # clean
+
+    bad = frame.assign(frac=[-0.1])
+    with pytest.raises(debug.ValidationError):
+        debug.validate_packet_frame(bad)
+    below = frame.assign(x=[0.5], frac=[1.0])
+    with pytest.raises(debug.ValidationError):
+        debug.validate_packet_frame(below)
+    nan = frame.assign(vy=[float('nan')])
+    with pytest.raises(debug.ValidationError):
+        debug.validate_packet_frame(nan)
+
+    monkeypatch.setenv('NEXOCLOM_DEBUG', '1')
+    assert debug.debug_enabled()
+    monkeypatch.setenv('NEXOCLOM_DEBUG', '0')
+    assert not debug.debug_enabled()
+
+
+def test_debug_mode_end_to_end(monkeypatch):
+    """NEXOCLOM_DEBUG=1 validates every Output on save."""
+    import os
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    monkeypatch.setenv('NEXOCLOM_DEBUG', '1')
+    inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+    inp = Input(os.path.join(inputfiles, 'Gravity.input'))
+    inp.options.endtime = 300.0
+    out = Output(inp, 50, seed=1)   # passes validation
+    assert out.npackets == 50
