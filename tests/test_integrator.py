@@ -273,3 +273,35 @@ def test_driver_dense_lookup_matches_gather_driver():
     for leaf_g, leaf_d in zip(out_g, out_d):
         assert np.allclose(np.asarray(leaf_g), np.asarray(leaf_d),
                            rtol=1e-10, atol=1e-12)
+
+
+def test_radpres_per_step_approximation():
+    """The per-step radpres evaluation mode agrees with per-stage to the
+    expected O(a'(v) dv_step) level over a full run."""
+    grid = np.linspace(-0.03, 0.03, 301)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM_MERCURY), ion_rate=jnp.asarray(1e-5),
+        rp_v0=jnp.asarray(grid[0]), rp_dv=jnp.asarray(grid[1] - grid[0]),
+        rp_accel=jnp.asarray((1 + np.sin(grid * 500)) * 5e-8))
+    state0 = make_state(n=128, vmin=2.0, vmax=6.0, endtime=5000.0)
+    nsteps = 168
+    outs = {}
+    for per_stage in (True, False):
+        spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                          surface_bounce=False, check_outer_edge=False,
+                          radpres_per_stage=per_stage)
+        out, _ = constant_step_driver(state0, spec, forces, None, 30.0, 1e30,
+                                      RADIUS_KM, KEY, nsteps=nsteps,
+                                      save_history=False)
+        outs[per_stage] = out
+    alive = (np.asarray(outs[True].frac) > 0) & \
+        (np.asarray(outs[False].frac) > 0)
+    assert alive.sum() > 20
+    for comp in ('x', 'y', 'z'):
+        exact = np.asarray(getattr(outs[True], comp))[alive]
+        approx = np.asarray(getattr(outs[False], comp))[alive]
+        diff = np.abs(exact - approx)
+        # the frozen-lookup error accumulates as ~a'(v) (a h) t^2/2; for
+        # this adversarial table (100% variation per 30 km/s) that is a few
+        # 1e-4 R_p after 5000 s -- far below image-bin scales (>=0.01 R_p)
+        assert np.median(diff) < 1e-3 and np.max(diff) < 5e-3   # R_p
