@@ -1,0 +1,98 @@
+"""Run the three reference parity cases end-to-end and report invariants.
+
+Cases (authored equivalents of the reference's test inputs; see
+tests/data/inputfiles/):
+
+  * Gravity.input — gravity-only, flat speeds: checks per-trajectory energy
+    conservation;
+  * Ca.spot.input — dawn spot, hot maxwellian, full sticking: produces the
+    Ca radiance image and reports the source-rate normalisation;
+  * Na.spot.input — subsolar spot, thermal maxwellian, radiation pressure:
+    checks the anti-sunward tail asymmetry radiation pressure must produce.
+
+Usage: python scripts/run_parity_cases.py [--npackets N] [--tpu]
+Writes PNG images beside the outputs and prints a summary table.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+INPUTFILES = os.path.join(os.path.dirname(__file__), '..', 'tests', 'data',
+                          'inputfiles')
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--npackets', type=int, default=20000)
+    parser.add_argument('--tpu', action='store_true')
+    parser.add_argument('--outdir', default='/tmp/nexoclom_tpu_parity')
+    args = parser.parse_args()
+
+    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    if not args.tpu:
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_enable_x64', True)
+
+    import numpy as np
+
+    os.makedirs(args.outdir, exist_ok=True)
+    os.environ['NEXOCLOM_SAVEPATH'] = args.outdir
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+    set_config(NexoclomConfig(savepath=args.outdir,
+                              precision='float32' if args.tpu
+                              else 'float64'))
+
+    print(f'backend = {jax.default_backend()}, '
+          f'npackets = {args.npackets}\n')
+
+    # ---- Gravity: energy conservation --------------------------------
+    inp = Input(os.path.join(INPUTFILES, 'Gravity.input'))
+    inp.run(args.npackets, seed=1)
+    _, files, _, _ = inp.search()
+    out = Output.restore(files[-1])
+    X, X0 = out.X, out.X0
+    live = X.frac > 0
+    r = np.sqrt(X.x ** 2 + X.y ** 2 + X.z ** 2)[live]
+    e = 0.5 * (X.vx ** 2 + X.vy ** 2 + X.vz ** 2)[live] + out.GM / r
+    e0 = (0.5 * (X0.vx ** 2 + X0.vy ** 2 + X0.vz ** 2) +
+          out.GM / np.sqrt(X0.x ** 2 + X0.y ** 2 + X0.z ** 2))
+    e0_rows = e0.values[X.loc[live, 'Index'].values.astype(int)]
+    rel = np.abs((e.values - e0_rows) / e0_rows)
+    print(f'[Gravity]  snapshots = {live.sum()},  '
+          f'max |dE/E| = {rel.max():.2e}')
+
+    # ---- Ca spot: radiance image ------------------------------------
+    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp.run(args.npackets, seed=2)
+    img = inp.produce_image({'quantity': 'radiance', 'dims': '200,200'})
+    png = os.path.join(args.outdir, 'Ca_radiance.png')
+    img.display(png)
+    peak = np.unravel_index(img.image.argmax(), img.image.shape)
+    print(f'[Ca spot]  total radiance = {img.image.sum():.3e} kR px,  '
+          f'peak pixel = {peak} (dawn side: x-index < 100),  -> {png}')
+
+    # ---- Na spot: radiation-pressure tail ----------------------------
+    inp = Input(os.path.join(INPUTFILES, 'Na.spot.input'))
+    inp.run(args.npackets, seed=3)
+    img = inp.produce_image({'quantity': 'column', 'dims': '200,200',
+                             'width': '30,30'})
+    png = os.path.join(args.outdir, 'Na_column.png')
+    img.display(png)
+    # z-axis of the image is model z; y is along the line of sight here
+    # (observer over the north pole): tail shows as +? use a 3-D check
+    _, files, _, _ = inp.search()
+    out = Output.restore(files[-1])
+    live = out.X.frac > 0
+    mean_y = float(np.average(out.X.y[live], weights=out.X.frac[live]))
+    print(f'[Na spot]  frac-weighted <y> = {mean_y:+.3f} R_p '
+          f'(> 0: anti-sunward tail from radiation pressure),  -> {png}')
+
+
+if __name__ == '__main__':
+    main()
