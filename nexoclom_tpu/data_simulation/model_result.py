@@ -112,3 +112,9 @@ class ModelResult:
         if not np.all(np.isfinite(weight)):
             raise ValueError('Non-finite packet weights')
         return weight
+
+    def transform_reference_frame(self, packets):
+        """Moon-centric frame transform hook (unimplemented placeholder in
+        the reference as well — ``SourceMap.py:89-119`` commented out)."""
+        raise NotImplementedError(
+            'moon-centric reference frames are not implemented')

@@ -1,0 +1,78 @@
+"""LOS-pipeline throughput: spectra x packets cone reductions per second.
+
+The MESSENGER-orbit configuration in BASELINE.json is ~1e3 spectra against
+1e6+ packet snapshots. This measures the device cone-reduction kernel
+(ops/los.los_reduce) at that scale.
+
+Usage: python scripts/bench_los.py [--spectra 1024] [--packets 1048576]
+       [--cpu]
+"""
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--spectra', type=int, default=1024)
+    parser.add_argument('--packets', type=int, default=1 << 20)
+    parser.add_argument('--cpu', action='store_true')
+    args = parser.parse_args()
+
+    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nexoclom_tpu.ops.los import los_geometry, los_reduce
+
+    rng = np.random.default_rng(0)
+    n, S = args.packets, args.spectra
+    px = rng.normal(0, 3, n).astype(np.float32)
+    py = rng.normal(0, 3, n).astype(np.float32)
+    pz = rng.normal(0, 3, n).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+
+    theta = rng.uniform(0, 2 * np.pi, S)
+    sc = np.stack([8 * np.cos(theta), 8 * np.sin(theta),
+                   rng.uniform(-1, 1, S)], 1)
+    bore = -sc + rng.normal(0, 0.5, (S, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, dd = los_geometry(sc, bore, 30.0)
+
+    fn_args = (jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
+               jnp.asarray(w), jnp.asarray(sc, jnp.float32),
+               jnp.asarray(bore, jnp.float32),
+               jnp.asarray(obstruction, jnp.float32),
+               jnp.asarray(dd, jnp.float32))
+    dphi = math.radians(1.0)
+    rp_cm = 2440.53e5
+
+    rad, npack, used = los_reduce(*fn_args, dphi, rp_cm)
+    checksum = float(jnp.sum(rad))          # compile + barrier
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rad, npack, used = los_reduce(*fn_args, dphi, rp_cm)
+        checksum += float(jnp.sum(rad))
+    elapsed = (time.perf_counter() - t0) / reps
+
+    pairs = S * n
+    print(f'backend = {jax.default_backend()}')
+    print(f'{S} spectra x {n} packets = {pairs:.3e} pairs in '
+          f'{elapsed:.3f} s -> {pairs / elapsed:.3e} pairs/s '
+          f'({S / elapsed:.1f} spectra/s at 1M packets)')
+    print(f'in-view packets total = {int(jnp.sum(npack))}, '
+          f'checksum = {checksum:.3e}')
+
+
+if __name__ == '__main__':
+    main()
