@@ -33,6 +33,8 @@ _LAZY = {
     'ModelDensity': 'nexoclom_tpu.data_simulation.model_density',
     'SSObject': 'nexoclom_tpu.solarsystem.ssobject',
     'SourceMap': 'nexoclom_tpu.initial_state.sourcemap',
+    'SpacecraftData': 'nexoclom_tpu.data_simulation.spacecraft_data',
+    'fused_image_run': 'nexoclom_tpu.particle_tracking.fused',
     'get_config': 'nexoclom_tpu.utilities.config',
 }
 

@@ -95,6 +95,21 @@ class _Section:
         return obj
 
 
+def effective_taa(geometry) -> float:
+    """True anomaly for either geometry variant.
+
+    'geometry without starttime' carries taa directly; 'geometry with
+    starttime' derives it by Kepler propagation from the timestamp — a
+    working implementation of the path the reference leaves unimplemented
+    (``Output.py:95-96`` asserts on it).
+    """
+    if geometry.type == 'geometry with starttime':
+        from nexoclom_tpu.solarsystem.planet_geometry import (
+            true_anomaly_at_time)
+        return true_anomaly_at_time(geometry.time, geometry.planet)
+    return geometry.taa
+
+
 class Geometry(_Section):
     """Planetary geometry: planet, startpoint, included objects, phase angles,
     subsolar point, and true anomaly (``input_classes.py:19-111``)."""

@@ -129,9 +129,10 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2 ** 31))
 
+    from nexoclom_tpu.initial_state.sections import effective_taa
     planet = inputs.geometry.planet
     radius_km = planet.radius
-    aplanet, v_r = planet_dist(planet, inputs.geometry.taa)
+    aplanet, v_r = planet_dist(planet, effective_taa(inputs.geometry))
     vrplanet_model = v_r / radius_km
 
     spec = engine_spec_from_inputs(inputs)

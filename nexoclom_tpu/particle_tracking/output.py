@@ -34,6 +34,7 @@ import pandas as pd
 
 from nexoclom_tpu.atomicdata import radpres_table
 from nexoclom_tpu.initial_state.loss_info import LossInfo
+from nexoclom_tpu.initial_state.sections import effective_taa
 from nexoclom_tpu.initial_state.sampling import build_initial_state
 from nexoclom_tpu.ops.integrator import (EngineSpec, ForceTable, PacketState,
                                          SurfaceTable, adaptive_step_driver,
@@ -92,11 +93,12 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
 
 
 def build_surface_table(inputs, spec: EngineSpec, radius_km: float,
-                        dtype) -> SurfaceTable:
+                        dtype, taa=None) -> SurfaceTable:
     """Surface-interaction parameters; the emission-speed table is built only
     when thermal accommodation is active."""
     sint = inputs.surfaceinteraction
-    taa = inputs.geometry.taa
+    if taa is None:
+        taa = effective_taa(inputs.geometry)
     if spec.accom:
         v_table, temp0, dtemp = build_emission_speed_table(
             taa, inputs.options.species, radius_km)
@@ -127,15 +129,12 @@ class Output:
             self.X = pd.DataFrame()
             self.npackets = npackets
             self.totalsource = float(npackets)
-            r, v_r = planet_dist(self.planet, inputs.geometry.taa)
+            r, v_r = planet_dist(self.planet, effective_taa(inputs.geometry))
             self.aplanet, self.vrplanet = r, v_r
             self.GM = self.planet.gm_rp3
             self.save()
             return
 
-        if inputs.geometry.type == 'geometry with starttime':
-            raise NotImplementedError(
-                'Initialization with time stamp not implemented yet.')
         if (inputs.geometry.planet.object != inputs.geometry.startpoint):
             raise NotImplementedError('Satellite start points not set up.')
 
@@ -146,7 +145,9 @@ class Output:
 
         radius_km = self.planet.radius
         self.GM = self.planet.gm_rp3
-        r, v_r = planet_dist(self.planet, inputs.geometry.taa)
+        taa = effective_taa(inputs.geometry)
+        self.taa = taa
+        r, v_r = planet_dist(self.planet, taa)
         self.aplanet = r                       # AU
         self.vrplanet = v_r                    # km/s
         vrplanet_model = v_r / radius_km       # R_p/s
@@ -324,6 +325,11 @@ class Output:
 
     def __len__(self):
         return self.npackets
+
+    def __getitem__(self, keys):
+        """Subset the result rows in place (reference ``Output.__getitem__``,
+        ``Output.py:218-219``)."""
+        self.X = self.X.iloc[keys]
 
     def __str__(self):
         return (f'Output for {self.planet.object}: {self.npackets} packets, '

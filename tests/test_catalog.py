@@ -89,3 +89,30 @@ def test_delete_cascade():
     # fitted output cascaded too
     assert not any(r['idnum'] == fid for r in catalog.outputs.records())
     assert fname in files and ffile in files
+
+
+def test_concurrent_inserts_are_serialised():
+    """Two processes appending to one catalog must not lose records (the
+    Condor-workers-shared-postgres pattern, now via file locks)."""
+    import subprocess
+    import sys
+    import textwrap
+    from nexoclom_tpu.utilities.config import get_config
+
+    savepath = get_config().savepath
+    script = textwrap.dedent("""
+        import json, sys
+        from nexoclom_tpu.utilities.catalog import Catalog
+        catalog = Catalog(sys.argv[1])
+        for i in range(30):
+            catalog.losmodels.insert({'tag': sys.argv[2], 'i': i})
+    """)
+    procs = [subprocess.Popen([sys.executable, '-c', script, savepath, tag])
+             for tag in ('a', 'b')]
+    assert all(p.wait() == 0 for p in procs)
+
+    from nexoclom_tpu.utilities.catalog import Catalog
+    records = Catalog(savepath).losmodels.records()
+    assert len(records) == 60
+    ids = [r['idnum'] for r in records]
+    assert len(set(ids)) == 60          # unique ids, no lost updates

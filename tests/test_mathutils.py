@@ -97,3 +97,24 @@ def test_smooth2d_preserves_mean():
 def test_minmaxmean():
     lo, hi, mean = minmaxmean(np.array([1.0, np.nan, 3.0]))
     assert (lo, hi, mean) == (1.0, 3.0, 2.0)
+
+
+def test_device_histograms_match_numpy():
+    """ops.histograms scatter-adds must match np.histogram semantics
+    including right-edge inclusion and out-of-range drops."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.histograms import histogram1d, histogram2d
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([rng.uniform(-1, 11, 5000), [0.0, 10.0, -5.0, 15.0]])
+    w = rng.random(len(vals))
+    got = np.asarray(histogram1d(jnp.asarray(vals), jnp.asarray(w),
+                                 0.0, 10.0, 20))
+    want, _ = np.histogram(vals, bins=20, range=(0, 10), weights=w)
+    assert np.allclose(got, want, rtol=1e-12)
+
+    ys = np.concatenate([rng.uniform(-1, 6, 5000), [5.0, 0.0, 2.0, 2.0]])
+    got2 = np.asarray(histogram2d(jnp.asarray(vals), jnp.asarray(ys),
+                                  jnp.asarray(w), 0.0, 10.0, 10, 0.0, 5.0, 8))
+    want2, _, _ = np.histogram2d(vals, ys, bins=(10, 8),
+                                 range=[[0, 10], [0, 5]], weights=w)
+    assert np.allclose(got2, want2, rtol=1e-12)

@@ -143,13 +143,23 @@ def test_radial_angular_end_to_end():
     assert np.allclose(vdotr, v, rtol=1e-6)   # purely radial (r=1)
 
 
-def test_geometry_with_starttime_not_implemented():
+def test_geometry_with_starttime_runs():
+    """Time-stamped geometry derives the TAA by Kepler propagation and runs
+    (the reference asserts NotImplementedError here, Output.py:95-96)."""
     from nexoclom_tpu.particle_tracking import Output
+    from nexoclom_tpu.solarsystem.planet_geometry import true_anomaly_at_time
     inp = _base_inputs()
+    inp.options.endtime = 300.0
     inp.geometry = Geometry({'planet': 'Mercury',
                              'starttime': '2026-08-16T00:00:00'})
-    with pytest.raises(NotImplementedError):
-        Output(inp, 10)
+    out = Output(inp, 50, seed=3)
+    expected_taa = true_anomaly_at_time('2026-08-16T00:00:00', 'Mercury')
+    assert out.taa == pytest.approx(expected_taa)
+    assert 0.30 < out.aplanet < 0.47
+    assert len(out.X) > 0
+    # cataloged and searchable by the exact timestamp
+    ids, files, n, _ = inp.search()
+    assert n == 50
 
 
 def test_exobase_scaling():
