@@ -260,3 +260,33 @@ def test_worker_los_task(use_ca_catalog, tmp_path):
     rows = get_catalog().search_losmodels(quantity='radiance',
                                           dphi=math.radians(3.0))
     assert any(os.path.exists(row['filename']) for row in rows)
+
+
+def test_los_on_adaptive_output(tmp_path_factory):
+    """LOS radiance also works over adaptive-mode outputs (one snapshot per
+    packet, steady-state time sampling)."""
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+    set_config(NexoclomConfig(
+        savepath=str(tmp_path_factory.mktemp('adaptive_los')),
+        precision='float64'))
+    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp.options.endtime = 1800.0
+    inp.options.step_size = 0.0
+    inp.options.resolution = 1e-4
+    inp.run(1500, seed=41)
+    scdata = _spacecraft_data()
+    los = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(5.0), label='adaptive')
+    los.simulate_data_from_inputs(scdata)
+    model = los.radiance.to_numpy()
+    assert np.all(np.isfinite(model)) and model.max() > 0
+
+
+def test_params_from_file(use_ca_catalog, tmp_path):
+    inp = use_ca_catalog
+    pfile = tmp_path / 'format.txt'
+    pfile.write_text('quantity = radiance   ; with a comment\n'
+                     'dims = 16,16\n')
+    img = ModelImage(inp, str(pfile))
+    assert img.quantity == 'radiance'
+    assert img.dims == [16, 16]

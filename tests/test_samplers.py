@@ -179,3 +179,30 @@ def test_velocity_from_angles_unit_norm():
     vdotr = (np.asarray(vx) * np.asarray(x) + np.asarray(vy) * np.asarray(y) +
              np.asarray(vz) * np.asarray(z))
     assert np.all(vdotr > -1e-10)
+
+
+def test_sputtering_speed_ks():
+    """Device sputtering sampler vs the analytic Sigmund-Thompson CDF."""
+    from nexoclom_tpu.mathutils.distributions import sputdist
+    grid = np.linspace(0.1, 50, 5000)
+    f_v = sputdist(grid, 2.0, 3.0, 0.0, 'Na')
+    v = samplers.sample_tabulated_1d(KEY, jnp.asarray(f_v), grid[0], grid[-1],
+                                     N, dtype=jnp.float64)
+    c = np.cumsum(f_v)
+    c = (c - c[0]) / (c[-1] - c[0])
+    _, p = stats.kstest(np.asarray(v), lambda x: np.interp(x, grid, c))
+    assert p > 0.01
+
+
+def test_device_sampler_matches_host_sampler():
+    """The jax inverse-CDF sampler and the host numpy one draw from the same
+    law (two-sample KS)."""
+    from nexoclom_tpu.mathutils.randomdeviates import random_deviates_1d
+    grid = np.linspace(0.0, 5.0, 1000)
+    f = grid ** 2 * np.exp(-grid)
+    dev = np.asarray(samplers.sample_tabulated_1d(
+        KEY, jnp.asarray(f), grid[0], grid[-1], 50000, dtype=jnp.float64))
+    host = random_deviates_1d(grid, f, 50000,
+                              rng=np.random.default_rng(4))
+    _, p = stats.ks_2samp(dev, host)
+    assert p > 0.01
