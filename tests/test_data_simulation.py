@@ -290,3 +290,27 @@ def test_params_from_file(use_ca_catalog, tmp_path):
     img = ModelImage(inp, str(pfile))
     assert img.quantity == 'radiance'
     assert img.dims == [16, 16]
+
+
+def test_fitted_use_selected_subsampling(use_ca_catalog):
+    """use_selected keeps at most one snapshot per trajectory, drawn from the
+    global time grid (reference LOSResultFitted.py:96-113 semantics)."""
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                      dphi=math.radians(3.0), label='sel')
+    unfit.simulate_data_from_inputs(scdata)
+    scdata.data['radiance'] = unfit.radiance.to_numpy() * 1.1
+    unfit.determine_source_rate(scdata, use_weight=False)
+
+    fitted = LOSResultFitted(scdata, 'sel', {'quantity': 'radiance'},
+                             label='sel_fitted')
+    fitted.determine_source_from_data(scdata, use_selected=True,
+                                      overwrite=True)
+    # the saved fitted output holds <= 1 row per trajectory
+    from nexoclom_tpu.particle_tracking import Output
+    out = Output.restore(fitted.outputfiles[0])
+    counts = out.X.groupby('Index').size()
+    assert counts.max() == 1
+    assert len(out.X) < out.npackets + 1   # some trajectories dropped
+    assert np.all(np.isfinite(fitted.radiance.to_numpy()))
