@@ -54,5 +54,27 @@ class SpacecraftData:
                 'constructing SpacecraftData')
         self.frame = frame
 
+    def model(self, inputs, npackets, dphi=None, params=None,
+              label='LOSResult', masking=None, overwrite=False, seed=None,
+              **run_kwargs):
+        """Run the model for these observations and fit the source rate.
+
+        The convenience chain the reference exposes through
+        ``MESSENGERdata.model(inputs, npackets, ...)`` (exercised by its
+        system test, ``tests/system_tests/test_run_through.py:19-31``):
+        simulate any missing packets, compute/restore the LOS iterations,
+        and scale the model onto the data.  Returns the LOSResult.
+        """
+        import math
+
+        from nexoclom_tpu.data_simulation.los_result import LOSResult
+
+        inputs.run(npackets, overwrite=overwrite, seed=seed, **run_kwargs)
+        los = LOSResult(self, inputs, params,
+                        dphi=math.radians(1.0) if dphi is None else dphi,
+                        masking=masking, label=label)
+        los.simulate_data_from_inputs(self)
+        return los
+
     def __len__(self):
         return len(self.data)

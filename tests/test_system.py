@@ -1,0 +1,59 @@
+"""System run-through: the reference's end-to-end scenario
+(tests/system_tests/test_run_through.py — MESSENGER orbit data modeled for
+Ca and Na) recreated with synthetic spacecraft observations and the
+scdata.model() convenience chain."""
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nexoclom_tpu.data_simulation import SpacecraftData
+from nexoclom_tpu.initial_state import Input
+
+pytestmark = pytest.mark.integration
+
+INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+
+
+def _orbit_data(n=20, radius=6.0):
+    """A synthetic orbit: spacecraft circling in the x-z plane, boresights
+    through the near-planet region."""
+    theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    sc = np.stack([radius * np.cos(theta), np.full(n, -1.5),
+                   radius * np.sin(theta)], axis=1)
+    target = np.zeros((n, 3))
+    target[:, 0] = 1.5 * np.cos(theta + 0.8)
+    target[:, 2] = 1.5 * np.sin(theta + 0.8)
+    bore = target - sc
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    return pd.DataFrame({
+        'x': sc[:, 0], 'y': sc[:, 1], 'z': sc[:, 2],
+        'xbore': bore[:, 0], 'ybore': bore[:, 1], 'zbore': bore[:, 2],
+        'radiance': np.ones(n), 'sigma': np.full(n, 0.1),
+        'alttan': np.abs(sc[:, 2]),
+    })
+
+
+@pytest.mark.parametrize('case', ['Ca.spot.input', 'Na.spot.input'])
+def test_run_through(case):
+    inputs = Input(os.path.join(INPUTFILES, case))
+    inputs.options.endtime = 1500.0   # scaled down for CI
+
+    scdata = SpacecraftData(_orbit_data(), species=inputs.options.species,
+                            query=f'synthetic orbit {case}')
+    result = scdata.model(inputs, 2000, dphi=math.radians(3.0),
+                          label=f'system_{case}', seed=1234)
+
+    model = result.radiance.to_numpy()
+    assert np.all(np.isfinite(model))
+    assert model.max() > 0
+    assert result.sourcerate > 0
+    assert result.npackets == 2000
+    # registered on the scdata for later fitted retrievals
+    assert scdata.model_result[f'system_{case}'] is result
+    # second call reuses both the packets and the LOS iterations
+    result2 = scdata.model(inputs, 2000, dphi=math.radians(3.0),
+                           label=f'again_{case}', seed=1234)
+    assert np.allclose(result2.radiance.to_numpy(), model, rtol=1e-9)
