@@ -106,6 +106,9 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     packet axis shards over the 'packets' mesh axis; the image scatter-add
     reduces across shards with the psum XLA inserts.
     """
+    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
     params = params or {}
     quantity = params.get('quantity', 'column')
     dims = [int(d) for d in str(params.get('dims', '800,800')).split(',')]

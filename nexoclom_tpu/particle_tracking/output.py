@@ -53,6 +53,11 @@ X0_COLUMNS = ['time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'v',
 def engine_spec_from_inputs(inputs) -> EngineSpec:
     """Map Input sections onto the static engine configuration."""
     sint = inputs.surfaceinteraction
+    if sint.sticktype == 'surface map':
+        # parity with the reference, which asserts on this path
+        # (bouncepackets.py:90-91)
+        raise NotImplementedError(
+            'surface-map sticking is not implemented')
     full_stick = (sint.sticktype == 'constant' and
                   getattr(sint, 'stickcoef', None) == 1.0)
     from nexoclom_tpu.ops.integrator import default_lookup_impl
@@ -142,6 +147,9 @@ class Output:
             dtype = (jnp.float64 if get_config().precision == 'float64'
                      else jnp.float32)
         self._dtype = dtype
+
+        from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+        enable_compilation_cache()
 
         radius_km = self.planet.radius
         self.GM = self.planet.gm_rp3

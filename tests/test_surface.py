@@ -230,3 +230,18 @@ def test_output_bouncing_configuration():
     assert np.all((fracs >= 0) & (fracs <= 1.001))
     # some packets bounced (frac in (0,1) strictly from 0.5 sticking)
     assert np.any((fracs > 0) & (fracs < 1.0))
+
+
+def test_surface_map_sticking_not_implemented():
+    """Surface-map sticking raises (the reference asserts on this path,
+    bouncepackets.py:90-91) instead of silently not sticking."""
+    import os
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.initial_state.sections import SurfaceInteraction
+    from nexoclom_tpu.particle_tracking import Output
+    inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+    inp = Input(os.path.join(inputfiles, 'Gravity.input'))
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'sticktype': 'surface map', 'accomfactor': '0.5'})
+    with pytest.raises(NotImplementedError):
+        Output(inp, 10)
