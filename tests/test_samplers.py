@@ -206,3 +206,35 @@ def test_device_sampler_matches_host_sampler():
                               rng=np.random.default_rng(4))
     _, p = stats.ks_2samp(dev, host)
     assert p > 0.01
+
+
+def test_2d_inverse_cdf_matches_rejection_sampling():
+    """A1 (QUIRKS.md): the inverse-CDF 2-D sampler draws from the same law as
+    the reference's acceptance-rejection method (two-sample KS on both
+    marginals over the same gridded spot pdf)."""
+    lon0, sigma = math.pi / 2, math.radians(30)
+    pdf, lon_grid, lat_grid = samplers.spot_pdf_grid(lon0, 0.0, sigma)
+
+    tables = samplers.build_2d_sampler_tables(pdf, lon_grid, lat_grid)
+    lon_inv, lat_inv = samplers.sample_2d(KEY, tables, 50000,
+                                          dtype=jnp.float64)
+
+    # reference-style rejection sampling against the bilinear interpolant
+    from scipy.interpolate import RegularGridInterpolator
+    rng = np.random.default_rng(6)
+    interp = RegularGridInterpolator((lon_grid, lat_grid), pdf)
+    fmax = pdf.max()
+    lon_rej, lat_rej = [], []
+    while len(lon_rej) < 50000:
+        ux = rng.uniform(lon_grid[0], lon_grid[-1], 50000)
+        uy = rng.uniform(lat_grid[0], lat_grid[-1], 50000)
+        uf = rng.uniform(0, fmax, 50000)
+        ok = uf < interp(np.stack([ux, uy], 1))
+        lon_rej.extend(ux[ok])
+        lat_rej.extend(uy[ok])
+    lon_rej = np.array(lon_rej[:50000])
+    lat_rej = np.array(lat_rej[:50000])
+
+    _, p_lon = stats.ks_2samp(np.asarray(lon_inv), lon_rej)
+    _, p_lat = stats.ks_2samp(np.asarray(lat_inv), lat_rej)
+    assert p_lon > 0.001 and p_lat > 0.001
