@@ -3,11 +3,11 @@
 Cases (authored equivalents of the reference's test inputs; see
 tests/data/inputfiles/):
 
-  * Gravity.input — gravity-only, flat speeds: checks per-trajectory energy
+  * mercury_gravity.input — gravity-only, flat speeds: checks per-trajectory energy
     conservation;
-  * Ca.spot.input — dawn spot, hot maxwellian, full sticking: produces the
+  * mercury_ca_spot.input — dawn spot, hot maxwellian, full sticking: produces the
     Ca radiance image and reports the source-rate normalisation;
-  * Na.spot.input — subsolar spot, thermal maxwellian, radiation pressure:
+  * mercury_na_spot.input — subsolar spot, thermal maxwellian, radiation pressure:
     checks the anti-sunward tail asymmetry radiation pressure must produce.
 
 Usage: python scripts/run_parity_cases.py [--npackets N] [--tpu]
@@ -52,7 +52,7 @@ def main():
           f'npackets = {args.npackets}\n')
 
     # ---- Gravity: energy conservation --------------------------------
-    inp = Input(os.path.join(INPUTFILES, 'Gravity.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_gravity.input'))
     inp.run(args.npackets, seed=1)
     _, files, _, _ = inp.search()
     out = Output.restore(files[-1])
@@ -68,7 +68,7 @@ def main():
           f'max |dE/E| = {rel.max():.2e}')
 
     # ---- Ca spot: radiance image ------------------------------------
-    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
     inp.run(args.npackets, seed=2)
     img = inp.produce_image({'quantity': 'radiance', 'dims': '200,200'})
     png = os.path.join(args.outdir, 'Ca_radiance.png')
@@ -78,7 +78,7 @@ def main():
           f'peak pixel = {peak} (dawn side: x-index < 100),  -> {png}')
 
     # ---- Na spot: radiation-pressure tail ----------------------------
-    inp = Input(os.path.join(INPUTFILES, 'Na.spot.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_na_spot.input'))
     inp.run(args.npackets, seed=3)
     img = inp.produce_image({'quantity': 'column', 'dims': '200,200',
                              'width': '30,30'})

@@ -40,7 +40,7 @@ def run_case(dtype_name, npackets):
     from nexoclom_tpu.particle_tracking.fused import fused_image_run
     dtype = jnp.float64 if dtype_name == 'float64' else jnp.float32
     inputs = Input(os.path.join(os.path.dirname(__file__), '..', 'tests',
-                                'data', 'inputfiles', 'Ca.spot.input'))
+                                'data', 'inputfiles', 'mercury_ca_spot.input'))
     return fused_image_run(inputs, npackets, dict(PARAMS), seed=SEED,
                            dtype=dtype).image
 

@@ -15,7 +15,7 @@ INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
 
 
 def _inputs():
-    return Input(os.path.join(INPUTFILES, 'Gravity.input'))
+    return Input(os.path.join(INPUTFILES, 'mercury_gravity.input'))
 
 
 def test_search_empty():

@@ -24,7 +24,7 @@ def ca_run(tmp_path_factory):
     from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
     savepath = tmp_path_factory.mktemp('ca_run')
     set_config(NexoclomConfig(savepath=str(savepath), precision='float64'))
-    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
     inp.options.endtime = 2400.0
     inp.run(2000, seed=99)
     return inp, str(savepath)
@@ -245,7 +245,7 @@ def test_worker_los_task(use_ca_catalog, tmp_path):
     scdata.data.to_csv(csv, index=False)
     payload = {'task': 'los', 'inputs': inp.to_dict(),
                'outputfile': files[0], 'scdata': str(csv), 'species': 'Ca',
-               'params': {'quantity': 'radiance'},
+               'params': {'quantity': 'radiance'}, 'query': 'worker-task',
                'dphi': math.radians(3.0)}
     pfile = tmp_path / 'payload.json'
     pfile.write_text(json.dumps(payload))
@@ -258,8 +258,9 @@ def test_worker_los_task(use_ca_catalog, tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     from nexoclom_tpu.utilities.catalog import get_catalog
     rows = get_catalog().search_losmodels(quantity='radiance',
+                                          query='worker-task',
                                           dphi=math.radians(3.0))
-    assert any(os.path.exists(row['filename']) for row in rows)
+    assert rows and all(os.path.exists(row['filename']) for row in rows)
 
 
 def test_los_on_adaptive_output(tmp_path_factory):
@@ -269,7 +270,7 @@ def test_los_on_adaptive_output(tmp_path_factory):
     set_config(NexoclomConfig(
         savepath=str(tmp_path_factory.mktemp('adaptive_los')),
         precision='float64'))
-    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
     inp.options.endtime = 1800.0
     inp.options.step_size = 0.0
     inp.options.resolution = 1e-4

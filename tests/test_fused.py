@@ -17,7 +17,7 @@ INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
 
 
 def _inputs():
-    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
     inp.options.endtime = 1200.0
     return inp
 

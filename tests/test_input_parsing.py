@@ -17,7 +17,7 @@ INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
 
 
 def test_gravity_input_exact():
-    inp = Input(os.path.join(INPUTFILES, 'Gravity.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_gravity.input'))
     assert inp.geometry.planet.object == 'Mercury'
     assert inp.geometry.taa == 3.14
     assert inp.geometry.subsolarpoint == (0.0, 0.0)
@@ -46,7 +46,7 @@ def test_gravity_input_exact():
 
 
 def test_ca_spot_input_exact():
-    inp = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    inp = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
     assert inp.spatialdist.type == 'surface spot'
     assert inp.spatialdist.longitude == pytest.approx(3 * math.pi / 2)
     assert inp.spatialdist.sigma == pytest.approx(math.radians(50))
@@ -57,9 +57,9 @@ def test_ca_spot_input_exact():
 
 
 def test_input_equality_and_dict_roundtrip():
-    a = Input(os.path.join(INPUTFILES, 'Gravity.input'))
-    b = Input(os.path.join(INPUTFILES, 'Gravity.input'))
-    c = Input(os.path.join(INPUTFILES, 'Ca.spot.input'))
+    a = Input(os.path.join(INPUTFILES, 'mercury_gravity.input'))
+    b = Input(os.path.join(INPUTFILES, 'mercury_gravity.input'))
+    c = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
     assert a == b
     assert a != c
     d = a.to_dict()

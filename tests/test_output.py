@@ -21,7 +21,7 @@ def _shrink(inp, endtime=3000.0):
 
 
 def test_gravity_run_energy_conservation():
-    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out = Output(inp, 300, seed=42, compress=False)
 
     assert out.npackets == 300
@@ -50,7 +50,7 @@ def test_gravity_run_energy_conservation():
 
 
 def test_output_catalog_and_restore(tmp_path):
-    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out = Output(inp, 50, seed=7)
 
     ids, files, npackets, totalsource = inp.search()
@@ -69,7 +69,7 @@ def test_output_catalog_and_restore(tmp_path):
 
 
 def test_compress_drops_dead_packets():
-    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out_c = Output(inp, 100, seed=3, compress=True)
     assert np.all(out_c.X.frac > 0)
     out_u = Output(inp, 100, seed=3, compress=False)
@@ -78,7 +78,7 @@ def test_compress_drops_dead_packets():
 
 
 def test_input_run_resumes_from_catalog(capsys):
-    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')), 600.0)
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')), 600.0)
     inp.run(100, packs_per_it=50, seed=11)
     ids, files, npackets, _ = inp.search()
     assert npackets == 100 and len(files) == 2
@@ -97,7 +97,7 @@ def test_input_run_resumes_from_catalog(capsys):
 
 
 def test_adaptive_output_run():
-    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')), 2000.0)
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')), 2000.0)
     inp.options.step_size = 0.0
     inp.options.resolution = 1e-5
     out = Output(inp, 100, seed=5, compress=False)
@@ -121,7 +121,7 @@ def test_adaptive_output_run():
 
 
 def test_run_model_false_catalogs_placeholder():
-    inp = _shrink(Input(os.path.join(INPUTFILES, 'Gravity.input')))
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out = Output(inp, 500, run_model=False)
     assert out.totalsource == 500.0
     _, _, npackets, _ = inp.search()

@@ -93,7 +93,7 @@ def test_fused_image_sharded_matches_unsharded():
     from nexoclom_tpu.parallel import make_mesh
     from nexoclom_tpu.particle_tracking.fused import fused_image_run
     inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
-    inp = Input(os.path.join(inputfiles, 'Ca.spot.input'))
+    inp = Input(os.path.join(inputfiles, 'mercury_ca_spot.input'))
     inp.options.endtime = 600.0
     params = {'quantity': 'column', 'dims': '24,24', 'width': '8,8'}
     plain = fused_image_run(inp, 256, dict(params), seed=9)

@@ -22,7 +22,7 @@ INPUTFILES = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
 
 
 def _base_inputs():
-    return Input(os.path.join(INPUTFILES, 'Gravity.input'))
+    return Input(os.path.join(INPUTFILES, 'mercury_gravity.input'))
 
 
 def test_surface_map_2d_sampling(tmp_path):

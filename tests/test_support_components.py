@@ -105,9 +105,9 @@ def test_run_sweep_subprocess(tmp_path):
     from nexoclom_tpu.utilities.config import get_config
 
     inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
-    inp1 = Input(os.path.join(inputfiles, 'Gravity.input'))
+    inp1 = Input(os.path.join(inputfiles, 'mercury_gravity.input'))
     inp1.options.endtime = 300.0
-    inp2 = Input(os.path.join(inputfiles, 'Gravity.input'))
+    inp2 = Input(os.path.join(inputfiles, 'mercury_gravity.input'))
     inp2.options.endtime = 600.0
 
     from nexoclom_tpu.utilities.sweep import run_sweep
@@ -203,7 +203,7 @@ def test_debug_mode_end_to_end(monkeypatch):
     from nexoclom_tpu.particle_tracking import Output
     monkeypatch.setenv('NEXOCLOM_DEBUG', '1')
     inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
-    inp = Input(os.path.join(inputfiles, 'Gravity.input'))
+    inp = Input(os.path.join(inputfiles, 'mercury_gravity.input'))
     inp.options.endtime = 300.0
     out = Output(inp, 50, seed=1)   # passes validation
     assert out.npackets == 50

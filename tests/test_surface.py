@@ -216,7 +216,7 @@ def test_output_bouncing_configuration():
     from nexoclom_tpu.initial_state import Input
     from nexoclom_tpu.particle_tracking import Output
     inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
-    inp = Input(os.path.join(inputfiles, 'Na.spot.input'))
+    inp = Input(os.path.join(inputfiles, 'mercury_na_spot.input'))
     inp.options.endtime = 1200.0
     from nexoclom_tpu.initial_state.sections import SurfaceInteraction
     inp.surfaceinteraction = SurfaceInteraction(
@@ -240,7 +240,7 @@ def test_surface_map_sticking_not_implemented():
     from nexoclom_tpu.initial_state.sections import SurfaceInteraction
     from nexoclom_tpu.particle_tracking import Output
     inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
-    inp = Input(os.path.join(inputfiles, 'Gravity.input'))
+    inp = Input(os.path.join(inputfiles, 'mercury_gravity.input'))
     inp.surfaceinteraction = SurfaceInteraction(
         {'sticktype': 'surface map', 'accomfactor': '0.5'})
     with pytest.raises(NotImplementedError):

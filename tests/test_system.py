@@ -36,7 +36,7 @@ def _orbit_data(n=20, radius=6.0):
     })
 
 
-@pytest.mark.parametrize('case', ['Ca.spot.input', 'Na.spot.input'])
+@pytest.mark.parametrize('case', ['mercury_ca_spot.input', 'mercury_na_spot.input'])
 def test_run_through(case):
     inputs = Input(os.path.join(INPUTFILES, case))
     inputs.options.endtime = 1500.0   # scaled down for CI
