@@ -315,3 +315,31 @@ def test_fitted_use_selected_subsampling(use_ca_catalog):
     assert counts.max() == 1
     assert len(out.X) < out.npackets + 1   # some trajectories dropped
     assert np.all(np.isfinite(fitted.radiance.to_numpy()))
+
+
+def test_image_overwrite_recomputes(use_ca_catalog):
+    inp = use_ca_catalog
+    params = {'quantity': 'column', 'dims': '20,20'}
+    img1 = ModelImage(inp, dict(params))
+    from nexoclom_tpu.utilities.catalog import get_catalog
+    n_before = len(get_catalog().images.records())
+    img2 = ModelImage(inp, dict(params), overwrite=True)
+    n_after = len(get_catalog().images.records())
+    assert n_after == n_before          # old record replaced, not duplicated
+    assert np.allclose(img2.image, img1.image)
+
+
+def test_delete_files_selective(use_ca_catalog):
+    inp = use_ca_catalog
+    ids, files, n_before, _ = inp.search()
+    assert len(files) >= 1
+    # add one more chunk, then delete only it
+    inp.run(n_before + 500, packs_per_it=500, seed=77)
+    ids2, files2, n_mid, _ = inp.search()
+    new_files = [f for f in files2 if f not in files]
+    assert len(new_files) == 1
+    inp.delete_files(filename=new_files[0])
+    ids3, files3, n_after, _ = inp.search()
+    assert n_after == n_before
+    assert new_files[0] not in files3
+    assert not os.path.exists(new_files[0])
