@@ -116,12 +116,8 @@ def _speed_kms(key, inputs, n, dtype):
                          f'speeddist.type = {speed.type} not valid here')
 
 
-def build_initial_state(inputs, n: int, seed=None, dtype=jnp.float64):
-    """Sample ``n`` packets' initial states.  Returns a dict of jnp arrays
-    with the reference's X0 columns (model units)."""
-    if seed is None:
-        seed = int(np.random.SeedSequence().entropy % (2 ** 63))
-    key = jax.random.PRNGKey(seed)
+def _sample_impl(key, inputs, n: int, dtype):
+    """The traced sampling body (see build_initial_state)."""
     k_time, k_spatial, k_speed, k_angular = jax.random.split(key, 4)
 
     options = inputs.options
@@ -170,3 +166,36 @@ def build_initial_state(inputs, n: int, seed=None, dtype=jnp.float64):
         'local_time': local_time.astype(dtype),
         'altitude': alt.astype(dtype), 'azimuth': az.astype(dtype),
     }
+
+
+# One compiled sampler per (canonical inputs, n, dtype): chunked mega-runs
+# re-draw initial states every chunk, and on the axon platform each eager
+# device op costs a ~50 ms round trip — jitting the whole assembly makes a
+# chunk's source generation a single dispatch.
+_SAMPLER_CACHE: dict = {}
+
+
+def build_initial_state(inputs, n: int, seed=None, dtype=jnp.float64):
+    """Sample ``n`` packets' initial states.  Returns a dict of jnp arrays
+    with the reference's X0 columns (model units).
+
+    Time-sampling parity (``Output.py:136-139``): constant-step runs start
+    every packet with the full endtime; adaptive runs draw uniform random
+    ages (the steady-state trick).
+    """
+    import json
+
+    if seed is None:
+        seed = int(np.random.SeedSequence().entropy % (2 ** 63))
+
+    cache_key = (json.dumps(inputs.to_dict(), sort_keys=True, default=str),
+                 int(n), str(dtype))
+    sampler = _SAMPLER_CACHE.get(cache_key)
+    if sampler is None:
+        def sample(key):
+            return _sample_impl(key, inputs, n, dtype)
+        sampler = jax.jit(sample)
+        if len(_SAMPLER_CACHE) > 64:
+            _SAMPLER_CACHE.clear()
+        _SAMPLER_CACHE[cache_key] = sampler
+    return sampler(jax.random.PRNGKey(seed))

@@ -305,3 +305,34 @@ def test_radpres_per_step_approximation():
         # this adversarial table (100% variation per 30 km/s) that is a few
         # 1e-4 R_p after 5000 s -- far below image-bin scales (>=0.01 R_p)
         assert np.median(diff) < 1e-3 and np.max(diff) < 5e-3   # R_p
+
+
+def test_adaptive_vs_constant_with_radpres():
+    """With radiation pressure + photo loss active, the adaptive and
+    constant-step drivers must agree trajectory-wise at tight tolerance
+    (the cross-driver consistency check SURVEY section 7.2 step 5 calls
+    for)."""
+    grid = np.linspace(-0.03, 0.03, 301)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM_MERCURY), ion_rate=jnp.asarray(5e-5),
+        vrplanet=jnp.asarray(9.7 / RADIUS_KM),
+        rp_v0=jnp.asarray(grid[0]), rp_dv=jnp.asarray(grid[1] - grid[0]),
+        rp_accel=jnp.asarray((1 + np.cos(grid * 200)) * 5e-8))
+    spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False)
+    state0 = make_state(n=48, vmin=3.0, vmax=6.0, endtime=4000.0)
+    nsteps = int(np.ceil(4000.0 / 5.0 + 1))
+    final_c, _ = constant_step_driver(state0, spec, forces, None, 5.0, 1e30,
+                                      RADIUS_KM, KEY, nsteps=nsteps,
+                                      save_history=False)
+    final_a, _ = adaptive_step_driver(state0, spec, forces, None, 1e-6, 1e30,
+                                      RADIUS_KM, KEY)
+    alive = (np.asarray(final_c.frac) > 0) & (np.asarray(final_a.frac) > 0)
+    assert alive.sum() > 10
+    for comp in ('x', 'y', 'z'):
+        diff = np.abs(np.asarray(getattr(final_c, comp))[alive] -
+                      np.asarray(getattr(final_a, comp))[alive])
+        assert np.max(diff) < 2e-3
+    frac_diff = np.abs(np.asarray(final_c.frac)[alive] -
+                       np.asarray(final_a.frac)[alive])
+    assert np.max(frac_diff) < 1e-4
