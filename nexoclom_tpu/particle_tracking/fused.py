@@ -177,6 +177,11 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     totalsource = 0.0
     done = 0
     chunk_index = 0
+    # constants uploaded once; per-chunk work is two dispatches (sampler +
+    # driver) with no host synchronisation, so chunks pipeline on device
+    step_dev = jnp.asarray(options.step_size, dtype)
+    edge_dev = jnp.asarray(options.outeredge, dtype)
+    radius_dev = jnp.asarray(radius_km, dtype)
     while done < npackets:
         this_chunk = min(chunk, npackets - done)
         if mesh is not None:
@@ -184,7 +189,9 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
             this_chunk = max(shards, this_chunk - this_chunk % shards)
         x0 = build_initial_state(inputs, int(this_chunk),
                                  seed=seed + chunk_index, dtype=dtype)
-        totalsource += float(np.asarray(x0['frac']).sum()) * nsteps
+        # initial frac is identically 1 (Output.py:147), so the chunk's
+        # source contribution is exactly its packet count
+        totalsource += float(this_chunk) * nsteps
         state0 = packet_state_from_dict(x0)
         if mesh is not None:
             from nexoclom_tpu.parallel.mesh import shard_state
@@ -192,9 +199,7 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
         run_key = jax.random.PRNGKey((seed + chunk_index) ^ 0x5EED)
         _, _, image = constant_step_driver(
             state0, spec, forces, surface,
-            jnp.asarray(options.step_size, dtype),
-            jnp.asarray(options.outeredge, dtype),
-            jnp.asarray(radius_km, dtype), run_key,
+            step_dev, edge_dev, radius_dev, run_key,
             nsteps=nsteps, save_history=False,
             accumulator=accumulator, acc_init=image)
         done += this_chunk
