@@ -323,12 +323,13 @@ def _apply_kills(stepped: PacketState, spec: EngineSpec,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=('spec', 'nsteps', 'save_history',
-                                   'accumulator'))
+                                   'accumulator', 'acc_stride'))
 def constant_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          step_size, outeredge, radius_km, key,
                          nsteps: int, save_history: bool = True,
-                         accumulator=None, acc_init=None):
+                         accumulator=None, acc_init=None,
+                         acc_stride: int = 1):
     """Fixed-step integration as one ``lax.scan``.
 
     Returns ``(final_state, history, accumulated)``... specifically
@@ -345,6 +346,11 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
     *including the initial state* — the fused-observable mode that keeps
     full-history statistics without materialising the (N x nsteps)
     trajectory tensor in HBM.  ``acc_init`` is its starting pytree.
+    ``acc_stride`` accumulates only every k-th snapshot (steps 0, k, 2k, ..)
+    — statistically valid Monte Carlo subsampling of the (correlated)
+    trajectory snapshots; the caller must scale totalsource by the number
+    of accumulated snapshots instead of nsteps.  Scatter-adds cost ~7x the
+    integration on this TPU, so strides directly raise fused throughput.
     """
     h = jnp.asarray(step_size, state0.x.dtype)
 
@@ -370,7 +376,12 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
             # dead packets carry frac == 0, so they accumulate nothing
             masked = jax.tree.map(lambda leaf: jnp.where(active, leaf, 0.0),
                                   new)
-            acc = accumulator(masked, acc)
+            if acc_stride == 1:
+                acc = accumulator(masked, acc)
+            else:
+                acc = jax.lax.cond(step_idx % acc_stride == 0,
+                                   lambda m, a: accumulator(m, a),
+                                   lambda m, a: a, masked, acc)
         if save_history:
             emitted = jax.tree.map(
                 lambda leaf: jnp.where(active, leaf, 0.0), new)

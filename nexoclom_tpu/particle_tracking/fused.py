@@ -95,7 +95,8 @@ class FusedImage:
 
 
 def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
-                    chunk: int | None = None, mesh=None) -> FusedImage:
+                    chunk: int | None = None, mesh=None,
+                    snapshot_stride: int = 1) -> FusedImage:
     """Simulate ``npackets`` and return the sky image, never storing
     trajectories.  ``params`` follows ModelImage (quantity, dims, center,
     width, subobslongitude, subobslatitude).
@@ -105,6 +106,12 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     ``mesh`` (from :func:`nexoclom_tpu.parallel.make_mesh`) each chunk's
     packet axis shards over the 'packets' mesh axis; the image scatter-add
     reduces across shards with the psum XLA inserts.
+
+    ``snapshot_stride > 1`` histograms only every k-th snapshot — a valid
+    Monte Carlo subsampling of the correlated trajectory snapshots whose
+    normalisation (totalsource = packets x accumulated snapshots) is exact;
+    per-step image scatter-adds dominate fused runs on this TPU, so stride
+    k raises throughput nearly k-fold at slightly higher image noise.
     """
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -190,8 +197,10 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
         x0 = build_initial_state(inputs, int(this_chunk),
                                  seed=seed + chunk_index, dtype=dtype)
         # initial frac is identically 1 (Output.py:147), so the chunk's
-        # source contribution is exactly its packet count
-        totalsource += float(this_chunk) * nsteps
+        # source contribution is its packet count times the number of
+        # accumulated snapshots (steps 0, stride, 2*stride, ...)
+        naccum = len(range(0, nsteps, snapshot_stride))
+        totalsource += float(this_chunk) * naccum
         state0 = packet_state_from_dict(x0)
         if mesh is not None:
             from nexoclom_tpu.parallel.mesh import shard_state
@@ -201,7 +210,8 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
             state0, spec, forces, surface,
             step_dev, edge_dev, radius_dev, run_key,
             nsteps=nsteps, save_history=False,
-            accumulator=accumulator, acc_init=image)
+            accumulator=accumulator, acc_init=image,
+            acc_stride=snapshot_stride)
         done += this_chunk
         chunk_index += 1
 

@@ -72,3 +72,18 @@ def test_fused_requires_constant_step():
     inp.options.resolution = 1e-4
     with pytest.raises(ValueError):
         fused_image_run(inp, 10, dict(PARAMS))
+
+
+def test_snapshot_stride_normalisation():
+    """Strided accumulation is an unbiased subsample: the normalised image
+    totals agree within MC noise, and the snapshot bookkeeping is exact."""
+    inp = _inputs()
+    full = fused_image_run(inp, 400, dict(PARAMS), seed=21)
+    strided = fused_image_run(inp, 400, dict(PARAMS), seed=21,
+                              snapshot_stride=4)
+    nsteps = int(np.ceil(1200.0 / 30.0 + 1))
+    assert full.totalsource == 400 * nsteps
+    assert strided.totalsource == 400 * len(range(0, nsteps, 4))
+    # same trajectories, quarter the snapshots: totals agree statistically
+    ratio = strided.image.sum() / full.image.sum()
+    assert abs(ratio - 1.0) < 0.05
