@@ -36,6 +36,7 @@ def main():
     spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
                       surface_bounce=False, check_outer_edge=True,
                       lookup_impl=default_lookup_impl())
+    from nexoclom_tpu.ops.pltable import compress_uniform
     v0, dv, accel = radpres_table('Ca', aplanet)
     forces = empty_force_table(dtype)._replace(
         gm=jnp.asarray(mercury.gm_rp3, dtype),
@@ -43,6 +44,9 @@ def main():
         rp_v0=jnp.asarray(v0 / radius_km, dtype),
         rp_dv=jnp.asarray(dv / radius_km, dtype),
         rp_accel=jnp.asarray(accel / radius_km, dtype),
+        rp_pl=compress_uniform(v0 / radius_km, dv / radius_km,
+                               accel / radius_km, rel_tol=1e-3,
+                               dtype=np.float32),
         ion_rate=jnp.asarray(LossInfo('Ca', 0.0, aplanet).photo, dtype))
 
     n_packets = 1 << 20

@@ -28,6 +28,7 @@ from nexoclom_tpu.ops.histograms import histogram2d
 from nexoclom_tpu.ops.integrator import (constant_step_driver,
                                          packet_state_from_dict,
                                          uniform_lookup)
+from nexoclom_tpu.ops.pltable import compress_uniform, pl_lookup
 from nexoclom_tpu.particle_tracking.output import (build_force_table,
                                                    build_surface_table,
                                                    engine_spec_from_inputs)
@@ -50,12 +51,14 @@ def observer_rotation(subobslongitude: float, subobslatitude: float):
 
 def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
                            quantity: str, g_v0, g_dv, g_table,
-                           vrplanet_model, apix_cm2, lookup_impl: str):
+                           vrplanet_model, apix_cm2, lookup_impl: str,
+                           g_pl=None):
     """Static accumulator folding one snapshot into the sky image.
 
     Implements exactly the ModelImage weighting chain
     (``ModelImage.py:250-269``): observer-frame occultation, sun-frame
     shadow, g-value weighting (radiance), per-pixel area normalisation.
+    ``g_pl``: compressed g(v) table used when ``lookup_impl == 'relu'``.
     """
     M = jnp.asarray(M)
     radiance = quantity in ('radiance', 'difrad')
@@ -70,8 +73,12 @@ def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
         if radiance:
             out_of_shadow = (state.x ** 2 + state.z ** 2 > 1.0) | \
                 (state.y < 0.0)
-            gg = uniform_lookup(g_table, g_v0, g_dv,
-                                state.vy + vrplanet_model, impl=lookup_impl)
+            if lookup_impl == 'relu' and g_pl is not None:
+                gg = pl_lookup(g_pl, state.vy + vrplanet_model)
+            else:
+                impl = 'dense' if lookup_impl == 'relu' else lookup_impl
+                gg = uniform_lookup(g_table, g_v0, g_dv,
+                                    state.vy + vrplanet_model, impl=impl)
             weight = weight * out_of_shadow * gg / 1e6
         weight = weight / apix_cm2
         return image + histogram2d(xo, zo, weight, xlo, xhi, nx, zlo, zhi, nz)
@@ -169,16 +176,19 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
             waves = DEFAULT_WAVELENGTHS[options.species]
         g_v0, g_dv, g_tab = gvalue_table(options.species, waves, aplanet)
         g_v0, g_dv = g_v0 / radius_km, g_dv / radius_km
+        g_pl = compress_uniform(
+            g_v0, g_dv, g_tab, rel_tol=1e-3,
+            dtype=np.float64 if dtype == jnp.float64 else np.float32)
         g_tab = jnp.asarray(g_tab, dtype)
     else:
-        g_v0, g_dv, g_tab = 0.0, 1.0, jnp.zeros(2, dtype)
+        g_v0, g_dv, g_tab, g_pl = 0.0, 1.0, jnp.zeros(2, dtype), None
 
     accumulator = make_image_accumulator(
         M.astype(np.float64 if dtype == jnp.float64 else np.float32),
         xlo, xhi, dims[0], zlo, zhi, dims[1], quantity,
         jnp.asarray(g_v0, dtype), jnp.asarray(g_dv, dtype), g_tab,
         jnp.asarray(vrplanet_model, dtype), jnp.asarray(apix_cm2, dtype),
-        spec.lookup_impl)
+        spec.lookup_impl, g_pl=g_pl)
 
     image = jnp.zeros(dims, dtype)
     totalsource = 0.0

@@ -73,8 +73,15 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
     )
 
 
+# max deviation of the compressed a(v) lookup from np.interp on the full
+# table, as a fraction of the table maximum (ops/pltable.py); 0.1% of the
+# radpres acceleration is far below the Monte Carlo noise of any run
+RADPRES_PL_TOL = 1e-3
+
+
 def build_force_table(inputs, aplanet: float, vrplanet_model: float,
-                      radius_km: float, dtype) -> ForceTable:
+                      radius_km: float, dtype,
+                      pl_tol: float = RADPRES_PL_TOL) -> ForceTable:
     """Physics tables in model units."""
     options = inputs.options
     table = empty_force_table(dtype)
@@ -83,11 +90,16 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
         vrplanet=jnp.asarray(vrplanet_model, dtype))
 
     if inputs.forces.radpres:
+        from nexoclom_tpu.ops.pltable import compress_uniform
         v0, dv, accel = radpres_table(options.species, aplanet)
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
         table = table._replace(
             rp_v0=jnp.asarray(v0 / radius_km, dtype),
             rp_dv=jnp.asarray(dv / radius_km, dtype),
-            rp_accel=jnp.asarray(accel / radius_km, dtype))
+            rp_accel=jnp.asarray(accel / radius_km, dtype),
+            rp_pl=compress_uniform(v0 / radius_km, dv / radius_km,
+                                   accel / radius_km, rel_tol=pl_tol,
+                                   dtype=np_dtype))
 
     if options.lifetime > 0:
         rate = 1.0 / options.lifetime

@@ -50,17 +50,23 @@ def main():
 
     # sweep members: Na at different true anomalies (distance + radial
     # velocity + photo rate all vary)
+    from nexoclom_tpu.ops.pltable import compress_uniform
     taas = np.linspace(0, 2 * np.pi, args.members, endpoint=False)
     tables = []
     for taa in taas:
         aplanet, vr = planet_dist(mercury, float(taa))
         v0, dv, accel = radpres_table('Na', aplanet, npoints=512)
+        # knot selection is scale-invariant (tol is relative to the table
+        # max), so members compress to identical shapes and stack cleanly
         tables.append(empty_force_table(dtype)._replace(
             gm=jnp.asarray(mercury.gm_rp3, dtype),
             vrplanet=jnp.asarray(vr / radius_km, dtype),
             rp_v0=jnp.asarray(v0 / radius_km, dtype),
             rp_dv=jnp.asarray(dv / radius_km, dtype),
             rp_accel=jnp.asarray(accel / radius_km, dtype),
+            rp_pl=compress_uniform(v0 / radius_km, dv / radius_km,
+                                   accel / radius_km, rel_tol=1e-3,
+                                   dtype=np.float32),
             ion_rate=jnp.asarray(LossInfo('Na', 0.0, aplanet).photo, dtype)))
     forces = stack_force_tables(tables)
     keys = jax.random.split(jax.random.PRNGKey(7), args.members)

@@ -1,0 +1,100 @@
+"""Compressed piecewise-linear table (ops/pltable.py): exactness at tol=0,
+error bounds on the real radpres/g-value curves, np.interp end clamping,
+and engine-level equivalence of the 'relu' lookup strategy."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nexoclom_tpu.atomicdata import gvalue_table, radpres_table
+from nexoclom_tpu.ops.pltable import compress_uniform, pl_lookup
+
+pytestmark = pytest.mark.ops
+
+
+def _grid(v0, dv, n):
+    return v0 + dv * np.arange(n)
+
+
+def test_tol_zero_is_exact_piecewise_linear():
+    rng = np.random.default_rng(3)
+    values = rng.normal(size=57)
+    v0, dv = -2.0, 0.25
+    pl = compress_uniform(v0, dv, values, rel_tol=0.0)
+    assert pl.knots.shape[0] == 56      # keeps every grid point
+    v = rng.uniform(v0 - 1, v0 + dv * 60, 4096)
+    expect = np.interp(v, _grid(v0, dv, 57), values)
+    got = np.asarray(pl_lookup(pl, jnp.asarray(v)))
+    np.testing.assert_allclose(got, expect, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize('species', ['Ca', 'Na', 'Mg'])
+def test_radpres_compression_error_bound(species):
+    v0, dv, accel = radpres_table(species, 0.352)
+    pl = compress_uniform(v0, dv, accel, rel_tol=1e-3)
+    # big compression on the real curves
+    assert pl.knots.shape[0] < len(accel) // 3
+    v = np.random.default_rng(0).uniform(v0, v0 + dv * len(accel), 100000)
+    expect = np.interp(v, _grid(v0, dv, len(accel)), accel)
+    got = np.asarray(pl_lookup(pl, jnp.asarray(v)))
+    assert np.max(np.abs(got - expect)) <= 1e-3 * np.max(np.abs(accel)) * 1.01
+
+
+def test_gvalue_compression_error_bound():
+    g_v0, g_dv, g_tab = gvalue_table('Na', [5891.0, 5897.0], 0.352)
+    pl = compress_uniform(g_v0, g_dv, g_tab, rel_tol=1e-3)
+    v = np.random.default_rng(1).uniform(g_v0, g_v0 + g_dv * len(g_tab),
+                                         50000)
+    expect = np.interp(v, _grid(g_v0, g_dv, len(g_tab)), g_tab)
+    got = np.asarray(pl_lookup(pl, jnp.asarray(v)))
+    assert np.max(np.abs(got - expect)) <= 1e-3 * np.max(np.abs(g_tab)) * 1.01
+
+
+def test_end_clamping_matches_np_interp():
+    values = np.array([2.0, 5.0, 3.0, 7.0])
+    pl = compress_uniform(0.0, 1.0, values, rel_tol=0.0)
+    v = jnp.asarray([-10.0, -0.001, 3.0001, 100.0])
+    got = np.asarray(pl_lookup(pl, v))
+    np.testing.assert_allclose(got, [2.0, 2.0, 7.0, 7.0], atol=1e-12)
+
+
+def test_relu_lookup_matches_gather_in_engine():
+    """A full RK5 step with lookup_impl='relu' (tol-compressed table) tracks
+    the exact-gather step to within the compression tolerance."""
+    import jax
+    from nexoclom_tpu.ops.integrator import (EngineSpec, empty_force_table,
+                                             rk5_step)
+    from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
+
+    radius_km = 2440.53
+    v0, dv, accel = radpres_table('Na', 0.352)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(-6.6743e-11 * 3.30103e23 / (radius_km * 1e3) ** 3),
+        vrplanet=jnp.asarray(9.69 / radius_km),
+        rp_v0=jnp.asarray(v0 / radius_km),
+        rp_dv=jnp.asarray(dv / radius_km),
+        rp_accel=jnp.asarray(accel / radius_km),
+        rp_pl=compress_uniform(v0 / radius_km, dv / radius_km,
+                               accel / radius_km, rel_tol=1e-3),
+        ion_rate=jnp.asarray(6.7e-5))
+    state = sample_uniform_flat_source(
+        jax.random.PRNGKey(5), 2048, vprob=3.0 / radius_km,
+        delv=2.0 / radius_km, endtime=3600.0, dtype=jnp.float64)
+    h = jnp.full((2048,), 30.0, jnp.float64)
+
+    outs = {}
+    for impl in ('gather', 'relu'):
+        spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                          surface_bounce=False, check_outer_edge=False,
+                          lookup_impl=impl)
+        outs[impl], _ = rk5_step(state, h, spec, forces, want_delta=False)
+
+    # radpres accel error <= 1e-3 * max_accel; over one 30 s step the
+    # velocity deviation is bounded by h * that
+    dv_bound = 30.0 * 1e-3 * float(np.max(accel)) / radius_km
+    for name in ('vx', 'vy', 'vz'):
+        delta = np.abs(np.asarray(getattr(outs['relu'], name)) -
+                       np.asarray(getattr(outs['gather'], name)))
+        assert np.max(delta) <= dv_bound * 1.05
+    np.testing.assert_allclose(np.asarray(outs['relu'].frac),
+                               np.asarray(outs['gather'].frac), rtol=1e-12)
