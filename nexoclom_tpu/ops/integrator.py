@@ -78,8 +78,12 @@ class EngineSpec:
     radpres: bool = True
     constant_rate: bool = False   # True: ionization everywhere (lifetime > 0)
     surface_bounce: bool = False  # False: full sticking kills on impact
-    sticktype: str = 'constant'   # 'constant' | 'temperature dependent'
+    # 'constant' | 'temperature dependent' | 'surface map'
+    sticktype: str = 'constant'
     accom: bool = False           # thermal accommodation at the surface
+    # surface-map sticking: map longitudes are planet-fixed and must rotate
+    # by the subsolar longitude at lookup (source_distribution.py:85-91)
+    stick_map_planet_fixed: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
     # CPU, pathologically slow on TPU where it lowers to a scalar loop),
@@ -117,6 +121,12 @@ class SurfaceTable(NamedTuple):
     v_table: jnp.ndarray         # (nt, nprob) emission speed (model units)
     temp0: jnp.ndarray           # temperature grid origin (K)
     dtemp: jnp.ndarray           # temperature grid spacing (K)
+    stick_map: jnp.ndarray = None        # (nlon, nlat) sticking coefficient
+    map_lon0: jnp.ndarray = None         # map grid origin (rad)
+    map_dlon: jnp.ndarray = None         # map grid spacing (rad)
+    map_lat0: jnp.ndarray = None
+    map_dlat: jnp.ndarray = None
+    map_subsolarlon: jnp.ndarray = None  # rotation for planet-fixed maps
 
 
 class PacketState(NamedTuple):
@@ -340,14 +350,37 @@ def _apply_kills(stepped: PacketState, spec: EngineSpec,
 # Constant-step driver
 # ---------------------------------------------------------------------------
 
+def _stagger_slice(state, j, k: int, shards: int = 1):
+    """Stratum ``j`` of each leaf as a (N/k,) pytree.
+
+    Strata are *contiguous per-shard blocks*: packet p belongs to stratum
+    (p // m) % k with m = N/(k*shards) — an arbitrary but fixed partition of
+    i.i.d. packets, chosen so the slice is a contiguous memory block per
+    shard.  The first form tried — stratum = index mod k, i.e. a
+    minor-axis dynamic slice of an (N/k, k) reshape — lowered to a strided
+    access pattern that cost MORE than the histogram it saved (measured
+    1.7e8 vs 2.8e8 packet-steps/s unstrided on v5e); the (shards, k, m)
+    middle-axis slice is contiguous per shard and, with the leading axis
+    sharded, each device slices locally."""
+    def slice_leaf(leaf):
+        n = leaf.shape[0]
+        m = n // (k * shards)
+        block = jax.lax.dynamic_slice_in_dim(
+            leaf.reshape(shards, k, m), j, 1, axis=1)
+        return block.reshape(shards * m)
+    return jax.tree.map(slice_leaf, state)
+
+
 @partial(jax.jit, static_argnames=('spec', 'nsteps', 'save_history',
-                                   'accumulator', 'acc_stride'))
+                                   'accumulator', 'acc_stride',
+                                   'acc_stagger', 'acc_shards'))
 def constant_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          step_size, outeredge, radius_km, key,
                          nsteps: int, save_history: bool = True,
                          accumulator=None, acc_init=None,
-                         acc_stride: int = 1):
+                         acc_stride: int = 1, acc_stagger: bool = False,
+                         acc_shards: int = 1):
     """Fixed-step integration as one ``lax.scan``.
 
     Returns ``(final_state, history, accumulated)``... specifically
@@ -367,13 +400,36 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
     ``acc_stride`` accumulates only every k-th snapshot (steps 0, k, 2k, ..)
     — statistically valid Monte Carlo subsampling of the (correlated)
     trajectory snapshots; the caller must scale totalsource by the number
-    of accumulated snapshots instead of nsteps.  Scatter-adds cost ~7x the
-    integration on this TPU, so strides directly raise fused throughput.
+    of accumulated snapshots instead of nsteps.  Histogramming costs
+    several times the integration on this TPU, so strides directly raise
+    fused throughput.
+
+    ``acc_stagger`` (with ``acc_stride=k > 1``) switches to *stratified*
+    subsampling: at step t the packets of stratum t (mod k) accumulate —
+    an (N/k)-packet histogram every step instead of an N-packet histogram
+    every k-th step (strata are contiguous per-shard blocks, see
+    ``_stagger_slice``).  Same total sample count and per-packet sampling
+    rate, but every timestep is represented (no temporal aliasing against
+    periodic trajectories), and the sliced sub-batch keeps the histogram
+    k-fold cheaper.  Requires N divisible by k x ``acc_shards``;
+    ``acc_shards`` must equal the packet-axis mesh size when sharded so
+    each device slices its stratum block locally.  The caller scales
+    totalsource by nsteps/k.
     """
     h = jnp.asarray(step_size, state0.x.dtype)
+    stagger = acc_stagger and acc_stride > 1
+    if stagger and state0.x.shape[0] % (acc_stride * acc_shards):
+        raise ValueError(f'staggered accumulation needs the packet count '
+                         f'({state0.x.shape[0]}) divisible by the stride '
+                         f'({acc_stride}) x shards ({acc_shards})')
 
     if accumulator is not None:
-        acc0 = accumulator(state0, acc_init)
+        if stagger:
+            acc0 = accumulator(
+                _stagger_slice(state0, jnp.asarray(0, jnp.int32),
+                               acc_stride, acc_shards), acc_init)
+        else:
+            acc0 = accumulator(state0, acc_init)
     else:
         acc0 = None
 
@@ -396,6 +452,10 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
                                   new)
             if acc_stride == 1:
                 acc = accumulator(masked, acc)
+            elif stagger:
+                acc = accumulator(
+                    _stagger_slice(masked, step_idx % acc_stride,
+                                   acc_stride, acc_shards), acc)
             else:
                 acc = jax.lax.cond(step_idx % acc_stride == 0,
                                    lambda m, a: accumulator(m, a),
@@ -418,17 +478,23 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
 # Adaptive-step driver
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('spec', 'max_iterations'))
+@partial(jax.jit, static_argnames=('spec', 'max_iterations',
+                                   'collect_stats'))
 def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          resolution, outeredge, radius_km, key,
-                         initial_step=1000.0, max_iterations: int = 100000):
+                         initial_step=1000.0, max_iterations: int = 100000,
+                         collect_stats: bool = False):
     """Adaptive integration as one ``lax.while_loop`` with per-packet step
     sizes and lockstep predication.
 
     Error-control parity with ``Output.py:221-346``; see module docstring.
-    Returns ``(final_state, iterations)``.
-    """
+    Returns ``(final_state, iterations)``, or with
+    ``collect_stats=True`` ``(final_state, iterations, stats)`` where
+    ``stats`` is a dict of per-packet arrays — ``accepted`` (good steps),
+    ``attempted`` (iterations spent active), ``done_at`` (iteration at
+    which the packet finished; max_iterations if it never did) — for
+    lockstep-divergence analysis (docs/scaling.md)."""
     dtype = state0.x.dtype
     res = jnp.asarray(resolution, dtype)
     resx = res
@@ -439,11 +505,11 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
         return (st.t > res) & (st.frac > 0.0)
 
     def cond(carry):
-        st, h, it = carry
+        st, h, it = carry[:3]
         return jnp.any(moretogo(st)) & (it < max_iterations)
 
     def body(carry):
-        st, h, it = carry
+        st, h, it = carry[:3]
         active = moretogo(st)
         h_eff = jnp.minimum(h, st.t)
         h_eff = jnp.maximum(h_eff, jnp.asarray(1e-30, dtype))
@@ -492,11 +558,27 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
         h_shrink = jnp.maximum(0.95 * h_big * errmax ** -0.25, 0.1 * h_big)
         new_h = jnp.where(active, jnp.where(good, h_grow, h_shrink), h)
 
-        return new_state, new_h, it + 1
+        if not collect_stats:
+            return new_state, new_h, it + 1
+        accepted, attempted, done_at = carry[3:]
+        accepted = accepted + good.astype(jnp.int32)
+        attempted = attempted + active.astype(jnp.int32)
+        finished = active & ~moretogo(new_state)
+        done_at = jnp.where(finished, it + 1, done_at)
+        return new_state, new_h, it + 1, accepted, attempted, done_at
 
     h0 = jnp.full_like(state0.t, initial_step)
-    final, _, iterations = jax.lax.while_loop(
-        cond, body, (state0, h0, jnp.asarray(0, jnp.int32)))
+    carry0 = (state0, h0, jnp.asarray(0, jnp.int32))
+    if collect_stats:
+        zeros = jnp.zeros_like(state0.t, dtype=jnp.int32)
+        carry0 = carry0 + (zeros, zeros,
+                           jnp.where(moretogo(state0), max_iterations, 0)
+                           .astype(jnp.int32))
+    out = jax.lax.while_loop(cond, body, carry0)
+    final, iterations = out[0], out[2]
+    if collect_stats:
+        return final, iterations, {'accepted': out[3], 'attempted': out[4],
+                                   'done_at': out[5]}
     return final, iterations
 
 

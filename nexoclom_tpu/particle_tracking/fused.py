@@ -52,7 +52,7 @@ def observer_rotation(subobslongitude: float, subobslatitude: float):
 def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
                            quantity: str, g_v0, g_dv, g_table,
                            vrplanet_model, apix_cm2, lookup_impl: str,
-                           g_pl=None):
+                           g_pl=None, hist_impl: str = 'auto'):
     """Static accumulator folding one snapshot into the sky image.
 
     Implements exactly the ModelImage weighting chain
@@ -81,7 +81,8 @@ def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
                                     state.vy + vrplanet_model, impl=impl)
             weight = weight * out_of_shadow * gg / 1e6
         weight = weight / apix_cm2
-        return image + histogram2d(xo, zo, weight, xlo, xhi, nx, zlo, zhi, nz)
+        return image + histogram2d(xo, zo, weight, xlo, xhi, nx,
+                                   zlo, zhi, nz, impl=hist_impl)
 
     return accumulate
 
@@ -103,7 +104,8 @@ class FusedImage:
 
 def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
                     chunk: int | None = None, mesh=None,
-                    snapshot_stride: int = 1) -> FusedImage:
+                    snapshot_stride: int = 1, stagger: bool = True,
+                    hist_impl: str = 'auto') -> FusedImage:
     """Simulate ``npackets`` and return the sky image, never storing
     trajectories.  ``params`` follows ModelImage (quantity, dims, center,
     width, subobslongitude, subobslatitude).
@@ -114,11 +116,19 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     packet axis shards over the 'packets' mesh axis; the image scatter-add
     reduces across shards with the psum XLA inserts.
 
-    ``snapshot_stride > 1`` histograms only every k-th snapshot — a valid
-    Monte Carlo subsampling of the correlated trajectory snapshots whose
-    normalisation (totalsource = packets x accumulated snapshots) is exact;
-    per-step image scatter-adds dominate fused runs on this TPU, so stride
-    k raises throughput nearly k-fold at slightly higher image noise.
+    ``snapshot_stride > 1`` subsamples the (correlated) trajectory
+    snapshots k-fold — valid Monte Carlo subsampling with exact
+    normalisation (totalsource = accumulated sample count); histogramming
+    dominates fused runs on this TPU, so stride k raises throughput nearly
+    k-fold at slightly higher image noise.  With ``stagger=True`` (default)
+    the subsample is *stratified*: packets with index = t (mod k)
+    accumulate at step t, so every timestep is represented (no aliasing)
+    at the same cost; ``stagger=False`` keeps whole-batch snapshots at
+    steps 0, k, 2k, ...
+
+    ``hist_impl``: 'auto' (default; exact one-hot matmul below ~512x512
+    bins on accelerators, measured 4-5x over scatter-add), 'matmul', or
+    'scatter' — see ops/histograms.py.
     """
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -138,11 +148,15 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
         from nexoclom_tpu.utilities.config import get_config
         dtype = (jnp.float64 if get_config().precision == 'float64'
                  else jnp.float32)
+    stagger = stagger and snapshot_stride > 1
     if chunk is None:
         chunk = min(int(npackets), 1 << 20)
+    # chunks must divide by the shard count, and by stride x shards when
+    # staggering (each shard slices its (N/k, k) groups locally)
+    quantum = snapshot_stride if stagger else 1
     if mesh is not None:
-        shards = mesh.shape['packets']
-        chunk = max(shards, chunk - chunk % shards)
+        quantum *= mesh.shape['packets']
+    chunk = max(quantum, chunk - chunk % quantum)
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2 ** 31))
 
@@ -188,7 +202,7 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
         xlo, xhi, dims[0], zlo, zhi, dims[1], quantity,
         jnp.asarray(g_v0, dtype), jnp.asarray(g_dv, dtype), g_tab,
         jnp.asarray(vrplanet_model, dtype), jnp.asarray(apix_cm2, dtype),
-        spec.lookup_impl, g_pl=g_pl)
+        spec.lookup_impl, g_pl=g_pl, hist_impl=hist_impl)
 
     image = jnp.zeros(dims, dtype)
     totalsource = 0.0
@@ -201,15 +215,17 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     radius_dev = jnp.asarray(radius_km, dtype)
     while done < npackets:
         this_chunk = min(chunk, npackets - done)
-        if mesh is not None:
-            shards = mesh.shape['packets']
-            this_chunk = max(shards, this_chunk - this_chunk % shards)
+        this_chunk = max(quantum, this_chunk - this_chunk % quantum)
         x0 = build_initial_state(inputs, int(this_chunk),
                                  seed=seed + chunk_index, dtype=dtype)
         # initial frac is identically 1 (Output.py:147), so the chunk's
-        # source contribution is its packet count times the number of
-        # accumulated snapshots (steps 0, stride, 2*stride, ...)
-        naccum = len(range(0, nsteps, snapshot_stride))
+        # source contribution is its accumulated (packet, snapshot) sample
+        # count: N/k packets every step when staggered, all N packets at
+        # steps 0, k, 2k, ... otherwise
+        if stagger:
+            naccum = nsteps / snapshot_stride
+        else:
+            naccum = len(range(0, nsteps, snapshot_stride))
         totalsource += float(this_chunk) * naccum
         state0 = packet_state_from_dict(x0)
         if mesh is not None:
@@ -221,7 +237,8 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
             step_dev, edge_dev, radius_dev, run_key,
             nsteps=nsteps, save_history=False,
             accumulator=accumulator, acc_init=image,
-            acc_stride=snapshot_stride)
+            acc_stride=snapshot_stride, acc_stagger=stagger,
+            acc_shards=mesh.shape['packets'] if mesh is not None else 1)
         done += this_chunk
         chunk_index += 1
 

@@ -80,10 +80,85 @@ def test_snapshot_stride_normalisation():
     inp = _inputs()
     full = fused_image_run(inp, 400, dict(PARAMS), seed=21)
     strided = fused_image_run(inp, 400, dict(PARAMS), seed=21,
-                              snapshot_stride=4)
+                              snapshot_stride=4, stagger=False)
     nsteps = int(np.ceil(1200.0 / 30.0 + 1))
     assert full.totalsource == 400 * nsteps
     assert strided.totalsource == 400 * len(range(0, nsteps, 4))
     # same trajectories, quarter the snapshots: totals agree statistically
     ratio = strided.image.sum() / full.image.sum()
     assert abs(ratio - 1.0) < 0.05
+
+
+def test_staggered_stride_normalisation():
+    """Stratified (staggered) striding: packets with index = t (mod k)
+    accumulate at step t; bookkeeping is nsteps/k samples per packet."""
+    inp = _inputs()
+    full = fused_image_run(inp, 400, dict(PARAMS), seed=21)
+    stag = fused_image_run(inp, 400, dict(PARAMS), seed=21,
+                           snapshot_stride=4, stagger=True)
+    nsteps = int(np.ceil(1200.0 / 30.0 + 1))
+    assert stag.totalsource == pytest.approx(400 * nsteps / 4)
+    ratio = stag.image.sum() / full.image.sum()
+    assert abs(ratio - 1.0) < 0.05
+
+
+def test_staggered_accumulation_exact_vs_history():
+    """The staggered accumulator folds exactly the (packet, step) samples
+    whose stratum (contiguous block index, (p // m) % k with
+    m = N/(k*shards)) equals step mod k, verified against the stored
+    trajectory history."""
+    import jax
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.histograms import histogram2d
+    from nexoclom_tpu.ops.integrator import (EngineSpec, PacketState,
+                                             constant_step_driver,
+                                             empty_force_table)
+
+    n, k, nsteps = 64, 4, 9
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 7)
+    state0 = PacketState(
+        t=jnp.full((n,), 1e9),
+        x=jax.random.uniform(ks[0], (n,), jnp.float64, 1.5, 3.0),
+        y=jax.random.uniform(ks[1], (n,), jnp.float64, -1.0, 1.0),
+        z=jax.random.uniform(ks[2], (n,), jnp.float64, -1.0, 1.0),
+        vx=jax.random.uniform(ks[3], (n,), jnp.float64, -4e-4, 4e-4),
+        vy=jax.random.uniform(ks[4], (n,), jnp.float64, -4e-4, 4e-4),
+        vz=jax.random.uniform(ks[5], (n,), jnp.float64, -4e-4, 4e-4),
+        frac=jnp.ones((n,), jnp.float64),
+        lossfrac=jnp.zeros((n,), jnp.float64))
+    spec = EngineSpec(gravity=True, radpres=False, constant_rate=True,
+                      surface_bounce=False, check_outer_edge=False)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(-1e-7), ion_rate=jnp.asarray(1e-5))
+
+    def acc_fn(state, acc):
+        return acc + histogram2d(state.x, state.z, state.frac,
+                                 -4.0, 4.0, 8, -4.0, 4.0, 8)
+
+    args = (spec, forces, None, jnp.asarray(30.0), jnp.asarray(1e30),
+            jnp.asarray(2440.0), key)
+    def hist_np(x, z, w):
+        h, _, _ = np.histogram2d(x, z, bins=(8, 8),
+                                 range=[[-4, 4], [-4, 4]], weights=w)
+        return h
+
+    for shards in (1, 2):
+        final, history, acc = constant_step_driver(
+            state0, *args, nsteps=nsteps, save_history=True,
+            accumulator=acc_fn, acc_init=jnp.zeros((8, 8), jnp.float64),
+            acc_stride=k, acc_stagger=True, acc_shards=shards)
+
+        # expected: step 0 from state0, steps 1..nsteps-1 from history
+        # rows, each restricted to the step's stratum
+        expect = np.zeros((8, 8))
+        stratum = (np.arange(n) // (n // (k * shards))) % k
+        snaps = [state0] + [jax.tree.map(lambda l: l[t], history)
+                            for t in range(nsteps - 1)]
+        for t, snap in enumerate(snaps):
+            sel = stratum == t % k
+            expect += hist_np(np.asarray(snap.x)[sel],
+                              np.asarray(snap.z)[sel],
+                              np.asarray(snap.frac)[sel])
+        np.testing.assert_allclose(np.asarray(acc), expect, rtol=1e-12,
+                                   atol=1e-12)

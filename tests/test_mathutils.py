@@ -118,3 +118,42 @@ def test_device_histograms_match_numpy():
     want2, _, _ = np.histogram2d(vals, ys, bins=(10, 8),
                                  range=[[0, 10], [0, 5]], weights=w)
     assert np.allclose(got2, want2, rtol=1e-12)
+
+
+def test_histogram2d_matmul_matches_scatter():
+    """The exact one-hot matmul histogram equals the scatter-add form
+    (same bins, out-of-range drops, right-edge inclusion)."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.histograms import histogram2d
+    rng = np.random.default_rng(11)
+    n = 5000
+    xs = rng.uniform(-1.5, 1.5, n)
+    ys = rng.uniform(-1.5, 1.5, n)
+    xs[0], ys[0] = 1.0, 1.0            # right edge -> last bin
+    w = rng.uniform(0.0, 2.0, n)
+    args = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(w),
+            -1.0, 1.0, 13, -1.0, 1.0, 7)
+    scat = np.asarray(histogram2d(*args, impl='scatter'))
+    mm = np.asarray(histogram2d(*args, impl='matmul'))
+    np.testing.assert_allclose(mm, scat, rtol=1e-12, atol=1e-12)
+    want, _, _ = np.histogram2d(xs, ys, bins=(13, 7),
+                                range=[[-1, 1], [-1, 1]], weights=w)
+    np.testing.assert_allclose(mm, want, rtol=1e-9)
+
+
+def test_histogram2d_matmul_blocked():
+    """Blocked accumulation (n > block) gives the same result."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.histograms import _histogram2d_matmul, histogram2d
+    rng = np.random.default_rng(12)
+    n = 700   # not a multiple of the 256 block below
+    xs, ys = rng.uniform(0, 1, (2, n))
+    w = rng.uniform(0.5, 1.0, n)
+    ref = np.asarray(histogram2d(jnp.asarray(xs), jnp.asarray(ys),
+                                 jnp.asarray(w), 0.0, 1.0, 5, 0.0, 1.0, 4,
+                                 impl='scatter'))
+    ix = np.clip((xs * 5).astype(np.int32), 0, 4)
+    iy = np.clip((ys * 4).astype(np.int32), 0, 3)
+    got = np.asarray(_histogram2d_matmul(jnp.asarray(ix), jnp.asarray(iy),
+                                         jnp.asarray(w), 5, 4, block=256))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
