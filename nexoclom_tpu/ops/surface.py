@@ -11,7 +11,14 @@ TPU-native rewrite of ``nexoclom/particle_tracking/bouncepackets.py`` and
   bicubic ``RectBivariateSpline`` — a sub-percent difference on this smooth
   table (docs/QUIRKS.md);
 * temperature-dependent sticking S(T) = clip(A0 e^{A1 T} + A2, 0, 1) is
-  evaluated in closed form on device (``SurfaceInteraction.py:15-20``).
+  evaluated in closed form on device (``SurfaceInteraction.py:15-20``);
+* surface-map sticking — declared by the reference's input grammar
+  (``input_classes.py:277-296``) but asserted-out in its engine
+  (``bouncepackets.py:90-91``) — WORKS here: the map is regridded host-side
+  onto a uniform (lon, lat) grid and the sticking coefficient is
+  bilinearly interpolated at each impact point on device, with the same
+  planet-fixed -> solar-frame longitude rotation as the spatial surface
+  map (``source_distribution.py:85-91``).
 
 Physics parity (``bouncepackets.py:39-100``):
   - impact point from the quadratic solve along the velocity vector;
@@ -31,21 +38,56 @@ import numpy as np
 from nexoclom_tpu.initial_state.surface_temperature import surface_temperature
 
 
-def _bilinear_lookup(table, row_pos, col_pos):
-    """Bilinear interpolation on a 2-D table with fractional indices."""
+def bilinear_lookup(table, row_pos, col_pos, impl: str = 'gather',
+                    block: int = 4096):
+    """Bilinear interpolation on a 2-D table with fractional indices,
+    clamping at the edges.
+
+    ``impl='gather'`` indexes the four corners directly (fast on CPU);
+    ``impl='dense'`` evaluates the identical interpolation gather-free as
+    hat_row(N, nrow) @ table -> (N, ncol) row-interpolants on the MXU,
+    then a hat-weighted column mix — XLA's general gather is a scalar loop
+    on this TPU (CLAUDE.md), so four gathers per packet per step would
+    dominate any bounce-enabled run."""
     nrow, ncol = table.shape
     r = jnp.clip(row_pos, 0.0, nrow - 1.0)
     c = jnp.clip(col_pos, 0.0, ncol - 1.0)
-    r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, nrow - 2)
-    c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, ncol - 2)
-    wr = r - r0
-    wc = c - c0
-    v00 = table[r0, c0]
-    v01 = table[r0, c0 + 1]
-    v10 = table[r0 + 1, c0]
-    v11 = table[r0 + 1, c0 + 1]
-    return ((1 - wr) * (1 - wc) * v00 + (1 - wr) * wc * v01 +
-            wr * (1 - wc) * v10 + wr * wc * v11)
+    if impl == 'gather':
+        r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, nrow - 2)
+        c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, ncol - 2)
+        wr = r - r0
+        wc = c - c0
+        v00 = table[r0, c0]
+        v01 = table[r0, c0 + 1]
+        v10 = table[r0 + 1, c0]
+        v11 = table[r0 + 1, c0 + 1]
+        return ((1 - wr) * (1 - wc) * v00 + (1 - wr) * wc * v01 +
+                wr * (1 - wc) * v10 + wr * wc * v11)
+
+    n = r.shape[0]
+    pad = (-n) % block
+    if pad:
+        r = jnp.concatenate([r, jnp.zeros(pad, r.dtype)])
+        c = jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
+    krow = jnp.arange(nrow, dtype=r.dtype)
+    kcol = jnp.arange(ncol, dtype=c.dtype)
+
+    def one_block(args):
+        rb, cb = args
+        hat_r = jnp.maximum(0.0, 1.0 - jnp.abs(rb[:, None] - krow[None, :]))
+        rows = hat_r @ table                                   # (block, ncol)
+        hat_c = jnp.maximum(0.0, 1.0 - jnp.abs(cb[:, None] - kcol[None, :]))
+        return jnp.sum(rows * hat_c, axis=1)
+
+    out = jax.lax.map(one_block, (r.reshape(-1, block),
+                                  c.reshape(-1, block))).reshape(-1)
+    return out[:n] if pad else out
+
+
+def _bilinear_impl(spec) -> str:
+    """Bilinear strategy from the engine's 1-D lookup strategy ('relu' has
+    no 2-D analog — fall through to the dense hat contraction)."""
+    return 'gather' if spec.lookup_impl == 'gather' else 'dense'
 
 
 def rebound_direction(key, x, y, z):
@@ -106,7 +148,8 @@ def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
         prob = jax.random.uniform(k_prob, x.shape, dtype=x.dtype)
         row = (tsurf - surface.temp0) / surface.dtemp
         col = prob * (surface.v_table.shape[1] - 1)
-        v_emit = _bilinear_lookup(surface.v_table, row, col)  # model units
+        v_emit = bilinear_lookup(surface.v_table, row, col,
+                                 impl=_bilinear_impl(spec))  # model units
         af = surface.accomfactor
         v_new = jnp.sqrt(af * v_emit ** 2 + (1.0 - af) * v_old2)
     else:
@@ -117,6 +160,19 @@ def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
         stick = jnp.clip(surface.stick_A[0] *
                          jnp.exp(surface.stick_A[1] * tsurf) +
                          surface.stick_A[2], 0.0, 1.0)
+    elif spec.sticktype == 'surface map':
+        lon_map = lonhit
+        if spec.stick_map_planet_fixed:
+            # solar-fixed hit longitude -> the map's planet-fixed frame
+            # (inverse of the spatial-map rotation, which is an involution:
+            # source_distribution.py:85-91)
+            lon_map = ((surface.map_subsolarlon - lonhit + 2.0 * jnp.pi)
+                       % (2.0 * jnp.pi))
+        row = (lon_map - surface.map_lon0) / surface.map_dlon
+        col = (lathit - surface.map_lat0) / surface.map_dlat
+        stick = jnp.clip(
+            bilinear_lookup(surface.stick_map, row, col,
+                            impl=_bilinear_impl(spec)), 0.0, 1.0)
     else:
         stick = surface.stickcoef
     new_frac = stepped.frac * (1.0 - stick)
@@ -169,3 +225,53 @@ def build_emission_speed_table(taa: float, species: str, radius_km: float,
 
     return (table / radius_km, float(temperature[0]),
             float(temperature[1] - temperature[0]))
+
+
+def build_sticking_map(sourcemap):
+    """Regrid a SourceMap's abundance into a uniform-grid sticking table.
+
+    The reference's input grammar accepts ``sticktype = surface map``
+    (``input_classes.py:277-296``) but its engine asserts before ever using
+    the map (``bouncepackets.py:90-91``); the semantics here extend its
+    temperature-dependent path: the map ``abundance`` IS the sticking
+    coefficient S(lon, lat), interpolated at each impact point.
+
+    Accepts abundance shaped (nlon, nlat) or its transpose (matching the
+    spatial-map convention), any monotonic grids; resamples bilinearly onto
+    a uniform grid at the same resolution so the device lookup is O(1)
+    fractional indexing.  Returns ``(table, lon0, dlon, lat0, dlat)`` with
+    the table clipped to [0, 1].
+    """
+    from nexoclom_tpu.utilities.exceptions import InputError
+    abundance = np.asarray(sourcemap.abundance, dtype=np.float64)
+    lon = np.asarray(sourcemap.longitude, dtype=np.float64)
+    lat = np.asarray(sourcemap.latitude, dtype=np.float64)
+    if abundance.ndim != 2 or lon.ndim != 1 or lat.ndim != 1:
+        raise InputError('build_sticking_map',
+                         'sticking map needs 2-D abundance with 1-D '
+                         'longitude/latitude grids')
+    if abundance.shape == (lat.size, lon.size) and lon.size != lat.size:
+        abundance = abundance.T
+    if abundance.shape != (lon.size, lat.size):
+        raise InputError('build_sticking_map',
+                         f'abundance shape {abundance.shape} does not match '
+                         f'(nlon={lon.size}, nlat={lat.size})')
+    if lon[0] > lon[-1]:
+        lon, abundance = lon[::-1], abundance[::-1]
+    if lat[0] > lat[-1]:
+        lat, abundance = lat[::-1], abundance[:, ::-1]
+
+    ulon = np.linspace(lon[0], lon[-1], lon.size)
+    ulat = np.linspace(lat[0], lat[-1], lat.size)
+    # separable 1-D np.interp passes = bilinear resample (exact when the
+    # source grids are already uniform, the common case)
+    tmp = np.empty((ulon.size, lat.size))
+    for j in range(lat.size):
+        tmp[:, j] = np.interp(ulon, lon, abundance[:, j])
+    table = np.empty((ulon.size, ulat.size))
+    for i in range(ulon.size):
+        table[i] = np.interp(ulat, lat, tmp[i])
+    table = np.clip(table, 0.0, 1.0)
+    dlon = (ulon[-1] - ulon[0]) / max(ulon.size - 1, 1)
+    dlat = (ulat[-1] - ulat[0]) / max(ulat.size - 1, 1)
+    return table, float(ulon[0]), float(dlon), float(ulat[0]), float(dlat)

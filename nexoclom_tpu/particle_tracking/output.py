@@ -53,13 +53,14 @@ X0_COLUMNS = ['time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'v',
 def engine_spec_from_inputs(inputs) -> EngineSpec:
     """Map Input sections onto the static engine configuration."""
     sint = inputs.surfaceinteraction
-    if sint.sticktype == 'surface map':
-        # parity with the reference, which asserts on this path
-        # (bouncepackets.py:90-91)
-        raise NotImplementedError(
-            'surface-map sticking is not implemented')
     full_stick = (sint.sticktype == 'constant' and
                   getattr(sint, 'stickcoef', None) == 1.0)
+    planet_fixed = False
+    if sint.sticktype == 'surface map':
+        # works here — the reference's engine asserts on this path
+        # (bouncepackets.py:90-91); see ops/surface.build_sticking_map
+        planet_fixed = 'planet' in _load_sticking_sourcemap(
+            sint).coordinate_system
     from nexoclom_tpu.ops.integrator import default_lookup_impl
     return EngineSpec(
         gravity=inputs.forces.gravity,
@@ -68,9 +69,35 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         surface_bounce=not full_stick,
         sticktype=sint.sticktype,
         accom=bool(getattr(sint, 'accomfactor', None)),
+        stick_map_planet_fixed=planet_fixed,
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
+
+
+_STICK_MAP_CACHE: dict = {}
+
+
+def _load_sticking_sourcemap(sint):
+    """Load (with a per-path cache) the sticking SourceMap."""
+    import os
+    from nexoclom_tpu.initial_state.sourcemap import SourceMap
+    from nexoclom_tpu.utilities.exceptions import InputError
+    mapfile = sint.stick_mapfile
+    if mapfile in _STICK_MAP_CACHE:
+        return _STICK_MAP_CACHE[mapfile]
+    if mapfile == 'default' or not os.path.exists(mapfile):
+        # the reference prints a warning and defers the crash
+        # (input_classes.py:280-284 -> bouncepackets assert); fail clearly
+        raise InputError('engine_spec_from_inputs',
+                         f'surfaceinteraction.stick_mapfile {mapfile!r} '
+                         f'does not exist')
+    sourcemap = SourceMap(mapfile)
+    if sourcemap.abundance is None:
+        raise InputError('engine_spec_from_inputs',
+                         f'no abundance in stick_mapfile {mapfile}')
+    _STICK_MAP_CACHE[mapfile] = sourcemap
+    return sourcemap
 
 
 # max deviation of the compressed a(v) lookup from np.interp on the full
@@ -122,6 +149,24 @@ def build_surface_table(inputs, spec: EngineSpec, radius_km: float,
     else:
         v_table, temp0, dtemp = np.zeros((2, 2)), 0.0, 1.0
     A = getattr(sint, 'A', (0.0, 0.0, 0.0))
+    map_fields = {}
+    if spec.sticktype == 'surface map':
+        from nexoclom_tpu.ops.surface import build_sticking_map
+        from nexoclom_tpu.utilities.exceptions import InputError
+        sourcemap = _load_sticking_sourcemap(sint)
+        stick_map, lon0, dlon, lat0, dlat = build_sticking_map(sourcemap)
+        subsolarlon = getattr(sint, 'subsolarlon', None)
+        if spec.stick_map_planet_fixed and subsolarlon is None:
+            raise InputError('build_surface_table',
+                             'surfaceinteraction.subsolarlon is required '
+                             'for a planet-fixed sticking map')
+        map_fields = dict(
+            stick_map=jnp.asarray(stick_map, dtype),
+            map_lon0=jnp.asarray(lon0, dtype),
+            map_dlon=jnp.asarray(dlon, dtype),
+            map_lat0=jnp.asarray(lat0, dtype),
+            map_dlat=jnp.asarray(dlat, dtype),
+            map_subsolarlon=jnp.asarray(subsolarlon or 0.0, dtype))
     return SurfaceTable(
         stickcoef=jnp.asarray(getattr(sint, 'stickcoef', 0.0) or 0.0, dtype),
         accomfactor=jnp.asarray(getattr(sint, 'accomfactor', 0.0) or 0.0,
@@ -130,7 +175,8 @@ def build_surface_table(inputs, spec: EngineSpec, radius_km: float,
         taa=jnp.asarray(taa, dtype),
         v_table=jnp.asarray(v_table, dtype),
         temp0=jnp.asarray(temp0, dtype),
-        dtemp=jnp.asarray(dtemp, dtype))
+        dtemp=jnp.asarray(dtemp, dtype),
+        **map_fields)
 
 
 class Output:

@@ -232,16 +232,179 @@ def test_output_bouncing_configuration():
     assert np.any((fracs > 0) & (fracs < 1.0))
 
 
-def test_surface_map_sticking_not_implemented():
-    """Surface-map sticking raises (the reference asserts on this path,
-    bouncepackets.py:90-91) instead of silently not sticking."""
+# ---------------------------------------------------------------------------
+# Surface-map sticking (works here; the reference asserts on this path,
+# bouncepackets.py:90-91)
+# ---------------------------------------------------------------------------
+
+def _map_table(stick_map, lon, lat, subsolarlon=0.0, accomfactor=0.0,
+               taa=0.0):
+    from nexoclom_tpu.ops.surface import build_sticking_map
+
+    class _Map:
+        pass
+    m = _Map()
+    m.abundance, m.longitude, m.latitude = stick_map, lon, lat
+    table, lon0, dlon, lat0, dlat = build_sticking_map(m)
+    base = _surface_table(accomfactor=accomfactor, taa=taa)
+    return base._replace(
+        stick_map=jnp.asarray(table), map_lon0=jnp.asarray(lon0),
+        map_dlon=jnp.asarray(dlon), map_lat0=jnp.asarray(lat0),
+        map_dlat=jnp.asarray(dlat),
+        map_subsolarlon=jnp.asarray(subsolarlon))
+
+
+def test_bilinear_lookup_dense_matches_gather():
+    from nexoclom_tpu.ops.surface import bilinear_lookup
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(17, 9)))
+    rows = jnp.asarray(rng.uniform(-1.0, 18.0, 500))   # incl. out-of-range
+    cols = jnp.asarray(rng.uniform(-1.0, 10.0, 500))
+    got_g = np.asarray(bilinear_lookup(table, rows, cols, impl='gather'))
+    got_d = np.asarray(bilinear_lookup(table, rows, cols, impl='dense',
+                                       block=128))
+    np.testing.assert_allclose(got_d, got_g, rtol=1e-12, atol=1e-12)
+
+
+def test_build_sticking_map_regrids_nonuniform():
+    """Non-uniform source grids resample onto a uniform grid; a linear
+    function of (lon, lat) is reproduced exactly by bilinear regridding."""
+    from nexoclom_tpu.ops.surface import build_sticking_map
+    lon = np.array([0.0, 0.5, 2.0, 4.0, 2 * np.pi])
+    lat = np.array([-np.pi / 2, -0.3, 0.1, np.pi / 2])
+    f = (0.05 * lon[:, None] + 0.1 * (lat[None, :] + np.pi / 2))
+
+    class _Map:
+        pass
+    m = _Map()
+    m.abundance, m.longitude, m.latitude = f, lon, lat
+    table, lon0, dlon, lat0, dlat = build_sticking_map(m)
+    ulon = lon0 + dlon * np.arange(table.shape[0])
+    ulat = lat0 + dlat * np.arange(table.shape[1])
+    want = 0.05 * ulon[:, None] + 0.1 * (ulat[None, :] + np.pi / 2)
+    np.testing.assert_allclose(table, np.clip(want, 0, 1), rtol=1e-12)
+
+
+def test_uniform_stick_map_equals_constant_sticking():
+    """A constant-abundance map reproduces stickcoef exactly (same key)."""
+    state = _impacting_state(n=200)
+    hit = jnp.ones(state.x.shape, bool)
+    spec_c = EngineSpec(surface_bounce=True, accom=False)
+    out_c = bounce_packets(KEY, state, hit, spec_c,
+                           _surface_table(stickcoef=0.35),
+                           jnp.asarray(GM), RADIUS_KM)
+    lon = np.linspace(0, 2 * np.pi, 25)
+    lat = np.linspace(-np.pi / 2, np.pi / 2, 13)
+    spec_m = EngineSpec(surface_bounce=True, accom=False,
+                        sticktype='surface map')
+    out_m = bounce_packets(KEY, state, hit, spec_m,
+                           _map_table(np.full((25, 13), 0.35), lon, lat),
+                           jnp.asarray(GM), RADIUS_KM)
+    np.testing.assert_allclose(np.asarray(out_m.frac), np.asarray(out_c.frac),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_m.vx), np.asarray(out_c.vx))
+
+
+def test_stick_map_spatial_variation():
+    """Packets hitting where the map says S=0.8 lose 0.8; where S=0.1, 0.1
+    (solar-fixed map: dayside sticks, nightside mostly doesn't)."""
+    lon = np.linspace(0, 2 * np.pi, 361)
+    lat = np.linspace(-np.pi / 2, np.pi / 2, 181)
+    smap = np.where((lon[:, None] < np.pi / 2) | (lon[:, None] > 3 * np.pi / 2),
+                    0.8, 0.1) * np.ones((1, lat.size))
+    table = _map_table(smap, lon, lat)
+    spec = EngineSpec(surface_bounce=True, accom=False,
+                      sticktype='surface map')
+
+    def frac_at(lon_hit):
+        n = 50
+        r = 1.0 - 0.01
+        x, y = r * math.sin(lon_hit), -r * math.cos(lon_hit)
+        state = PacketState(
+            t=jnp.full(n, 100.0), x=jnp.full(n, x), y=jnp.full(n, y),
+            z=jnp.zeros(n),
+            vx=jnp.full(n, -math.sin(lon_hit) * 1e-3),
+            vy=jnp.full(n, math.cos(lon_hit) * 1e-3), vz=jnp.zeros(n),
+            frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+        out = bounce_packets(KEY, state, jnp.ones(n, bool), spec, table,
+                             jnp.asarray(GM), RADIUS_KM)
+        return float(np.asarray(out.frac).mean())
+
+    assert np.isclose(frac_at(0.1), 1 - 0.8, atol=1e-6)     # subsolar
+    assert np.isclose(frac_at(np.pi), 1 - 0.1, atol=1e-6)   # midnight
+
+
+def test_stick_map_planet_fixed_rotation():
+    """A planet-fixed map rotates by the subsolar longitude: the sticky
+    patch at map-longitude L is hit at solar-fixed (subsolarlon - L)."""
+    lon = np.linspace(0, 2 * np.pi, 361)
+    lat = np.linspace(-np.pi / 2, np.pi / 2, 181)
+    L = 1.0                                   # sticky patch center (map frame)
+    smap = np.exp(-((lon[:, None] - L) / 0.1) ** 2) * np.ones((1, lat.size))
+    subsolarlon = 2.5
+    table = _map_table(smap, lon, lat, subsolarlon=subsolarlon)
+    spec = EngineSpec(surface_bounce=True, accom=False,
+                      sticktype='surface map', stick_map_planet_fixed=True)
+
+    def stick_at(lon_hit):
+        n = 10
+        r = 1.0 - 0.001
+        x, y = r * math.sin(lon_hit), -r * math.cos(lon_hit)
+        state = PacketState(
+            t=jnp.full(n, 100.0), x=jnp.full(n, x), y=jnp.full(n, y),
+            z=jnp.zeros(n),
+            vx=jnp.full(n, -math.sin(lon_hit) * 1e-3),
+            vy=jnp.full(n, math.cos(lon_hit) * 1e-3), vz=jnp.zeros(n),
+            frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+        out = bounce_packets(KEY, state, jnp.ones(n, bool), spec, table,
+                             jnp.asarray(GM), RADIUS_KM)
+        return 1.0 - float(np.asarray(out.frac).mean())
+
+    assert stick_at((subsolarlon - L) % (2 * np.pi)) > 0.95
+    assert stick_at((subsolarlon - L + np.pi) % (2 * np.pi)) < 0.01
+
+
+def test_output_surface_map_sticking_end_to_end(tmp_path):
+    """Output runs a surface-map sticking config from an on-disk pkl map —
+    the configuration the reference's engine asserts on."""
+    import os
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.initial_state.sections import SurfaceInteraction
+    from nexoclom_tpu.particle_tracking import Output
+    lon = np.linspace(0, 2 * np.pi, 73)
+    lat = np.linspace(-np.pi / 2, np.pi / 2, 37)
+    mapfile = tmp_path / 'stickmap.pkl'
+    with open(mapfile, 'wb') as f:
+        pickle.dump({'abundance': np.full((73, 37), 0.4),
+                     'longitude': lon, 'latitude': lat,
+                     'coordinate_system': 'solar-fixed'}, f)
+    inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+    inp = Input(os.path.join(inputfiles, 'mercury_na_spot.input'))
+    inp.options.endtime = 1200.0
+    inp.options.lifetime = 1e30      # no photo loss: frac is purely sticking
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'sticktype': 'surface map', 'stick_mapfile': str(mapfile),
+         'accomfactor': '0.5'})
+    out = Output(inp, 200, seed=21)
+    fracs = out.X.frac.to_numpy()
+    assert np.all((fracs >= 0) & (fracs <= 1.0 + 1e-9))
+    # bounced packets carry frac = (1 - 0.4)^k exactly
+    bounced = fracs[(fracs > 0.1) & (fracs < 0.95)]
+    assert bounced.size > 0
+    k = np.log(bounced) / np.log(0.6)
+    assert np.allclose(k, np.round(k), atol=1e-3)
+
+
+def test_stick_mapfile_missing_raises():
     import os
     from nexoclom_tpu.initial_state import Input
     from nexoclom_tpu.initial_state.sections import SurfaceInteraction
     from nexoclom_tpu.particle_tracking import Output
+    from nexoclom_tpu.utilities.exceptions import InputError
     inputfiles = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
     inp = Input(os.path.join(inputfiles, 'mercury_gravity.input'))
     inp.surfaceinteraction = SurfaceInteraction(
         {'sticktype': 'surface map', 'accomfactor': '0.5'})
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(InputError):
         Output(inp, 10)
