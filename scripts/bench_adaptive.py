@@ -1,0 +1,110 @@
+"""Adaptive-driver throughput + lockstep-divergence analysis (real TPU).
+
+The reference's primary mode is adaptive stepping (Output.py:221-366); this
+build runs it as one lax.while_loop with per-packet step sizes, so every
+iteration advances ALL lanes and lanes whose packets are finished (or whose
+trial step was rejected) do wasted work.  This script measures:
+
+  * accepted packet-steps/s  — useful work rate (what bench.py reports for
+    the constant-step driver)
+  * attempted packet-steps/s — raw lane rate incl. dead/rejected lanes
+  * efficiency breakdown     — acceptance rate (rejected trials) and lane
+    occupancy (dead lanes), plus the finish-iteration distribution that
+    determines whether host-side re-batching/compaction could pay
+
+Usage: python scripts/bench_adaptive.py [--packets 262144] [--case ca|na]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+CASES = {'ca': 'mercury_ca_spot.input', 'na': 'mercury_na_spot.input'}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--packets', type=int, default=1 << 18)
+    ap.add_argument('--case', choices=CASES, default='ca')
+    ap.add_argument('--resolution', type=float, default=1e-4)
+    ap.add_argument('--endtime', type=float, default=10800.0)
+    args = ap.parse_args()
+
+    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.initial_state.sampling import build_initial_state
+    from nexoclom_tpu.ops.integrator import (adaptive_step_driver,
+                                             packet_state_from_dict)
+    from nexoclom_tpu.particle_tracking.output import (
+        build_force_table, build_surface_table, engine_spec_from_inputs)
+    from nexoclom_tpu.initial_state.sections import effective_taa
+    from nexoclom_tpu.solarsystem import planet_dist
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    inp = Input(os.path.join(here, '..', 'tests', 'data', 'inputfiles',
+                             CASES[args.case]))
+    inp.options.endtime = args.endtime
+    inp.options.step_size = 0.0
+    inp.options.resolution = args.resolution
+
+    dtype = jnp.float32
+    radius_km = inp.geometry.planet.radius
+    taa = effective_taa(inp.geometry)
+    r, v_r = planet_dist(inp.geometry.planet, taa)
+    spec = engine_spec_from_inputs(inp)
+    forces = build_force_table(inp, r, v_r / radius_km, radius_km, dtype)
+    surface = build_surface_table(inp, spec, radius_km, dtype)
+
+    n = args.packets
+    x0 = build_initial_state(inp, n, seed=7, dtype=dtype)
+    state0 = packet_state_from_dict(x0)
+    key = jax.random.PRNGKey(99)
+    run = lambda: adaptive_step_driver(
+        state0, spec, forces, surface, jnp.asarray(args.resolution, dtype),
+        jnp.asarray(inp.options.outeredge, dtype),
+        jnp.asarray(radius_km, dtype), key, collect_stats=True)
+
+    # warm (compile)
+    t0 = time.perf_counter()
+    final, iters, stats = run()
+    float(jnp.sum(final.frac))                  # device barrier
+    print(f'compile+first run: {time.perf_counter() - t0:.1f} s')
+
+    t0 = time.perf_counter()
+    final, iters, stats = run()
+    accepted = int(jnp.sum(stats['accepted']))  # device barrier
+    dt = time.perf_counter() - t0
+    attempted = int(jnp.sum(stats['attempted']))
+    iters = int(iters)
+    done_at = np.asarray(stats['done_at'])
+
+    lane_steps = n * iters
+    print(f'{args.case}: n={n}, {iters} while-iterations, {dt:.2f} s')
+    print(f'  accepted  {accepted / dt:.3e} packet-steps/s '
+          f'({accepted} steps)')
+    print(f'  attempted {attempted / dt:.3e} packet-steps/s '
+          f'(acceptance {accepted / attempted:.1%})')
+    print(f'  lane rate {lane_steps / dt:.3e} lane-steps/s '
+          f'(occupancy {attempted / lane_steps:.1%})')
+    print(f'  lockstep efficiency (accepted/lane) '
+          f'{accepted / lane_steps:.1%}')
+    q = np.percentile(done_at, [50, 90, 99, 100]).astype(int)
+    print(f'  finish iteration p50/p90/p99/max = {q[0]}/{q[1]}/{q[2]}/{q[3]}')
+    # compaction model: segment the while loop every S iterations and
+    # compact to the live lanes; ideal payoff = 1 - mean_occupancy, real
+    # payoff must beat the gather+recompile cost of re-batching
+    occ = (done_at[None, :] > np.arange(0, iters,
+                                        max(iters // 200, 1))[:, None])
+    occ_frac = occ.mean(axis=1)
+    print(f'  mean lane occupancy over iterations: {occ_frac.mean():.1%} '
+          f'(final 10%: {occ_frac[-len(occ_frac) // 10:].mean():.1%})')
+
+
+if __name__ == '__main__':
+    main()

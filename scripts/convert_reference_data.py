@@ -4,8 +4,10 @@ nexoclom_tpu's vendored CSV tables.
 Sources (read-only, see SURVEY.md section 2.5):
   * /root/reference/nexoclom/data/PlanetaryConstants.dat  (colon-separated text)
   * /root/reference/nexoclom/data/g-values/g-values.pkl   (pandas pickle; the
-    table actually loaded by the reference at runtime: Killen 2009 species plus
-    Killen 2022 Na/Ca/Mg replacements, refpoint column per row)
+    table actually loaded by the reference at runtime: Killen et al. 2009
+    rows plus two synthetic test entries, refpoint column per row.  The
+    Killen 2022 CSVs shipped alongside are NOT in the runtime pickle and are
+    never read by the reference, so they are deliberately not vendored.)
   * /root/reference/nexoclom/data/Loss/photorates.pkl     (pandas pickle of
     Huebner & Mukherjee 2011 + Berezhnoy 2008/2013 rate coefficients)
 

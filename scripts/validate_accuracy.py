@@ -21,8 +21,18 @@ Reported metrics: relative difference of disk-integrated brightness (the
 target metric) and the p95 per-pixel relative difference over the top-half
 signal (dominated by MC pixel migration, informational only).
 
-Measured (20k packets, Ca.spot, 2026-08): CPU f32 vs f64 total brightness
-0.34% — inside the 1% target.
+Cases (--case, default all):
+  ca      Ca spot, full sticking, gravity+photo (the BASELINE case)
+  na      Na spot — radiation-pressure dominated, the hardest f32 species
+  bounce  Na with temperature-dependent sticking + 0.5 accommodation
+
+Measured (2026-08, CPU f32 vs f64 total brightness):
+  ca      0.34% (20k packets)
+  na      0.11% at 80k packets (1.65% at 20k — that is decorrelation noise,
+          not bias: the MC floor itself is 0.53%, f32/floor = 0.21)
+  bounce  0.84% at 80k packets, MC floor 0.95%, f32/floor = 0.89
+All < 1%.  For the radpres-dominated cases always compare against the
+--mc-floor output: f32 vs f64 images differ like independent MC draws.
 """
 import argparse
 import os
@@ -33,15 +43,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 PARAMS = {'quantity': 'radiance', 'dims': '64,64', 'width': '8,8'}
 SEED = 20260816
 
+CASES = {
+    'ca': ('mercury_ca_spot.input', None),
+    'na': ('mercury_na_spot.input', 10800.0),   # clip the 50k-s parity
+                                                # endtime: same physics,
+                                                # CPU-f64-feasible
+    'bounce': ('mercury_na_bounce.input', None),
+}
 
-def run_case(dtype_name, npackets):
+
+def run_case(case, dtype_name, npackets, seed=SEED):
     import jax.numpy as jnp
     from nexoclom_tpu.initial_state import Input
     from nexoclom_tpu.particle_tracking.fused import fused_image_run
     dtype = jnp.float64 if dtype_name == 'float64' else jnp.float32
+    inputfile, endtime = CASES[case]
     inputs = Input(os.path.join(os.path.dirname(__file__), '..', 'tests',
-                                'data', 'inputfiles', 'mercury_ca_spot.input'))
-    return fused_image_run(inputs, npackets, dict(PARAMS), seed=SEED,
+                                'data', 'inputfiles', inputfile))
+    if endtime is not None:
+        inputs.options.endtime = endtime
+    return fused_image_run(inputs, npackets, dict(PARAMS), seed=seed,
                            dtype=dtype).image
 
 
@@ -50,9 +71,12 @@ def compare(name, image_a, image_b, target=0.01):
     rel_total = abs(image_a.sum() - image_b.sum()) / image_b.sum()
     strong = image_b >= np.percentile(image_b[image_b > 0], 50)
     rel_pix = np.abs(image_a[strong] - image_b[strong]) / image_b[strong]
-    verdict = 'PASS' if rel_total < target else 'FAIL'
-    print(f'{name}: total-brightness rel diff = {rel_total:.2e} '
-          f'(target < {target}) -> {verdict}; '
+    if np.isfinite(target):
+        verdict = (' (target < %g) -> %s'
+                   % (target, 'PASS' if rel_total < target else 'FAIL'))
+    else:
+        verdict = ''
+    print(f'{name}: total-brightness rel diff = {rel_total:.2e}{verdict}; '
           f'p95 per-pixel = {np.percentile(rel_pix, 95):.2e}')
     return rel_total
 
@@ -63,7 +87,13 @@ def main():
     parser.add_argument('--tpu', action='store_true')
     parser.add_argument('--save-ref')
     parser.add_argument('--compare')
+    parser.add_argument('--case', choices=[*CASES, 'all'], default='all')
+    parser.add_argument('--mc-floor', action='store_true',
+                        help='also run a second-seed f64 case to measure '
+                             'the Monte Carlo noise floor the f32 diff '
+                             'should be compared against')
     args = parser.parse_args()
+    cases = list(CASES) if args.case == 'all' else [args.case]
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -77,19 +107,37 @@ def main():
     print('backend:', jax.default_backend())
 
     if args.save_ref:
-        np.savez(args.save_ref, image=run_case('float64', args.npackets))
+        np.savez(args.save_ref, **{case: run_case(case, 'float64',
+                                                  args.npackets)
+                                   for case in cases})
         print(f'saved f64 reference to {args.save_ref}')
         return
 
     if args.compare:
-        ref = np.load(args.compare)['image']
-        img32 = run_case('float32', args.npackets)
-        compare(f'{jax.default_backend()} f32 vs saved f64', img32, ref)
+        ref = np.load(args.compare)
+        for case in cases:
+            img32 = run_case(case, 'float32', args.npackets)
+            compare(f'{case}: {jax.default_backend()} f32 vs saved f64',
+                    img32, ref[case])
         return
 
-    img64 = run_case('float64', args.npackets)
-    img32 = run_case('float32', args.npackets)
-    compare('f32 vs f64 (same backend)', img32, img64)
+    for case in cases:
+        img64 = run_case(case, 'float64', args.npackets)
+        img32 = run_case(case, 'float32', args.npackets)
+        rel = compare(f'{case}: f32 vs f64 (same backend)', img32, img64)
+        if args.mc_floor:
+            # radiation-pressure trajectories are chaotic: f32 and f64
+            # paths decorrelate, so their images differ like two
+            # INDEPENDENT Monte Carlo draws of the same physics.  The
+            # meaningful question is whether the f32 diff exceeds that MC
+            # floor (a real f32 bias) or sits at it (pure sampling noise
+            # that vanishes as 1/sqrt(N) at production packet counts).
+            img64b = run_case(case, 'float64', args.npackets, seed=SEED + 1)
+            floor = compare(f'{case}: f64 seed-B vs f64 seed-A (MC floor)',
+                            img64b, img64, target=float('inf'))
+            print(f'{case}: f32 diff / MC floor = {rel / floor:.2f} '
+                  f'(<~1.4 = statistically indistinguishable from '
+                  f'sampling noise)')
 
 
 if __name__ == '__main__':
