@@ -75,6 +75,25 @@ class Input:
         self.speeddist = SpeedDist(params.get('speeddist', {}))
         self.angulardist = AngularDist(params.get('angulardist', {}))
         self.options = Options(params.get('options', {}))
+        self._resolve_relative_files()
+
+    def _resolve_relative_files(self):
+        """Resolve relative map/distribution file paths against the input
+        file's directory, so input files are location-independent.  (The
+        reference resolves them against the process cwd — its own test
+        fixture `SurfaceInteraction.06.input` names a bare
+        `Orbit3576.Ca.pkl` that only loads when run from that directory.)
+        Paths that already exist from the cwd are left untouched."""
+        base = os.path.dirname(os.path.abspath(self._inputfile))
+        for section, attr in ((self.spatialdist, 'mapfile'),
+                              (self.speeddist, 'vdistfile'),
+                              (self.surfaceinteraction, 'stick_mapfile')):
+            path = getattr(section, attr, None)
+            if (isinstance(path, str) and path not in ('', 'default')
+                    and not os.path.isabs(path) and not os.path.exists(path)):
+                candidate = os.path.join(base, path)
+                if os.path.exists(candidate):
+                    setattr(section, attr, candidate)
 
     @classmethod
     def from_sections(cls, geometry, surfaceinteraction, forces, spatialdist,

@@ -54,9 +54,20 @@ def _spatial(key, inputs, n, dtype):
                 float(sourcemap.longitude.max()), n, dtype=dtype)
             lat = jnp.zeros(n, dtype=dtype)
         else:
+            # R5 axis convention (randomdeviates.py:58-59): the pdf sits on
+            # uniform axes spanning [min, max] with pdf.shape points,
+            # regardless of the stored grid spacing or length — this is
+            # also how the reference "supports" its edge-grid map files
+            # (73/37-point grids with 72x36 abundance)
+            abundance = np.asarray(sourcemap.abundance, dtype=np.float64)
+            lon_axis = np.linspace(sourcemap.longitude.min(),
+                                   sourcemap.longitude.max(),
+                                   abundance.shape[0])
+            sinlat = np.sin(np.asarray(sourcemap.latitude, np.float64))
+            sinlat_axis = np.linspace(sinlat.min(), sinlat.max(),
+                                      abundance.shape[1])
             tables = samplers.build_2d_sampler_tables(
-                sourcemap.abundance, sourcemap.longitude,
-                np.sin(sourcemap.latitude))
+                abundance, lon_axis, sinlat_axis)
             lon, sinlat = samplers.sample_2d(key, tables, n, dtype=dtype)
             lat = jnp.arcsin(jnp.clip(sinlat, -1.0, 1.0))
         if 'planet' in sourcemap.coordinate_system:
@@ -74,7 +85,7 @@ def _spatial(key, inputs, n, dtype):
     return lon, lat
 
 
-def _speed_kms(key, inputs, n, dtype):
+def _speed_kms(key, inputs, n, dtype, lonlat=None):
     speed = inputs.speeddist
     species = inputs.options.species
     if speed.type == 'gaussian':
@@ -85,9 +96,36 @@ def _speed_kms(key, inputs, n, dtype):
                                           dtype=dtype)
     elif speed.type == 'maxwellian':
         if speed.temperature == 0:
-            raise InputError('build_initial_state',
-                             'maxwellian with surface-temperature map not '
-                             'implemented (matches reference)')
+            # Maxwellian at the LOCAL surface temperature of each launch
+            # point — declared by the reference's grammar but asserted-out
+            # (source_distribution.py:165-168, 'Need to write this').
+            # Implemented via the same (temperature x probability)
+            # inverse-CDF table the bounce re-emission uses, evaluated at
+            # T(lon, lat, taa) per packet (quirk F15).
+            if lonlat is None:
+                raise InputError('build_initial_state',
+                                 'maxwellian with temperature=0 needs '
+                                 'surface launch points')
+            from nexoclom_tpu.initial_state.sections import effective_taa
+            from nexoclom_tpu.initial_state.surface_temperature import (
+                surface_temperature)
+            from nexoclom_tpu.ops.integrator import default_lookup_impl
+            from nexoclom_tpu.ops.surface import (
+                bilinear_lookup, build_emission_speed_table)
+            taa = effective_taa(inputs.geometry)
+            radius_km = inputs.geometry.planet.radius
+            v_table, temp0, dtemp = build_emission_speed_table(
+                taa, species, radius_km)
+            v_table = jnp.asarray(v_table * radius_km, dtype)  # km/s
+            lon, lat = lonlat
+            tsurf = surface_temperature(lon, lat, jnp.asarray(taa, dtype),
+                                        xp=jnp)
+            prob = jax.random.uniform(key, lon.shape, dtype=dtype)
+            row = (tsurf - temp0) / dtemp
+            col = prob * (v_table.shape[1] - 1)
+            impl = ('gather' if default_lookup_impl() == 'gather'
+                    else 'dense')
+            return bilinear_lookup(v_table, row, col, impl=impl)
         vth = thermal_speed_kms(speed.temperature, atomicmass(species))
         grid = np.linspace(0.1, 5 * vth, 5000)
         f_v = MaxwellianDist(grid, speed.temperature, species)
@@ -133,7 +171,8 @@ def _sample_impl(key, inputs, n: int, dtype):
         lon, lat, inputs.spatialdist.exobase,
         is_planet=(inputs.geometry.planet.type == 'Planet'))
 
-    v_model = _speed_kms(k_speed, inputs, n, dtype) / radius_km
+    v_model = _speed_kms(k_speed, inputs, n, dtype,
+                         lonlat=(lon, lat)) / radius_km
 
     angular = inputs.angulardist
     if angular.type == 'radial':

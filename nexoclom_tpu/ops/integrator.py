@@ -479,12 +479,13 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=('spec', 'max_iterations',
-                                   'collect_stats'))
+                                   'collect_stats', 'inner_steps'))
 def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          resolution, outeredge, radius_km, key,
                          initial_step=1000.0, max_iterations: int = 100000,
-                         collect_stats: bool = False):
+                         collect_stats: bool = False,
+                         inner_steps: int = 1):
     """Adaptive integration as one ``lax.while_loop`` with per-packet step
     sizes and lockstep predication.
 
@@ -494,7 +495,12 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
     ``stats`` is a dict of per-packet arrays — ``accepted`` (good steps),
     ``attempted`` (iterations spent active), ``done_at`` (iteration at
     which the packet finished; max_iterations if it never did) — for
-    lockstep-divergence analysis (docs/scaling.md)."""
+    lockstep-divergence analysis (docs/scaling.md).
+
+    ``inner_steps``: adaptive iterations per while-loop cond evaluation
+    (an unrolled ``fori_loop`` inside the body).  Identical trajectories —
+    finished packets stay predicated — but the loop can overrun by up to
+    inner_steps-1 all-dead iterations at the end."""
     dtype = state0.x.dtype
     res = jnp.asarray(resolution, dtype)
     resx = res
@@ -566,6 +572,14 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
         finished = active & ~moretogo(new_state)
         done_at = jnp.where(finished, it + 1, done_at)
         return new_state, new_h, it + 1, accepted, attempted, done_at
+
+    if inner_steps > 1:
+        single = body
+
+        def body(carry):
+            return jax.lax.fori_loop(0, inner_steps,
+                                     lambda _, c: single(c), carry,
+                                     unroll=True)
 
     h0 = jnp.full_like(state0.t, initial_step)
     carry0 = (state0, h0, jnp.asarray(0, jnp.int32))

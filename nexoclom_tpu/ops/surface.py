@@ -253,13 +253,27 @@ def build_sticking_map(sourcemap):
     if abundance.shape == (lat.size, lon.size) and lon.size != lat.size:
         abundance = abundance.T
     if abundance.shape != (lon.size, lat.size):
-        raise InputError('build_sticking_map',
-                         f'abundance shape {abundance.shape} does not match '
-                         f'(nlon={lon.size}, nlat={lat.size})')
+        # R5 axis convention (randomdeviates.py:58-59): values sit on
+        # uniform axes of abundance.shape points spanning [min, max] — the
+        # reference's real map files store bin-EDGE grids (73/37 points)
+        # with bin-valued abundance (72x36)
+        if (abs(abundance.shape[0] - lon.size) > 1 or
+                abs(abundance.shape[1] - lat.size) > 1):
+            raise InputError('build_sticking_map',
+                             f'abundance shape {abundance.shape} does not '
+                             f'match (nlon={lon.size}, nlat={lat.size})')
+        lon = np.linspace(lon.min(), lon.max(), abundance.shape[0])
+        lat = np.linspace(lat.min(), lat.max(), abundance.shape[1])
     if lon[0] > lon[-1]:
         lon, abundance = lon[::-1], abundance[::-1]
     if lat[0] > lat[-1]:
         lat, abundance = lat[::-1], abundance[:, ::-1]
+    if abundance.max() > 1.0:
+        # sticking maps in the wild are abundance-style data (the
+        # reference's Orbit3576 sticking map spans 2.9..51); interpret as
+        # relative sticking probability normalised to its maximum rather
+        # than clipping everything to 1
+        abundance = abundance / abundance.max()
 
     ulon = np.linspace(lon[0], lon[-1], lon.size)
     ulat = np.linspace(lat[0], lat[-1], lat.size)

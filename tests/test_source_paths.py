@@ -169,3 +169,49 @@ def test_exobase_scaling():
     r = np.sqrt(np.asarray(x0['x']) ** 2 + np.asarray(x0['y']) ** 2 +
                 np.asarray(x0['z']) ** 2)
     assert np.allclose(r, 1.5, atol=1e-6)
+
+
+def test_maxwellian_surface_temperature_map():
+    """temperature=0 maxwellian: per-packet speed at the launch point's
+    local surface temperature (the reference asserts 'Need to write this',
+    source_distribution.py:165-168 — quirk F15)."""
+    from nexoclom_tpu.atomicdata import atomicmass
+    from nexoclom_tpu.constants import thermal_speed_kms
+    from nexoclom_tpu.initial_state.surface_temperature import (
+        surface_temperature)
+
+    taa = _base_inputs().geometry.taa
+
+    def speeds_at(lon0):
+        inp = _base_inputs()
+        inp.speeddist = SpeedDist({'type': 'maxwellian', 'temperature': '0'})
+        inp.spatialdist = SpatialDist({'type': 'surface spot',
+                                       'longitude': str(lon0),
+                                       'latitude': '0', 'sigma': '0.02'})
+        x0 = build_initial_state(inp, 30000, seed=77)
+        return np.asarray(x0['v']) * inp.geometry.planet.radius  # km/s
+
+    # tight subsolar spot: one well-defined temperature -> KS against the
+    # table-implied flux-Maxwellian law (same construction as the bounce
+    # re-emission test)
+    v_sub = speeds_at(0.0)
+    tsub = float(surface_temperature(np.array([0.0]), np.array([0.0]),
+                                     taa)[0])
+    vth = thermal_speed_kms(tsub, atomicmass('Na'))
+    vrange = np.linspace(0.0, 3 * vth, 101)
+    f_v = vrange ** 3 * np.exp(-vrange ** 2 / vth ** 2)
+    cum = np.cumsum(f_v)
+    cum = (cum - cum.min()) / (cum.max() - cum.min())
+    _, p = stats.kstest(v_sub, lambda v: np.interp(v, vrange, cum))
+    assert p > 0.005
+
+    # nightside (100 K) launches are much slower than subsolar
+    v_night = speeds_at(math.pi)
+    assert v_night.mean() < 0.5 * v_sub.mean()
+
+
+def test_maxwellian_t0_requires_surface_launch():
+    inp = _base_inputs()
+    inp.speeddist = SpeedDist({'type': 'maxwellian', 'temperature': '0'})
+    x0 = build_initial_state(inp, 100, seed=1)   # uniform surface: fine
+    assert np.all(np.asarray(x0['v']) > 0)
