@@ -479,13 +479,14 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=('spec', 'max_iterations',
-                                   'collect_stats', 'inner_steps'))
+                                   'collect_stats', 'inner_steps',
+                                   'return_h'))
 def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          resolution, outeredge, radius_km, key,
                          initial_step=1000.0, max_iterations: int = 100000,
                          collect_stats: bool = False,
-                         inner_steps: int = 1):
+                         inner_steps: int = 1, return_h: bool = False):
     """Adaptive integration as one ``lax.while_loop`` with per-packet step
     sizes and lockstep predication.
 
@@ -500,7 +501,13 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
     ``inner_steps``: adaptive iterations per while-loop cond evaluation
     (an unrolled ``fori_loop`` inside the body).  Identical trajectories —
     finished packets stay predicated — but the loop can overrun by up to
-    inner_steps-1 all-dead iterations at the end."""
+    inner_steps-1 all-dead iterations at the end.  Measured no effect on
+    v5e (the body, not the cond, is the cost).
+
+    ``return_h`` appends the per-packet step sizes to the return tuple, and
+    ``initial_step`` may be a per-packet array — together these let a host
+    orchestrator run the loop in segments (``max_iterations``), compact the
+    live packets between segments, and resume without re-ramping h."""
     dtype = state0.x.dtype
     res = jnp.asarray(resolution, dtype)
     resx = res
@@ -581,7 +588,8 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
                                      lambda _, c: single(c), carry,
                                      unroll=True)
 
-    h0 = jnp.full_like(state0.t, initial_step)
+    h0 = jnp.broadcast_to(jnp.asarray(initial_step, dtype),
+                          state0.t.shape)
     carry0 = (state0, h0, jnp.asarray(0, jnp.int32))
     if collect_stats:
         zeros = jnp.zeros_like(state0.t, dtype=jnp.int32)
@@ -590,10 +598,114 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
                            .astype(jnp.int32))
     out = jax.lax.while_loop(cond, body, carry0)
     final, iterations = out[0], out[2]
+    ret = (final, iterations)
     if collect_stats:
-        return final, iterations, {'accepted': out[3], 'attempted': out[4],
-                                   'done_at': out[5]}
-    return final, iterations
+        ret = ret + ({'accepted': out[3], 'attempted': out[4],
+                      'done_at': out[5]},)
+    if return_h:
+        ret = ret + (out[1],)
+    return ret
+
+
+def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,
+                            forces: ForceTable,
+                            surface: Optional[SurfaceTable],
+                            resolution, outeredge, radius_km, key,
+                            segment: int = 512,
+                            compact_threshold: float = 0.5,
+                            min_batch: int = 16384,
+                            initial_step=1000.0,
+                            max_total_iterations: int = 100000):
+    """Segmented adaptive integration with host-side live-lane compaction.
+
+    The single-while-loop driver wastes 63% of its lanes on this workload
+    (measured: mean occupancy 37%, p50 finish at iteration 1028 of 2777 —
+    docs/scaling.md): finished packets ride along dead until the stragglers
+    converge.  This orchestrator runs the SAME driver in ``segment``-
+    iteration slices; between slices it writes finished packets out and,
+    when live lanes drop below ``compact_threshold``, gathers survivors
+    (host-side — device gather is a scalar loop on this TPU) into the next
+    power-of-two batch ≥ ``min_batch``.  Per-packet step sizes carry across
+    segments, so trajectories match the monolithic driver's step-control
+    behavior (bounce RNG streams differ per segment; both are valid).
+
+    Each distinct batch size compiles its own executable — worthwhile for
+    production sweeps where the persistent cache amortises it, not for
+    one-offs.
+
+    Returns ``(final_state, total_iterations)`` with the final state as a
+    host-side PacketState in the original packet order.
+    """
+    fields = PacketState._fields
+    n = state0.x.shape[0]
+    np_dtype = np.asarray(state0.x[:1]).dtype
+    final_np = {f: np.zeros(n, np_dtype) for f in fields}
+    alive_idx = np.arange(n)
+    valid = np.ones(n, bool)          # False for compaction padding lanes
+    state = state0
+    h = initial_step
+    res = float(resolution)
+    seg_i = 0
+    total_iters = 0
+
+    @jax.jit
+    def count_live(st):
+        return jnp.sum((st.t > res) & (st.frac > 0.0))
+
+    def pull(final):
+        return {f: np.asarray(getattr(final, f)) for f in fields}
+
+    def write_back(leaves):
+        # dead/finished lanes are frozen by predication, so (re)writing
+        # them at any later pull is idempotent
+        done = (~((leaves['t'] > res) & (leaves['frac'] > 0.0))) & valid
+        if done.any():
+            idx = alive_idx[done]
+            for f in fields:
+                final_np[f][idx] = leaves[f][done]
+        return done
+
+    while total_iters < max_total_iterations:
+        seg_key = jax.random.fold_in(key, seg_i)
+        final, iters, h_out = adaptive_step_driver(
+            state, spec, forces, surface, resolution, outeredge, radius_km,
+            seg_key, initial_step=h, max_iterations=segment, return_h=True)
+        total_iters += int(iters)
+        # ONE scalar transfer per segment; leaves are pulled only when a
+        # compaction (or completion) actually happens — per-leaf pulls every
+        # segment measured 0.8x (slower than no compaction at all) through
+        # the ~50 ms-per-transfer axon path
+        n_live = int(count_live(final))
+        cur_n = int(final.t.shape[0])
+        if n_live == 0:
+            write_back(pull(final))
+            break
+        target = max(min_batch, 1 << int(np.ceil(np.log2(n_live))))
+        if n_live < compact_threshold * cur_n and target < cur_n:
+            leaves = pull(final)
+            done = write_back(leaves)
+            more = valid & ~done
+            keep = np.nonzero(more)[0]
+            pad = target - n_live
+            new_leaves = {}
+            for f in fields:
+                col = np.empty(target, np_dtype)
+                col[:n_live] = leaves[f][keep]
+                col[n_live:] = 0.0      # t=0, frac=0: moretogo is False
+                new_leaves[f] = jnp.asarray(col)
+            h_np = np.asarray(h_out)
+            h_col = np.full(target, 1.0, np_dtype)
+            h_col[:n_live] = h_np[keep]
+            h = jnp.asarray(h_col)
+            alive_idx = np.concatenate([alive_idx[keep], np.zeros(pad, int)])
+            valid = np.concatenate([np.ones(n_live, bool),
+                                    np.zeros(pad, bool)])
+            state = PacketState(**new_leaves)
+        else:
+            state = final
+            h = h_out
+        seg_i += 1
+    return PacketState(**final_np), total_iters
 
 
 def packet_state_from_dict(x0: dict) -> PacketState:

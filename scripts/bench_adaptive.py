@@ -30,6 +30,11 @@ def main():
     ap.add_argument('--case', choices=CASES, default='ca')
     ap.add_argument('--resolution', type=float, default=1e-4)
     ap.add_argument('--endtime', type=float, default=10800.0)
+    ap.add_argument('--inner-steps', type=int, default=1,
+                    help='adaptive iterations per while-loop cond check')
+    ap.add_argument('--compact', action='store_true',
+                    help='also time the segmented compacting orchestrator')
+    ap.add_argument('--segment', type=int, default=512)
     args = ap.parse_args()
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
@@ -68,7 +73,8 @@ def main():
     run = lambda: adaptive_step_driver(
         state0, spec, forces, surface, jnp.asarray(args.resolution, dtype),
         jnp.asarray(inp.options.outeredge, dtype),
-        jnp.asarray(radius_km, dtype), key, collect_stats=True)
+        jnp.asarray(radius_km, dtype), key, collect_stats=True,
+        inner_steps=args.inner_steps)
 
     # warm (compile)
     t0 = time.perf_counter()
@@ -104,6 +110,28 @@ def main():
     occ_frac = occ.mean(axis=1)
     print(f'  mean lane occupancy over iterations: {occ_frac.mean():.1%} '
           f'(final 10%: {occ_frac[-len(occ_frac) // 10:].mean():.1%})')
+
+    if args.compact:
+        from nexoclom_tpu.ops.integrator import adaptive_compacting_run
+        cargs = dict(segment=args.segment)
+        run_c = lambda: adaptive_compacting_run(
+            state0, spec, forces, surface,
+            jnp.asarray(args.resolution, dtype),
+            jnp.asarray(inp.options.outeredge, dtype),
+            jnp.asarray(radius_km, dtype), key, **cargs)
+        t0 = time.perf_counter()
+        final_c, iters_c = run_c()      # first run pays per-shape compiles
+        print(f'compacting cold (segment={args.segment}): '
+              f'{time.perf_counter() - t0:.1f} s')
+        t0 = time.perf_counter()
+        final_c, iters_c = run_c()
+        dt_c = time.perf_counter() - t0
+        print(f'compacting warm: {dt_c:.2f} s -> '
+              f'{accepted / dt_c:.3e} packet-steps/s useful-work rate '
+              f'({dt / dt_c:.2f}x vs monolithic)')
+        assert abs(float(np.sum(final_c.frac)) -
+                   float(jnp.sum(final.frac))) / max(
+                       float(jnp.sum(final.frac)), 1e-30) < 0.05
 
 
 if __name__ == '__main__':

@@ -336,3 +336,37 @@ def test_adaptive_vs_constant_with_radpres():
     frac_diff = np.abs(np.asarray(final_c.frac)[alive] -
                        np.asarray(final_a.frac)[alive])
     assert np.max(frac_diff) < 1e-4
+
+
+def test_adaptive_compacting_matches_monolithic():
+    """Segmented + compacted adaptive run reproduces the monolithic driver
+    exactly for deterministic physics (no bounce RNG), in original packet
+    order, including step-size carry-over across segments."""
+    from nexoclom_tpu.ops.integrator import adaptive_compacting_run
+    state0 = make_state(n=96, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, iters_m = adaptive_step_driver(state0, *args)
+    final_c, iters_c = adaptive_compacting_run(
+        state0, *args, segment=64, compact_threshold=0.9, min_batch=16)
+    for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+        np.testing.assert_allclose(np.asarray(getattr(final_c, f)),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+    # segmentation can only overrun the monolithic count by < one segment
+    assert iters_c >= int(iters_m)
+    assert iters_c < int(iters_m) + 64
+
+
+def test_adaptive_return_h_and_array_initial_step():
+    """return_h exposes per-packet step sizes; feeding them back with
+    max_iterations splitting reproduces the single-run result."""
+    state0 = make_state(n=32, vmin=2.0, vmax=5.0, endtime=3000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_1, it1 = adaptive_step_driver(state0, *args)
+    mid, itm, h_mid = adaptive_step_driver(state0, *args,
+                                           max_iterations=50, return_h=True)
+    final_2, it2 = adaptive_step_driver(mid, *args, initial_step=h_mid)
+    for f in ('x', 'y', 'z', 'frac'):
+        np.testing.assert_allclose(np.asarray(getattr(final_2, f)),
+                                   np.asarray(getattr(final_1, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
