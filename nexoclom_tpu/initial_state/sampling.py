@@ -166,10 +166,14 @@ def _sample_impl(key, inputs, n: int, dtype):
     else:
         t = jax.random.uniform(k_time, (n,), dtype=dtype) * options.endtime
 
+    geometry = inputs.geometry
+    satellite = geometry.startpoint != geometry.planet.object
     lon, lat = _spatial(k_spatial, inputs, n, dtype)
+    # for satellite starts these are MOON-centred coordinates in moon radii
+    # (the reference's satellite x-flip convention, xyz_from_lonlat)
     x, y, z = samplers.xyz_from_lonlat(
         lon, lat, inputs.spatialdist.exobase,
-        is_planet=(inputs.geometry.planet.type == 'Planet'))
+        is_planet=not satellite)
 
     v_model = _speed_kms(k_speed, inputs, n, dtype,
                          lonlat=(lon, lat)) / radius_km
@@ -192,6 +196,22 @@ def _sample_impl(key, inputs, n: int, dtype):
     else:
         raise InputError('build_initial_state',
                          f'angulardist.type = {angular.type} not defined')
+
+    if satellite:
+        # translate the moon-local launch sphere to the moon's orbital
+        # position and add its orbital velocity (initial_state/satellites.py
+        # — the reference asserts on this path, Output.py:153-155)
+        from nexoclom_tpu.initial_state.satellites import satellite_start
+        center, v_orb, scale = satellite_start(geometry)
+        center = jnp.asarray(center, dtype)
+        v_orb = jnp.asarray(v_orb, dtype)
+        scale = float(scale)
+        x = x * scale + center[0]
+        y = y * scale + center[1]
+        z = z * scale + center[2]
+        vx = vx + v_orb[0]
+        vy = vy + v_orb[1]
+        vz = vz + v_orb[2]
 
     local_time = (lon * 12 / math.pi + 12) % 24
     return {

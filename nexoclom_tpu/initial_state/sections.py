@@ -144,14 +144,23 @@ class Geometry(_Section):
                              f'point; choices: {objlist}')
 
         if 'objects' in gparam:
-            included = {o.strip().title() for o in gparam['objects'].split(',')}
+            ordered = []
+            for o in gparam['objects'].split(','):
+                name = o.strip().title()
+                if name not in ordered:
+                    ordered.append(name)
         else:
-            included = {self.planet.object, self.startpoint}
-        for obj in included:
+            ordered = [self.planet.object]
+            if self.startpoint != self.planet.object:
+                ordered.append(self.startpoint)
+        for obj in ordered:
             if obj not in objlist:
                 raise InputError('Geometry.__init__',
                                  f'Invalid object {obj} in geometry.objects')
-        self.objects = frozenset(SSObject(o) for o in included)
+        self.objects = frozenset(SSObject(o) for o in ordered)
+        # geometry.phi entries map to the moons in input-file order (not
+        # serialized: catalog restores fall back to sorted order)
+        self._moon_order = [o for o in ordered if o != self.planet.object]
 
         if 'starttime' in gparam:
             self.type = 'geometry with starttime'

@@ -198,8 +198,9 @@ class Output:
             self.save()
             return
 
-        if (inputs.geometry.planet.object != inputs.geometry.startpoint):
-            raise NotImplementedError('Satellite start points not set up.')
+        # satellite start points WORK here (quirk F16) — the reference
+        # raises 'Satellite start points not set up' (Output.py:153-155);
+        # starttime-based moon phases still raise in satellites.moon_phi
 
         if dtype is None:
             dtype = (jnp.float64 if get_config().precision == 'float64'

@@ -20,7 +20,7 @@ ALL_FIXTURES = sorted(
 
 # configurations that cannot run (and why)
 RUN_RAISES = {
-    'jupiter_io_satellite.input': NotImplementedError,   # satellite start
+    # moon phase from a timestamp needs ephemerides neither build vendors
     'jupiter_io_starttime.input': NotImplementedError,
     'mercury_stick_map_default.input': InputError,       # no mapfile
 }

@@ -128,15 +128,12 @@ def test_run_sweep_subprocess(tmp_path):
     assert codes == [0]
 
 
-def test_magcoord_and_satellite_stubs():
+def test_magcoord_stub():
     from nexoclom_tpu.particle_tracking.magcoord import xyz_to_magcoord
     assert xyz_to_magcoord(0, None, None, 'Mercury') is None
     with pytest.raises(NotImplementedError):
         xyz_to_magcoord(0, None, None, 'Jupiter')
-    from nexoclom_tpu.initial_state.satellites import (
-        satellite_initial_positions)
-    with pytest.raises(NotImplementedError):
-        satellite_initial_positions(None)
+    # satellite start points are implemented now (tests/test_satellites.py)
 
 
 def test_idl_import(tmp_path):
