@@ -57,3 +57,37 @@ def test_run_through(case):
     result2 = scdata.model(inputs, 2000, dphi=math.radians(3.0),
                            label=f'again_{case}', seed=1234)
     assert np.allclose(result2.radiance.to_numpy(), model, rtol=1e-9)
+
+
+def test_messenger_like_orbit_physical_radiance():
+    """Realistic viewing geometry at scale: the vendored MESSENGER-like
+    orbit (eccentric polar orbit, UVVS-style dayside limb scans incl.
+    disk-pointing rays; scripts/make_messenger_orbit.py) produces model
+    radiance that is finite, positive near the limb, and falls with
+    tangent altitude — the physical signature of an exospheric limb scan."""
+    orbit = pd.read_csv(os.path.join(os.path.dirname(__file__), 'data',
+                                     'orbits', 'messenger_like_orbit.csv'))
+    assert len(orbit) == 96
+    inputs = Input(os.path.join(INPUTFILES, 'mercury_na_spot.input'))
+    inputs.options.endtime = 3000.0
+    scdata = SpacecraftData(orbit, species='Na',
+                            query='messenger-like orbit fixture')
+    result = scdata.model(inputs, 20000, dphi=math.radians(1.0),
+                          label='messenger_like', seed=77)
+    model = result.radiance.to_numpy()
+    assert np.all(np.isfinite(model))
+
+    # limb spectra see signal; radiance decays with tangent altitude
+    alt = orbit.alttan.to_numpy()
+    low = (alt > 0) & (alt < 400)
+    high = alt > 1500
+    assert model[low].mean() > 0
+    assert model[low].mean() > 3 * max(model[high].mean(), 1e-30)
+    # rank correlation over the limb scans (above-limb only)
+    from scipy import stats as sps
+    limb = alt > 0
+    rho, _ = sps.spearmanr(alt[limb], model[limb])
+    assert rho < -0.5
+
+    # fitted source-rate estimate against the synthetic measured profile
+    assert result.sourcerate > 0 and np.isfinite(result.sourcerate)
