@@ -189,11 +189,17 @@ def uniform_lookup(table, v0, dv, value, impl: str = 'gather'):
 
 def radpres_lookup(spec: EngineSpec, forces: ForceTable, vv):
     """a(v) table lookup via the spec's strategy (np.interp semantics;
-    'relu' deviates by at most the pltable compression tolerance)."""
-    if spec.lookup_impl == 'relu':
+    'relu' deviates by at most the pltable compression tolerance).
+
+    'relu' requires a compressed table in ``forces.rp_pl``; a ForceTable
+    built without one (``empty_force_table()._replace(rp_accel=...)``, the
+    pre-compression construction pattern) falls back to 'dense' — the
+    placeholder PLTable would otherwise evaluate to a silent a(v) = 0."""
+    if spec.lookup_impl == 'relu' and forces.rp_pl.knots.shape[0] > 1:
         return pl_lookup(forces.rp_pl, vv)
+    impl = 'dense' if spec.lookup_impl == 'relu' else spec.lookup_impl
     return uniform_lookup(forces.rp_accel, forces.rp_v0, forces.rp_dv, vv,
-                          impl=spec.lookup_impl)
+                          impl=impl)
 
 
 def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
@@ -665,6 +671,7 @@ def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,
                 final_np[f][idx] = leaves[f][done]
         return done
 
+    final = state0
     while total_iters < max_total_iterations:
         seg_key = jax.random.fold_in(key, seg_i)
         final, iters, h_out = adaptive_step_driver(
@@ -705,6 +712,14 @@ def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,
             state = final
             h = h_out
         seg_i += 1
+    else:
+        # iteration budget exhausted: flush the current batch so unfinished
+        # (and any unflushed finished) lanes return their real partial
+        # state, matching the monolithic driver's max_iterations behavior
+        leaves = pull(final)
+        idx = alive_idx[valid]
+        for f in fields:
+            final_np[f][idx] = leaves[f][valid]
     return PacketState(**final_np), total_iters
 
 

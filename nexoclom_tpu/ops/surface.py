@@ -237,10 +237,14 @@ def build_sticking_map(sourcemap):
     coefficient S(lon, lat), interpolated at each impact point.
 
     Accepts abundance shaped (nlon, nlat) or its transpose (matching the
-    spatial-map convention), any monotonic grids; resamples bilinearly onto
-    a uniform grid at the same resolution so the device lookup is O(1)
-    fractional indexing.  Returns ``(table, lon0, dlon, lat0, dlat)`` with
-    the table clipped to [0, 1].
+    spatial-map convention; SQUARE maps are ambiguous and are assumed to be
+    (nlon, nlat) — store longitude-major), any monotonic grids; resamples
+    bilinearly onto a uniform grid at the same resolution so the device
+    lookup is O(1) fractional indexing.  Grids that stop one spacing short
+    of closing the circle (bin-center axes over [0, 2pi - dlon]) get a
+    periodic wrap row appended so interpolation is continuous across the
+    0/2pi seam.  Returns ``(table, lon0, dlon, lat0, dlat)`` with the
+    table clipped to [0, 1].
     """
     from nexoclom_tpu.utilities.exceptions import InputError
     abundance = np.asarray(sourcemap.abundance, dtype=np.float64)
@@ -288,4 +292,9 @@ def build_sticking_map(sourcemap):
     table = np.clip(table, 0.0, 1.0)
     dlon = (ulon[-1] - ulon[0]) / max(ulon.size - 1, 1)
     dlat = (ulat[-1] - ulat[0]) / max(ulat.size - 1, 1)
+    # periodic seam: a grid ending one spacing short of lon0 + 2pi wraps —
+    # append row 0 at the far end so the clamped bilinear lookup
+    # interpolates across 0/2pi instead of flat-clamping the last column
+    if dlon > 0 and abs((ulon[-1] + dlon) - (ulon[0] + 2 * np.pi)) < 1e-9:
+        table = np.concatenate([table, table[:1]], axis=0)
     return table, float(ulon[0]), float(dlon), float(ulat[0]), float(dlat)

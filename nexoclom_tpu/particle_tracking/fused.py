@@ -121,10 +121,13 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     normalisation (totalsource = accumulated sample count); histogramming
     dominates fused runs on this TPU, so stride k raises throughput nearly
     k-fold at slightly higher image noise.  With ``stagger=True`` (default)
-    the subsample is *stratified*: packets with index = t (mod k)
-    accumulate at step t, so every timestep is represented (no aliasing)
-    at the same cost; ``stagger=False`` keeps whole-batch snapshots at
-    steps 0, k, 2k, ...
+    the subsample is *stratified*: the packets of stratum t mod k
+    accumulate at step t — strata are contiguous per-shard index blocks,
+    stratum(p) = (p // m) % k with m = N/(k*shards), see
+    ``ops/integrator._stagger_slice``; packets are i.i.d. so block
+    membership is statistically arbitrary — so every timestep is
+    represented (no aliasing) at the same cost; ``stagger=False`` keeps
+    whole-batch snapshots at steps 0, k, 2k, ...
 
     ``hist_impl``: 'auto' (default; exact one-hot matmul below ~512x512
     bins on accelerators, measured 4-5x over scatter-add), 'matmul', or

@@ -79,24 +79,28 @@ _STICK_MAP_CACHE: dict = {}
 
 
 def _load_sticking_sourcemap(sint):
-    """Load (with a per-path cache) the sticking SourceMap."""
+    """Load the sticking SourceMap, cached by (path, mtime) so edited or
+    regenerated map files are picked up and the cache stays bounded."""
     import os
     from nexoclom_tpu.initial_state.sourcemap import SourceMap
     from nexoclom_tpu.utilities.exceptions import InputError
     mapfile = sint.stick_mapfile
-    if mapfile in _STICK_MAP_CACHE:
-        return _STICK_MAP_CACHE[mapfile]
     if mapfile == 'default' or not os.path.exists(mapfile):
         # the reference prints a warning and defers the crash
         # (input_classes.py:280-284 -> bouncepackets assert); fail clearly
         raise InputError('engine_spec_from_inputs',
                          f'surfaceinteraction.stick_mapfile {mapfile!r} '
                          f'does not exist')
+    cache_key = (mapfile, os.path.getmtime(mapfile))
+    if cache_key in _STICK_MAP_CACHE:
+        return _STICK_MAP_CACHE[cache_key]
     sourcemap = SourceMap(mapfile)
     if sourcemap.abundance is None:
         raise InputError('engine_spec_from_inputs',
                          f'no abundance in stick_mapfile {mapfile}')
-    _STICK_MAP_CACHE[mapfile] = sourcemap
+    if len(_STICK_MAP_CACHE) > 32:
+        _STICK_MAP_CACHE.clear()
+    _STICK_MAP_CACHE[cache_key] = sourcemap
     return sourcemap
 
 

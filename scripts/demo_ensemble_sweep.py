@@ -52,21 +52,30 @@ def main():
     # velocity + photo rate all vary)
     from nexoclom_tpu.ops.pltable import compress_uniform
     taas = np.linspace(0, 2 * np.pi, args.members, endpoint=False)
+    # compress ONCE at 1 AU and scale per member: a(v; aplanet) is exactly
+    # a(v; 1 AU)/aplanet^2 on the same grid, and a piecewise-linear fit
+    # scales linearly — compressing each member independently could pick
+    # different knot counts when a borderline knot sits within an ulp of
+    # the tolerance, breaking stack_force_tables' shape contract
+    v0, dv, accel_1au = radpres_table('Na', 1.0, npoints=512)
+    pl_1au = compress_uniform(v0 / radius_km, dv / radius_km,
+                              accel_1au / radius_km, rel_tol=1e-3,
+                              dtype=np.float32)
     tables = []
     for taa in taas:
         aplanet, vr = planet_dist(mercury, float(taa))
-        v0, dv, accel = radpres_table('Na', aplanet, npoints=512)
-        # knot selection is scale-invariant (tol is relative to the table
-        # max), so members compress to identical shapes and stack cleanly
+        scale = 1.0 / aplanet ** 2
         tables.append(empty_force_table(dtype)._replace(
             gm=jnp.asarray(mercury.gm_rp3, dtype),
             vrplanet=jnp.asarray(vr / radius_km, dtype),
             rp_v0=jnp.asarray(v0 / radius_km, dtype),
             rp_dv=jnp.asarray(dv / radius_km, dtype),
-            rp_accel=jnp.asarray(accel / radius_km, dtype),
-            rp_pl=compress_uniform(v0 / radius_km, dv / radius_km,
-                                   accel / radius_km, rel_tol=1e-3,
-                                   dtype=np.float32),
+            rp_accel=jnp.asarray(accel_1au * scale / radius_km, dtype),
+            # base packs [y0, vmax]: scale the value, keep the clamp limit
+            rp_pl=pl_1au._replace(
+                dslope=pl_1au.dslope * scale,
+                base=pl_1au.base * jnp.asarray([scale, 1.0],
+                                               pl_1au.base.dtype)),
             ion_rate=jnp.asarray(LossInfo('Na', 0.0, aplanet).photo, dtype)))
     forces = stack_force_tables(tables)
     keys = jax.random.split(jax.random.PRNGKey(7), args.members)

@@ -98,3 +98,23 @@ def test_relu_lookup_matches_gather_in_engine():
         assert np.max(delta) <= dv_bound * 1.05
     np.testing.assert_allclose(np.asarray(outs['relu'].frac),
                                np.asarray(outs['gather'].frac), rtol=1e-12)
+
+
+def test_relu_spec_without_compressed_table_falls_back():
+    """A ForceTable built the pre-compression way (rp_accel only, rp_pl
+    left as the placeholder) must NOT produce silent a(v)=0 under the TPU
+    default lookup_impl='relu' — it falls back to the dense lookup."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.integrator import (EngineSpec, empty_force_table,
+                                             radpres_lookup)
+    grid = np.linspace(-10.0, 10.0, 41)
+    accel = np.exp(-(grid / 4.0) ** 2)
+    forces = empty_force_table(jnp.float64)._replace(
+        rp_v0=jnp.asarray(grid[0]), rp_dv=jnp.asarray(grid[1] - grid[0]),
+        rp_accel=jnp.asarray(accel))
+    vv = jnp.asarray(np.linspace(-12, 12, 100))
+    got = np.asarray(radpres_lookup(
+        EngineSpec(lookup_impl='relu'), forces, vv))
+    want = np.interp(np.asarray(vv), grid, accel)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert got.max() > 0.5

@@ -408,3 +408,30 @@ def test_stick_mapfile_missing_raises():
         {'sticktype': 'surface map', 'accomfactor': '0.5'})
     with pytest.raises(InputError):
         Output(inp, 10)
+
+
+def test_sticking_map_wraps_longitude_seam():
+    """A bin-center grid over [0, 2pi - dlon] gets a periodic wrap row:
+    impacts just below 2pi interpolate between the last column and
+    column 0 instead of flat-clamping."""
+    from nexoclom_tpu.ops.surface import bilinear_lookup, build_sticking_map
+    nlon, nlat = 36, 7
+    dlon = 2 * np.pi / nlon
+    lon = np.arange(nlon) * dlon            # stops one spacing short
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    smap = np.linspace(0.0, 1.0, nlon)[:, None] * np.ones((1, nlat))
+
+    class _Map:
+        pass
+    m = _Map()
+    m.abundance, m.longitude, m.latitude = smap, lon, lat
+    table, lon0, dl, lat0, dla = build_sticking_map(m)
+    assert table.shape[0] == nlon + 1       # wrap row appended
+    np.testing.assert_allclose(table[-1], table[0])
+    # halfway across the seam: mean of last and first values
+    probe_lon = lon[-1] + dlon / 2
+    row = jnp.asarray([(probe_lon - lon0) / dl])
+    col = jnp.asarray([(0.0 - lat0) / dla])
+    got = float(bilinear_lookup(jnp.asarray(table), row, col)[0])
+    want = 0.5 * (smap[-1, 0] + smap[0, 0])
+    assert got == pytest.approx(want, rel=1e-9)
