@@ -162,3 +162,13 @@ def test_staggered_accumulation_exact_vs_history():
                               np.asarray(snap.frac)[sel])
         np.testing.assert_allclose(np.asarray(acc), expect, rtol=1e-12,
                                    atol=1e-12)
+
+
+def test_fast_mode_matches_parity_statistically():
+    """fast=True (per-step radpres) stays within MC-negligible distance of
+    the parity per-stage evaluation."""
+    inp = _inputs()
+    a = fused_image_run(inp, 400, dict(PARAMS), seed=21)
+    b = fused_image_run(inp, 400, dict(PARAMS), seed=21, fast=True)
+    ratio = b.image.sum() / a.image.sum()
+    assert abs(ratio - 1.0) < 0.01
