@@ -127,12 +127,12 @@ class ModelImage(ModelResult):
             jnp.asarray(pts_obs[:, 0]), jnp.asarray(pts_obs[:, 2]),
             jnp.asarray(weight),
             self.xrange[0], self.xrange[1], self.dims[0],
-            self.zrange[0], self.zrange[1], self.dims[1]))
+            self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
         packim = np.asarray(histogram2d(
             jnp.asarray(pts_obs[:, 0]), jnp.asarray(pts_obs[:, 2]),
             jnp.ones(len(pts_obs)),
             self.xrange[0], self.xrange[1], self.dims[0],
-            self.zrange[0], self.zrange[1], self.dims[1]))
+            self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
 
         self.save(fname, image, packim)
         return image, packim
