@@ -31,8 +31,10 @@ Measured (2026-08, CPU f32 vs f64 total brightness):
   na      0.11% at 80k packets (1.65% at 20k — that is decorrelation noise,
           not bias: the MC floor itself is 0.53%, f32/floor = 0.21)
   bounce  0.84% at 80k packets, MC floor 0.95%, f32/floor = 0.89
-All < 1%.  For the radpres-dominated cases always compare against the
---mc-floor output: f32 vs f64 images differ like independent MC draws.
+All < 1%.  Cross-backend (TPU f32 vs saved CPU f64, 40k packets,
+post-h-predication engine): ca 0.51%, na 0.12%, bounce 0.84% — all PASS.
+For the radpres-dominated cases always compare against the --mc-floor
+output: f32 vs f64 images differ like independent MC draws.
 """
 import argparse
 import os
