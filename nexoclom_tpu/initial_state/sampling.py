@@ -199,19 +199,27 @@ def _sample_impl(key, inputs, n: int, dtype):
 
     if satellite:
         # translate the moon-local launch sphere to the moon's orbital
-        # position and add its orbital velocity (initial_state/satellites.py
-        # — the reference asserts on this path, Output.py:153-155)
-        from nexoclom_tpu.initial_state.satellites import satellite_start
-        center, v_orb, scale = satellite_start(geometry)
-        center = jnp.asarray(center, dtype)
-        v_orb = jnp.asarray(v_orb, dtype)
-        scale = float(scale)
-        x = x * scale + center[0]
-        y = y * scale + center[1]
-        z = z * scale + center[2]
-        vx = vx + v_orb[0]
-        vy = vy + v_orb[1]
-        vz = vz + v_orb[2]
+        # position AT EACH PACKET'S LAUNCH TIME and add the orbital
+        # velocity there (initial_state/satellites.py — the reference
+        # asserts on this path, Output.py:153-155).  phi is the phase at
+        # the observation (t = 0); a packet of age t launched when the
+        # moon was at phi - omega*t — for constant-step runs every packet
+        # has t = endtime, for adaptive steady-state runs ages are random
+        # so launches spread along the orbital arc, as a continuous source
+        # on a moving moon physically does.
+        from nexoclom_tpu.initial_state.satellites import satellite_params
+        a_rp, omega, phi_obs, moon_radius, _ = satellite_params(geometry)
+        phi = phi_obs - omega * t
+        cx = -a_rp * jnp.sin(phi)
+        cy = a_rp * jnp.cos(phi)
+        vox = -a_rp * omega * jnp.cos(phi)
+        voy = -a_rp * omega * jnp.sin(phi)
+        scale = float(moon_radius)
+        x = x * scale + cx
+        y = y * scale + cy
+        z = z * scale
+        vx = vx + vox
+        vy = vy + voy
 
     local_time = (lon * 12 / math.pi + 12) % 24
     return {

@@ -7,17 +7,22 @@ F16, docs/QUIRKS.md):
 
 * Packets launch from the startpoint moon's surface (moon-local lon/lat
   from the spatial distribution, exobase in moon radii) at the moon's
-  orbital position and inherit its orbital velocity.
+  orbital position AT THEIR LAUNCH TIME and inherit its orbital velocity:
+  a packet of age t was launched when the moon was at
+  phi(t) = phi - omega * t (phi is the phase at observation, t = 0 — the
+  steady-state-age convention of Output.py:136-139 extended to a moving
+  source).
 * The moon's orbit is circular in the planet's equatorial plane at radius
-  ``a`` with period ``orb_period``; the orbital phase ``phi`` follows the
-  model-frame longitude convention (phi=0 between planet and sun, i.e.
-  sub-solar; increasing phi = direction of orbital motion = the same sense
-  as increasing longitude).
-* After launch the engine integrates in the PLANET's field (model units
-  R_planet): the moon's own gravity and its shadow are neglected — valid
-  for source speeds well above the moon's escape speed and packets that
-  leave its vicinity (Io sputtering/volcanic cases); re-impact on the moon
-  is likewise not modelled.
+  ``a`` with period ``orb_period``; ``phi`` follows the REFERENCE'S
+  DOCUMENTED convention (docs/nexoclom/inputfiles.rst:72-77): 0 =
+  superior conjunction (anti-solar), pi/2 = over the dawn terminator;
+  increasing phi = prograde orbital motion.
+* After launch the engine integrates in the planet's field PLUS the
+  moon's own time-dependent point-mass gravity, and packets that fall
+  back onto the moving moon are removed (``EngineSpec.moon_gravity`` /
+  ``moon_impact``, on by default for satellite runs) — essential for
+  sub-escape sources (Io's v_esc = 2.6 km/s).  The moon's shadow and
+  thermal re-emission from the moon are not modelled.
 * ``geometry.phi`` entries map to the non-planet objects in the order they
   appear in ``geometry.objects`` in the input file (the reference never
   defines this mapping — its engine asserts first).
@@ -58,14 +63,36 @@ def satellite_orbit(planet, moon, phi: float):
     """Moon center position (R_planet) and orbital velocity (R_planet/s)
     in the solar-fixed model frame at phase ``phi``.
 
-    Circular orbit: r = a (sin phi, -cos phi, 0),
-    v = a*omega (cos phi, sin phi, 0) with omega = 2 pi / period.
+    Reference phi convention (inputfiles.rst:72-77): 0 = superior
+    conjunction (anti-solar, model position (0, +a, 0) with the sun at
+    -y), pi/2 = dawn terminator ((-a, 0, 0), x = dusk).  Circular orbit:
+    r = a (-sin phi, cos phi, 0), prograde
+    v = a*omega (-cos phi, -sin phi, 0) with omega = 2 pi / period.
     """
     a_rp = moon.a / planet.radius           # moon.a is km for moons
     omega = 2.0 * math.pi / (moon.orbperiod * 86400.0)
-    center = a_rp * np.array([math.sin(phi), -math.cos(phi), 0.0])
-    v_orb = a_rp * omega * np.array([math.cos(phi), math.sin(phi), 0.0])
+    center = a_rp * np.array([-math.sin(phi), math.cos(phi), 0.0])
+    v_orb = a_rp * omega * np.array([-math.cos(phi), -math.sin(phi), 0.0])
     return center, v_orb
+
+
+def satellite_params(geometry):
+    """Static scalars for the jitted moving-moon launch and engine moon
+    terms: ``(a_rp, omega, phi_obs, moon_radius_rp, moon_gm_rp3)`` —
+    semi-major axis and moon radius in R_planet, omega in rad/s, phase at
+    observation (t = 0), and the moon's GM normalised by the PLANET radius
+    cubed (same convention as ``SSObject.gm_rp3``, negative)."""
+    name = geometry.startpoint
+    moon = next((o for o in geometry.objects if o.object == name), None)
+    if moon is None:
+        from nexoclom_tpu.solarsystem import SSObject
+        moon = SSObject(name)
+    phi = moon_phi(geometry, name)
+    planet = geometry.planet
+    a_rp = moon.a / planet.radius
+    omega = 2.0 * math.pi / (moon.orbperiod * 86400.0)
+    gm_rp3 = moon.GM / (planet.radius * 1000.0) ** 3
+    return (a_rp, omega, phi, moon.radius / planet.radius, gm_rp3)
 
 
 def satellite_start(geometry):

@@ -84,6 +84,11 @@ class EngineSpec:
     # surface-map sticking: map longitudes are planet-fixed and must rotate
     # by the subsolar longitude at lookup (source_distribution.py:85-91)
     stick_map_planet_fixed: bool = False
+    # satellite (moon) source physics: the startpoint moon's time-dependent
+    # point-mass gravity and re-impact removal (capabilities the reference
+    # lacks entirely — its engine refuses satellite runs, quirk F16)
+    moon_gravity: bool = False
+    moon_impact: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
     # CPU, pathologically slow on TPU where it lowers to a scalar loop),
@@ -110,6 +115,14 @@ class ForceTable(NamedTuple):
     rp_accel: jnp.ndarray        # (K,) radpres accel vs radial velocity
     ion_rate: jnp.ndarray        # scalar ionization rate (1/s)
     rp_pl: PLTable               # compressed a(v) for lookup_impl='relu'
+    # startpoint-moon orbit (satellite runs): circular orbit in the
+    # equatorial plane; phase at model time t is moon_phi - moon_omega * t
+    # (t counts DOWN to the observation, see initial_state/satellites.py)
+    moon_gm: jnp.ndarray = None      # scalar, R_planet^3/s^2, negative
+    moon_a: jnp.ndarray = None       # scalar, R_planet
+    moon_omega: jnp.ndarray = None   # scalar, rad/s
+    moon_phi: jnp.ndarray = None     # scalar, phase at t=0 (observation)
+    moon_radius: jnp.ndarray = None  # scalar, R_planet
 
 
 class SurfaceTable(NamedTuple):
@@ -202,13 +215,22 @@ def radpres_lookup(spec: EngineSpec, forces: ForceTable, vv):
                           impl=impl)
 
 
+def moon_position(forces: ForceTable, t):
+    """Moon center (R_planet) at model time ``t`` (counts down to the
+    observation at t=0): phase phi(t) = moon_phi - omega*t with the
+    reference's convention (0 = anti-solar, pi/2 = dawn; sun at -y)."""
+    phi = forces.moon_phi - forces.moon_omega * t
+    return -forces.moon_a * jnp.sin(phi), forces.moon_a * jnp.cos(phi)
+
+
 def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
-               arad_frozen=None):
+               arad_frozen=None, t=None):
     """Acceleration components and ionization rate for one RK stage.
 
     ``arad_frozen``: optional precomputed radiation acceleration (per-step
     evaluation mode, ``spec.radpres_per_stage=False``); the shadow mask is
-    still applied per stage."""
+    still applied per stage.  ``t`` (per-packet stage time) is required
+    when ``spec.moon_gravity`` — the moon's position is time-dependent."""
     zero = jnp.zeros_like(x)
     if spec.gravity:
         r2 = x * x + y * y + z * z
@@ -217,6 +239,15 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         ax, ay, az = gm_r3 * x, gm_r3 * y, gm_r3 * z
     else:
         ax, ay, az = zero, zero, zero
+
+    if spec.moon_gravity:
+        mx, my = moon_position(forces, t)
+        dx, dy = x - mx, y - my
+        d2 = dx * dx + dy * dy + z * z
+        mgm_d3 = forces.moon_gm * jax.lax.rsqrt(d2) / d2
+        ax = ax + mgm_d3 * dx
+        ay = ay + mgm_d3 * dy
+        az = az + mgm_d3 * z
 
     out_of_shadow = None
     if spec.radpres or not spec.constant_rate:
@@ -267,9 +298,15 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
     accels = []
     ions = []
 
+    # Dormand-Prince stage times (c_i); t counts down, so stage time is
+    # t - c_i*h — only evaluated when a time-dependent force (the moving
+    # moon) is active
+    _DP_C = (0.0, 1.0 / 5.0, 3.0 / 10.0, 4.0 / 5.0, 8.0 / 9.0, 1.0)
+
     for n in range(6):
+        t_stage = (state.t - _DP_C[n] * h) if spec.moon_gravity else None
         ax, ay, az, ion = state_eval(xs[n], ys[n], zs[n], vys[n], spec,
-                                     forces, arad_frozen)
+                                     forces, arad_frozen, t=t_stage)
         accels.append((ax, ay, az))
         ions.append(ion)
         if n == 5:
@@ -351,6 +388,18 @@ def _apply_kills(stepped: PacketState, spec: EngineSpec,
         frac = stepped.frac
     else:
         frac = jnp.where(hit, 0.0, stepped.frac)
+
+    if spec.moon_impact:
+        # re-impact on the (moving) startpoint moon removes the packet;
+        # 0.995 margin keeps fresh launches sitting exactly on the surface
+        # (d == moon_radius) from instant removal under f32 rounding
+        mx, my = moon_position(forces, stepped.t)
+        d2 = ((stepped.x - mx) ** 2 + (stepped.y - my) ** 2 +
+              stepped.z ** 2)
+        moon_hit = d2 < (0.995 * forces.moon_radius) ** 2
+        if active is not None:
+            moon_hit = moon_hit & active
+        frac = jnp.where(moon_hit, 0.0, frac)
 
     if spec.check_outer_edge:
         frac = jnp.where(r2 > outeredge ** 2, 0.0, frac)

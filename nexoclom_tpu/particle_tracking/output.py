@@ -62,6 +62,8 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         planet_fixed = 'planet' in _load_sticking_sourcemap(
             sint).coordinate_system
     from nexoclom_tpu.ops.integrator import default_lookup_impl
+    satellite = (inputs.geometry.startpoint !=
+                 inputs.geometry.planet.object)
     return EngineSpec(
         gravity=inputs.forces.gravity,
         radpres=inputs.forces.radpres,
@@ -70,6 +72,11 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         sticktype=sint.sticktype,
         accom=bool(getattr(sint, 'accomfactor', None)),
         stick_map_planet_fixed=planet_fixed,
+        # satellite sources: the moon's own gravity + re-impact removal
+        # (quirk F16; gated on forces.gravity so gravity-free test configs
+        # stay force-free)
+        moon_gravity=satellite and inputs.forces.gravity,
+        moon_impact=satellite,
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
@@ -137,6 +144,17 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
     else:
         rate = LossInfo(options.species, options.lifetime, aplanet).photo
     table = table._replace(ion_rate=jnp.asarray(rate, dtype))
+
+    if inputs.geometry.startpoint != inputs.geometry.planet.object:
+        from nexoclom_tpu.initial_state.satellites import satellite_params
+        a_rp, omega, phi_obs, moon_radius, moon_gm = satellite_params(
+            inputs.geometry)
+        table = table._replace(
+            moon_gm=jnp.asarray(moon_gm, dtype),
+            moon_a=jnp.asarray(a_rp, dtype),
+            moon_omega=jnp.asarray(omega, dtype),
+            moon_phi=jnp.asarray(phi_obs, dtype),
+            moon_radius=jnp.asarray(moon_radius, dtype))
     return table
 
 

@@ -1,20 +1,28 @@
 """Satellite (moon) start points — a working capability the reference
 refuses ('Satellite start points not set up', Output.py:153-155; quirk F16).
 
-Physics checks: orbital geometry of the launch sphere, orbital-velocity
-inheritance, and a quarter-orbit integration of zero-relative-speed packets
-that must stay on the moon's circular orbit (the vendored table's orbital
-periods are Kepler-consistent with the planet masses)."""
+Physics checks: the documented phi convention (inputfiles.rst:72-77),
+moving-moon launch phases, orbital-velocity inheritance, the moon's own
+gravity (energy conservation against a static moon), re-impact removal of
+sub-escape launches, and a quarter-orbit ride of zero-relative-speed
+packets with moon physics disabled (validates the vendored periods are
+Kepler-consistent with the planet masses)."""
+import dataclasses
 import math
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from nexoclom_tpu.initial_state import Input
 from nexoclom_tpu.initial_state.sampling import build_initial_state
-from nexoclom_tpu.initial_state.satellites import (moon_phi, satellite_orbit,
+from nexoclom_tpu.initial_state.satellites import (moon_phi,
+                                                   satellite_orbit,
+                                                   satellite_params,
                                                    satellite_start)
+from nexoclom_tpu.ops.integrator import constant_step_driver
 from nexoclom_tpu.solarsystem import SSObject
 
 pytestmark = pytest.mark.initial_state
@@ -36,9 +44,13 @@ def test_satellite_orbit_geometry():
         assert abs(np.dot(center, v_orb)) < 1e-15
         omega = 2 * math.pi / (io.orbperiod * 86400)
         assert np.linalg.norm(v_orb) == pytest.approx(a_rp * omega)
-    # phi=0 is sub-solar (model frame: sun along -y)
+    # documented convention (inputfiles.rst:72-77): phi=0 is superior
+    # conjunction (anti-solar; sun at -y) and pi/2 is the dawn terminator
+    # (x = dusk -> dawn at -x)
     center, _ = satellite_orbit(jupiter, io, 0.0)
-    np.testing.assert_allclose(center, [0.0, -a_rp, 0.0], atol=1e-12)
+    np.testing.assert_allclose(center, [0.0, a_rp, 0.0], atol=1e-12)
+    center, _ = satellite_orbit(jupiter, io, math.pi / 2)
+    np.testing.assert_allclose(center, [-a_rp, 0.0, 0.0], atol=1e-12)
 
 
 def test_moon_phi_input_order():
@@ -48,51 +60,158 @@ def test_moon_phi_input_order():
     center, v_orb, scale = satellite_start(inp.geometry)
     io, jupiter = SSObject('Io'), SSObject('Jupiter')
     assert scale == pytest.approx(io.radius / jupiter.radius)
+    a_rp, omega, phi_obs, moon_radius, moon_gm = satellite_params(
+        inp.geometry)
+    assert phi_obs == 1.0
+    assert moon_gm < 0          # negative-GM convention
+    assert moon_gm == pytest.approx(
+        io.GM / (jupiter.radius * 1000.0) ** 3)
 
 
-def test_initial_state_on_moon_surface():
-    """Packets start within one moon radius of the moon center, with the
-    moon's orbital velocity added."""
-    inp = _io_inputs()
+def test_initial_state_on_moving_moon_surface():
+    """Each packet starts one moon radius (times exobase) from the moon's
+    center AT ITS OWN LAUNCH TIME: phi(t) = phi_obs - omega * t."""
+    inp = _io_inputs()      # no step_size -> adaptive -> random ages
     x0 = build_initial_state(inp, 2000, seed=5)
-    center, v_orb, scale = satellite_start(inp.geometry)
-    pos = np.stack([np.asarray(x0[c]) for c in 'xyz'], axis=1)
-    r_moon = np.linalg.norm(pos - center, axis=1)
-    np.testing.assert_allclose(r_moon, scale, rtol=1e-6)
-    # mean velocity = orbital velocity (isotropic launch averages out)
-    vel = np.stack([np.asarray(x0['v' + c]) for c in 'xyz'], axis=1)
-    jupiter = SSObject('Jupiter')
-    v_launch = 4.0 / jupiter.radius          # flat dist mean (vprob=4 km/s)
-    assert np.linalg.norm(vel.mean(axis=0) - v_orb) < 0.3 * v_launch
+    a_rp, omega, phi_obs, moon_radius, _ = satellite_params(inp.geometry)
+    t = np.asarray(x0['time'])
+    assert t.std() > 0      # random steady-state ages
+    phi = phi_obs - omega * t
+    cx, cy = -a_rp * np.sin(phi), a_rp * np.cos(phi)
+    d = np.sqrt((np.asarray(x0['x']) - cx) ** 2 +
+                (np.asarray(x0['y']) - cy) ** 2 +
+                np.asarray(x0['z']) ** 2)
+    np.testing.assert_allclose(d, moon_radius, rtol=1e-6)
+    # launches spread along the orbital arc (ages span ~0.07 rad of phase)
+    assert (phi.max() - phi.min()) > omega * t.max() * 0.5
 
 
-def test_zero_speed_packets_ride_the_orbit():
-    """v_rel = 0 launches stay on Io's circular orbit and advance by
-    omega*t: the table's periods are Kepler-consistent with GM_Jupiter."""
-    from nexoclom_tpu.initial_state.sections import AngularDist, SpeedDist
-    from nexoclom_tpu.particle_tracking import Output
+def test_zero_speed_packets_ride_the_orbit_without_moon_physics():
+    """With the moon's own gravity/impact off, v_rel = 0 launches stay on
+    Io's circular orbit and advance by omega*t: the vendored periods are
+    Kepler-consistent with GM_Jupiter."""
+    from nexoclom_tpu.initial_state.sections import (AngularDist, Options,
+                                                     SpeedDist)
+    from nexoclom_tpu.particle_tracking.output import (
+        build_force_table, build_surface_table, engine_spec_from_inputs)
+    from nexoclom_tpu.initial_state.sections import effective_taa
+    from nexoclom_tpu.ops.integrator import packet_state_from_dict
+    from nexoclom_tpu.solarsystem import planet_dist
+
     inp = _io_inputs()
-    inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': '0', 'sigma': '0'})
+    inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': '0',
+                               'sigma': '0'})
     inp.angulardist = AngularDist({'type': 'radial'})
-    io = SSObject('Io')
+    io, jupiter = SSObject('Io'), SSObject('Jupiter')
     period = io.orbperiod * 86400.0
     inp.options.endtime = period / 4
     inp.options.step_size = 30.0
-    inp.options.lifetime = 1e30         # no losses
-    out = Output(inp, 16, seed=2)
-    jupiter = SSObject('Jupiter')
+    inp.options.lifetime = 1e30
+
+    radius_km = jupiter.radius
+    taa = effective_taa(inp.geometry)
+    r, v_r = planet_dist(jupiter, taa)
+    spec = engine_spec_from_inputs(inp)
+    spec = dataclasses.replace(spec, moon_gravity=False, moon_impact=False)
+    forces = build_force_table(inp, r, v_r / radius_km, radius_km,
+                               jnp.float64)
+    surface = build_surface_table(inp, spec, radius_km, jnp.float64)
+    x0 = build_initial_state(inp, 16, seed=2, dtype=jnp.float64)
+    nsteps = int(np.ceil(inp.options.endtime / 30.0) + 1)
+    final, _ = constant_step_driver(
+        packet_state_from_dict(x0), spec, forces, surface,
+        jnp.asarray(30.0), jnp.asarray(1e30), jnp.asarray(radius_km),
+        jax.random.PRNGKey(0), nsteps=nsteps, save_history=False)
+
     a_rp = io.a / jupiter.radius
-    X = out.X
-    r = np.sqrt(X.x ** 2 + X.y ** 2 + X.z ** 2).to_numpy()
-    # launch points sit +/- 1 R_Io (0.0255 R_J) off the orbit radius, so
-    # the osculating orbits oscillate a few moon radii around a
-    np.testing.assert_allclose(r, a_rp, rtol=0.04)
-    # phase advanced by ~pi/2 from phi=1 at the FINAL snapshot (X holds the
-    # whole trajectory history); lon convention atan2(x, -y)
-    last = X.groupby('Index').tail(1)
-    lon = (np.arctan2(last.x, -last.y) + 2 * np.pi) % (2 * np.pi)
-    expected = (1.0 + 2 * np.pi / 4) % (2 * np.pi)
-    assert abs(np.median(lon) - expected) < 0.05
+    rr = np.sqrt(np.asarray(final.x) ** 2 + np.asarray(final.y) ** 2 +
+                 np.asarray(final.z) ** 2)
+    # launch points sit +/- 1 R_Io off the orbit radius, so the osculating
+    # orbits oscillate a few moon radii around a
+    np.testing.assert_allclose(rr, a_rp, rtol=0.04)
+    # phase advanced by ~pi/2 from the LAUNCH phase phi_obs - omega*endtime
+    a_, omega, phi_obs, _, _ = satellite_params(inp.geometry)
+    phi_launch = phi_obs - omega * inp.options.endtime
+    expected = phi_launch + 2 * np.pi / 4
+    # model angle of the documented convention: phi = atan2(-x, y)
+    got = np.arctan2(-np.asarray(final.x), np.asarray(final.y))
+    err = (got - expected + np.pi) % (2 * np.pi) - np.pi
+    assert abs(np.median(err)) < 0.05
+
+
+def test_sub_escape_launches_fall_back_to_the_moon():
+    """1 km/s radial launches (Io v_esc = 2.56 km/s) are bound to Io: with
+    moon gravity + impact on (the default) they fall back and are removed;
+    3.5 km/s launches escape the moon and survive."""
+    from nexoclom_tpu.initial_state.sections import AngularDist, SpeedDist
+    from nexoclom_tpu.particle_tracking import Output
+
+    def run(vprob):
+        inp = _io_inputs()
+        inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': str(vprob),
+                                   'sigma': '0'})
+        inp.angulardist = AngularDist({'type': 'radial'})
+        inp.options.endtime = 7200.0
+        inp.options.step_size = 15.0
+        inp.options.lifetime = 1e30
+        out = Output(inp, 64, seed=7, compress=False)
+        last = out.X.groupby('Index').tail(1)
+        return last.frac.to_numpy()
+
+    frac_slow = run(1.0)
+    assert (frac_slow == 0).mean() > 0.9       # bound -> re-impact removed
+    frac_fast = run(3.5)
+    assert (frac_fast > 0).mean() > 0.9        # escapes the moon
+
+
+def test_moon_gravity_conserves_energy_static_moon():
+    """omega = 0 freezes the moon: total energy in the two-center field
+    (planet + moon point mass, negative-GM convention) is conserved."""
+    from nexoclom_tpu.ops.integrator import (EngineSpec, PacketState,
+                                             empty_force_table)
+    io, jupiter = SSObject('Io'), SSObject('Jupiter')
+    a_rp = io.a / jupiter.radius
+    gm_p = jupiter.gm_rp3
+    gm_m = io.GM / (jupiter.radius * 1000.0) ** 3
+    n = 64
+    rng = np.random.default_rng(3)
+    # packets near (but not on) the moon at phi = 0 -> center (0, a)
+    pos = np.array([0.0, a_rp, 0.0]) + rng.normal(0, 0.2, (n, 3))
+    vel = rng.normal(0, 5e-5, (n, 3))
+    state0 = PacketState(
+        t=jnp.full(n, 1e8), x=jnp.asarray(pos[:, 0]),
+        y=jnp.asarray(pos[:, 1]), z=jnp.asarray(pos[:, 2]),
+        vx=jnp.asarray(vel[:, 0]), vy=jnp.asarray(vel[:, 1]),
+        vz=jnp.asarray(vel[:, 2]),
+        frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+    spec = EngineSpec(gravity=True, radpres=False, constant_rate=True,
+                      surface_bounce=False, check_outer_edge=False,
+                      moon_gravity=True, moon_impact=False)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(gm_p), ion_rate=jnp.asarray(0.0),
+        moon_gm=jnp.asarray(gm_m), moon_a=jnp.asarray(a_rp),
+        moon_omega=jnp.asarray(0.0), moon_phi=jnp.asarray(0.0),
+        moon_radius=jnp.asarray(io.radius / jupiter.radius))
+
+    def energy(s):
+        r = np.sqrt(np.asarray(s.x) ** 2 + np.asarray(s.y) ** 2 +
+                    np.asarray(s.z) ** 2)
+        d = np.sqrt(np.asarray(s.x) ** 2 + (np.asarray(s.y) - a_rp) ** 2 +
+                    np.asarray(s.z) ** 2)
+        v2 = (np.asarray(s.vx) ** 2 + np.asarray(s.vy) ** 2 +
+              np.asarray(s.vz) ** 2)
+        # negative-GM convention: potential is +GM/r with GM < 0
+        return 0.5 * v2 + gm_p / r + gm_m / d
+
+    e0 = energy(state0)
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(20.0), jnp.asarray(1e30),
+        jnp.asarray(jupiter.radius), jax.random.PRNGKey(0), nsteps=301,
+        save_history=False)
+    alive = np.asarray(final.frac) > 0
+    assert alive.sum() > 40
+    e1 = energy(final)
+    assert np.max(np.abs((e1 - e0) / e0)[alive]) < 1e-6
 
 
 def test_satellite_run_end_to_end():
