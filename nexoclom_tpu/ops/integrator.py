@@ -240,6 +240,7 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
     else:
         ax, ay, az = zero, zero, zero
 
+    mx = my = None
     if spec.moon_gravity:
         mx, my = moon_position(forces, t)
         dx, dy = x - mx, y - my
@@ -253,6 +254,12 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
     if spec.radpres or not spec.constant_rate:
         rho2 = x * x + z * z
         out_of_shadow = (rho2 > 1.0) | (y < 0.0)
+        if spec.moon_gravity:
+            # the startpoint moon's shadow cylinder (sun at -y): packets
+            # behind the moving moon lose radiation pressure and photo loss
+            in_moon_shadow = (((x - mx) ** 2 + z * z
+                               < forces.moon_radius ** 2) & (y > my))
+            out_of_shadow = out_of_shadow & ~in_moon_shadow
 
     if spec.radpres:
         if arad_frozen is not None:

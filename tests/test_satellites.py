@@ -223,3 +223,43 @@ def test_satellite_run_end_to_end():
     assert len(out.X) > 0
     frac = out.X.frac.to_numpy()
     assert np.all(np.isfinite(frac)) and np.all(frac >= 0)
+
+
+def test_moon_shadow_blocks_photo_loss():
+    """Packets in the moving moon's shadow cylinder (anti-solar of the
+    moon, within its radius) lose no frac to photoionization."""
+    from nexoclom_tpu.ops.integrator import (EngineSpec, PacketState,
+                                             empty_force_table)
+    io, jupiter = SSObject('Io'), SSObject('Jupiter')
+    a_rp = io.a / jupiter.radius
+    r_m = io.radius / jupiter.radius
+    # moon at phi=pi/2 (dawn, (-a, 0)): well clear of the PLANET's shadow
+    # cylinder (at phi=0 the moon itself is eclipsed by the planet, so
+    # nothing there is sunlit anyway — physically handled by the planet
+    # shadow term)
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      moon_gravity=True, moon_impact=False)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(1e-3),
+        moon_gm=jnp.asarray(0.0),          # shadow only, no pull
+        moon_a=jnp.asarray(a_rp), moon_omega=jnp.asarray(0.0),
+        moon_phi=jnp.asarray(math.pi / 2), moon_radius=jnp.asarray(r_m))
+    n = 3
+    # packet 0: in the moon's shadow (anti-solar of the moon, inside the
+    # cylinder); packet 1: sunward of the moon; packet 2: off-axis
+    x = jnp.asarray([-a_rp, -a_rp, -a_rp + 5 * r_m])
+    y = jnp.asarray([5 * r_m, -5 * r_m, 5 * r_m])
+    state0 = PacketState(
+        t=jnp.full(n, 1e9), x=x, y=y, z=jnp.zeros(n),
+        vx=jnp.zeros(n), vy=jnp.zeros(n), vz=jnp.zeros(n),
+        frac=jnp.ones(n), lossfrac=jnp.zeros(n))
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(100.0), jnp.asarray(1e30),
+        jnp.asarray(jupiter.radius), jax.random.PRNGKey(0), nsteps=11,
+        save_history=False)
+    frac = np.asarray(final.frac)
+    assert frac[0] == pytest.approx(1.0)                 # shadowed: no loss
+    expected = math.exp(-1e-3 * 100.0 * 10)
+    assert frac[1] == pytest.approx(expected, rel=1e-6)  # sunlit: decays
+    assert frac[2] == pytest.approx(expected, rel=1e-6)
