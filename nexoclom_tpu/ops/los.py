@@ -200,7 +200,8 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
     return ratio_x_sigma, sigma_sum
 
 
-def los_geometry(sc_pos, bore, outeredge):
+def los_geometry(sc_pos, bore, outeredge, moon_center=None,
+                 moon_radius: float = 0.0):
     """Per-spectrum geometric cutoffs (host-side numpy).
 
     Returns ``(obstruction, outer_dd)``:
@@ -210,6 +211,12 @@ def los_geometry(sc_pos, bore, outeredge):
       (``compute_iteration.py:104-115``);
     * ``outer_dd``: distance along the boresight to the outer-edge sphere
       (``compute_iteration.py:158-161``).
+
+    ``moon_center``/``moon_radius`` (satellite runs) additionally occult
+    the line of sight at the startpoint moon's disk — the moon sits at its
+    observation-time position (the reference has no moon machinery at
+    all).  Unlike the planet's center-distance cutoff (kept for parity),
+    the moon cutoff is the exact near-intersection distance.
     """
     sc_pos = np.asarray(sc_pos, dtype=float)
     bore = np.asarray(bore, dtype=float)
@@ -219,6 +226,15 @@ def los_geometry(sc_pos, bore, outeredge):
     asize = np.arcsin(np.clip(1.0 / dist, -1.0, 1.0))
     # boresights that miss the planet's disk get no occlusion cutoff
     obstruction = np.where(ang > asize, 1e30, dist)
+
+    if moon_center is not None and moon_radius > 0.0:
+        rel = sc_pos - np.asarray(moon_center, dtype=float)[None, :]
+        bm = 2.0 * (rel * bore).sum(axis=1)
+        cm = (rel ** 2).sum(axis=1) - float(moon_radius) ** 2
+        disc_m = bm * bm - 4.0 * cm
+        t_near = (-bm - np.sqrt(np.maximum(disc_m, 0.0))) / 2.0
+        moon_cut = np.where((disc_m > 0.0) & (t_near > 0.0), t_near, 1e30)
+        obstruction = np.minimum(obstruction, moon_cut)
 
     b = 2.0 * (sc_pos * bore).sum(axis=1)
     c = (sc_pos ** 2).sum(axis=1) - float(outeredge) ** 2

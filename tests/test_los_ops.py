@@ -156,3 +156,30 @@ def test_fitted_accumulate_weighted_mean():
         jnp.asarray(obstruction), jnp.asarray(dd), jnp.asarray(ratio),
         jnp.asarray([True, False]), jnp.asarray(sigma), DPHI, n_x0=2)
     assert np.asarray(ss2)[1] == 0.0
+
+
+def test_los_geometry_moon_occlusion():
+    """A boresight through the startpoint moon's disk is cut at the exact
+    near-intersection; rays that miss, or where the moon is behind the
+    spacecraft, are unaffected."""
+    from nexoclom_tpu.ops.los import los_geometry
+    moon_center = np.array([0.0, 5.9, 0.0])
+    r_m = 0.025
+    sc = np.array([[0.0, 0.0, 0.0],     # looking straight at the moon
+                   [0.0, 0.0, 0.0],     # looking away from it
+                   [0.0, 10.0, 0.0]])   # moon behind the spacecraft
+    bore = np.array([[0.0, 1.0, 0.0],
+                     [0.0, -1.0, 0.0],
+                     [0.0, 1.0, 0.0]])
+    # offset the first two spacecraft from the origin so the planet's
+    # disk is not in view
+    sc[:2, 0] = 3.0
+    moonc = moon_center.copy(); moonc[0] = 3.0   # keep the hit geometry
+    obstruction, _ = los_geometry(sc, bore, 1e30,
+                                  moon_center=moonc, moon_radius=r_m)
+    assert obstruction[0] == pytest.approx(5.9 - r_m)
+    assert obstruction[1] == 1e30
+    assert obstruction[2] == 1e30   # intersection at negative range
+    # without the moon: no occlusion anywhere
+    obstruction, _ = los_geometry(sc, bore, 1e30)
+    assert np.all(obstruction == 1e30)
