@@ -263,3 +263,24 @@ def test_moon_shadow_blocks_photo_loss():
     expected = math.exp(-1e-3 * 100.0 * 10)
     assert frac[1] == pytest.approx(expected, rel=1e-6)  # sunlit: decays
     assert frac[2] == pytest.approx(expected, rel=1e-6)
+
+
+def test_europa_and_moon_startpoints_run():
+    """Any tabulated moon works as a startpoint (Europa here), not just
+    the fixture's Io."""
+    from nexoclom_tpu.initial_state.sections import Geometry
+    from nexoclom_tpu.particle_tracking import Output
+    inp = _io_inputs()
+    inp.geometry = Geometry({'planet': 'Jupiter', 'startpoint': 'Europa',
+                             'objects': 'Jupiter, Europa', 'phi': '2.0',
+                             'taa': '1.57'})
+    inp.options.endtime = 1800.0
+    inp.options.step_size = 30.0
+    out = Output(inp, 64, seed=9)
+    assert len(out.X) > 0
+    europa, jupiter = SSObject('Europa'), SSObject('Jupiter')
+    a_rp = europa.a / jupiter.radius
+    first = out.X.groupby('Index').head(1)
+    r = np.sqrt(first.x ** 2 + first.y ** 2 + first.z ** 2).to_numpy()
+    np.testing.assert_allclose(r, a_rp, rtol=2 * europa.radius /
+                               europa.a + 1e-3)
