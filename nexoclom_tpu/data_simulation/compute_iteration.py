@@ -127,20 +127,14 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     sc_pos = data[['x', 'y', 'z']].to_numpy(dtype=float)
     bore = data[['xbore', 'ybore', 'zbore']].to_numpy(dtype=float)
     geometry = losresult.inputs.geometry
-    moon_center, moon_radius = None, 0.0
+    moons = ()
     if geometry.startpoint != geometry.planet.object:
-        # satellite runs: the startpoint moon (at its observation-time
+        # satellite runs: every included moon (at its observation-time
         # phase) occults lines of sight through its disk
-        from nexoclom_tpu.initial_state.satellites import (satellite_orbit,
-                                                           satellite_params)
-        from nexoclom_tpu.solarsystem import SSObject
-        _, _, phi_obs, moon_radius, _ = satellite_params(geometry)
-        moon_center, _ = satellite_orbit(geometry.planet,
-                                         SSObject(geometry.startpoint),
-                                         phi_obs)
+        from nexoclom_tpu.initial_state.satellites import moon_occultors
+        moons = moon_occultors(geometry)
     obstruction, outer_dd = los_geometry(
-        sc_pos, bore, losresult.inputs.options.outeredge,
-        moon_center=moon_center, moon_radius=moon_radius)
+        sc_pos, bore, losresult.inputs.options.outeredge, moons=moons)
 
     rad, npack, used = los_reduce(
         jnp.asarray(packets['x'].to_numpy()),

@@ -92,8 +92,15 @@ class LOSResultFitted(LOSResult):
 
         sc_pos = data[['x', 'y', 'z']].to_numpy(dtype=float)
         bore = data[['xbore', 'ybore', 'zbore']].to_numpy(dtype=float)
+        geometry = self.inputs.geometry
+        moons = ()
+        if geometry.startpoint != geometry.planet.object:
+            # keep the fitted masks geometry-consistent with the forward
+            # model in compute_iteration (moon occlusion)
+            from nexoclom_tpu.initial_state.satellites import moon_occultors
+            moons = moon_occultors(geometry)
         obstruction, outer_dd = los_geometry(
-            sc_pos, bore, self.inputs.options.outeredge)
+            sc_pos, bore, self.inputs.options.outeredge, moons=moons)
         sigma = data.sigma.to_numpy(dtype=float)
 
         fitted_results = []

@@ -118,6 +118,23 @@ class ModelImage(ModelResult):
         rho_sun = np.sqrt(pts_sun[:, 0] ** 2 + pts_sun[:, 2] ** 2)
         out_of_shadow = (rho_sun > 1) | (pts_sun[:, 1] < 0)
 
+        geometry = self.inputs.geometry
+        if geometry.startpoint != geometry.planet.object:
+            # satellite runs: included moons (at their observation phases)
+            # occult packets toward the observer and shadow them from the
+            # sun, consistently with the LOS and fused-image pipelines
+            from nexoclom_tpu.initial_state.satellites import moon_occultors
+            for c, r in moon_occultors(geometry):
+                c_obs = M @ c
+                behind = (((pts_obs[:, 0] - c_obs[0]) ** 2 +
+                           (pts_obs[:, 2] - c_obs[2]) ** 2 < r * r) &
+                          (pts_obs[:, 1] > c_obs[1]))
+                inview &= ~behind
+                shadowed = (((pts_sun[:, 0] - c[0]) ** 2 +
+                             pts_sun[:, 2] ** 2 < r * r) &
+                            (pts_sun[:, 1] > c[1]))
+                out_of_shadow &= ~shadowed
+
         frac = packets['frac'].to_numpy() * inview
         radvel = packets['vy'].to_numpy() + vr_model
         weight = self.packet_weighting(frac, radvel, output.aplanet,

@@ -208,12 +208,9 @@ def _sample_impl(key, inputs, n: int, dtype):
         # so launches spread along the orbital arc, as a continuous source
         # on a moving moon physically does.
         from nexoclom_tpu.initial_state.satellites import satellite_params
+        from nexoclom_tpu.ops.integrator import orbit_state
         a_rp, omega, phi_obs, moon_radius, _ = satellite_params(geometry)
-        phi = phi_obs - omega * t
-        cx = -a_rp * jnp.sin(phi)
-        cy = a_rp * jnp.cos(phi)
-        vox = -a_rp * omega * jnp.cos(phi)
-        voy = -a_rp * omega * jnp.sin(phi)
+        cx, cy, vox, voy = orbit_state(a_rp, omega, phi_obs - omega * t)
         scale = float(moon_radius)
         x = x * scale + cx
         y = y * scale + cy

@@ -63,17 +63,15 @@ def satellite_orbit(planet, moon, phi: float):
     """Moon center position (R_planet) and orbital velocity (R_planet/s)
     in the solar-fixed model frame at phase ``phi``.
 
-    Reference phi convention (inputfiles.rst:72-77): 0 = superior
-    conjunction (anti-solar, model position (0, +a, 0) with the sun at
-    -y), pi/2 = dawn terminator ((-a, 0, 0), x = dusk).  Circular orbit:
-    r = a (-sin phi, cos phi, 0), prograde
-    v = a*omega (-cos phi, -sin phi, 0) with omega = 2 pi / period.
+    The phi convention lives in ONE place —
+    ``ops.integrator.orbit_state`` (reference inputfiles.rst:72-77: 0 =
+    superior conjunction, pi/2 = dawn terminator, prograde).
     """
+    from nexoclom_tpu.ops.integrator import orbit_state
     a_rp = moon.a / planet.radius           # moon.a is km for moons
     omega = 2.0 * math.pi / (moon.orbperiod * 86400.0)
-    center = a_rp * np.array([-math.sin(phi), math.cos(phi), 0.0])
-    v_orb = a_rp * omega * np.array([-math.cos(phi), -math.sin(phi), 0.0])
-    return center, v_orb
+    cx, cy, vx, vy = orbit_state(a_rp, omega, phi, xp=np)
+    return np.array([cx, cy, 0.0]), np.array([vx, vy, 0.0])
 
 
 def satellite_params(geometry):
@@ -111,6 +109,23 @@ def satellite_start(geometry):
     phi = moon_phi(geometry, name)
     center, v_orb = satellite_orbit(geometry.planet, moon, phi)
     return center, v_orb, moon.radius / geometry.planet.radius
+
+
+def moon_occultors(geometry):
+    """(center, radius) of EVERY non-planet object in ``geometry.objects``
+    at its observation-time phase — the spheres that occult lines of sight
+    (the reference's inputfiles.rst says included objects contribute
+    'collisions with their surfaces'; its engine never implements any).
+    Returns an empty list for geometries without moons or phases."""
+    planet = geometry.planet
+    out = []
+    for moon in geometry.objects:
+        if moon.object == planet.object:
+            continue
+        center, _ = satellite_orbit(planet, moon,
+                                    moon_phi(geometry, moon.object))
+        out.append((center, moon.radius / planet.radius))
+    return out
 
 
 def satellite_initial_positions(inputs):

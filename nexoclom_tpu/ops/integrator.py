@@ -85,9 +85,13 @@ class EngineSpec:
     # by the subsolar longitude at lookup (source_distribution.py:85-91)
     stick_map_planet_fixed: bool = False
     # satellite (moon) source physics: the startpoint moon's time-dependent
-    # point-mass gravity and re-impact removal (capabilities the reference
-    # lacks entirely — its engine refuses satellite runs, quirk F16)
+    # point-mass gravity, shadow cylinder, and re-impact removal
+    # (capabilities the reference lacks entirely — its engine refuses
+    # satellite runs, quirk F16).  moon_shadow is an ILLUMINATION effect
+    # and is gated separately from the force term, so gravity-off runs
+    # keep their eclipse physics.
     moon_gravity: bool = False
+    moon_shadow: bool = False
     moon_impact: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
@@ -215,12 +219,23 @@ def radpres_lookup(spec: EngineSpec, forces: ForceTable, vv):
                           impl=impl)
 
 
+def orbit_state(a, omega, phi, xp=jnp):
+    """Circular-orbit position and velocity at phase ``phi`` under the
+    reference's documented convention (inputfiles.rst:72-77: 0 = superior
+    conjunction/anti-solar, pi/2 = dawn terminator; sun at -y, x = dusk;
+    increasing phi = prograde).  Returns ``(x, y, vx, vy)`` (z = 0).
+    THE single source of the convention — the sampler, the engine, and
+    the host-side satellite helpers all call it."""
+    return (-a * xp.sin(phi), a * xp.cos(phi),
+            -a * omega * xp.cos(phi), -a * omega * xp.sin(phi))
+
+
 def moon_position(forces: ForceTable, t):
     """Moon center (R_planet) at model time ``t`` (counts down to the
-    observation at t=0): phase phi(t) = moon_phi - omega*t with the
-    reference's convention (0 = anti-solar, pi/2 = dawn; sun at -y)."""
+    observation at t=0): phase phi(t) = moon_phi - omega*t."""
     phi = forces.moon_phi - forces.moon_omega * t
-    return -forces.moon_a * jnp.sin(phi), forces.moon_a * jnp.cos(phi)
+    mx, my, _, _ = orbit_state(forces.moon_a, forces.moon_omega, phi)
+    return mx, my
 
 
 def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
@@ -241,8 +256,9 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         ax, ay, az = zero, zero, zero
 
     mx = my = None
-    if spec.moon_gravity:
+    if spec.moon_gravity or spec.moon_shadow:
         mx, my = moon_position(forces, t)
+    if spec.moon_gravity:
         dx, dy = x - mx, y - my
         d2 = dx * dx + dy * dy + z * z
         mgm_d3 = forces.moon_gm * jax.lax.rsqrt(d2) / d2
@@ -254,7 +270,7 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
     if spec.radpres or not spec.constant_rate:
         rho2 = x * x + z * z
         out_of_shadow = (rho2 > 1.0) | (y < 0.0)
-        if spec.moon_gravity:
+        if spec.moon_shadow:
             # the startpoint moon's shadow cylinder (sun at -y): packets
             # behind the moving moon lose radiation pressure and photo loss
             in_moon_shadow = (((x - mx) ** 2 + z * z
@@ -311,7 +327,8 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
     _DP_C = (0.0, 1.0 / 5.0, 3.0 / 10.0, 4.0 / 5.0, 8.0 / 9.0, 1.0)
 
     for n in range(6):
-        t_stage = (state.t - _DP_C[n] * h) if spec.moon_gravity else None
+        t_stage = (state.t - _DP_C[n] * h
+                   if spec.moon_gravity or spec.moon_shadow else None)
         ax, ay, az, ion = state_eval(xs[n], ys[n], zs[n], vys[n], spec,
                                      forces, arad_frozen, t=t_stage)
         accels.append((ax, ay, az))
@@ -466,6 +483,12 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
     *including the initial state* — the fused-observable mode that keeps
     full-history statistics without materialising the (N x nsteps)
     trajectory tensor in HBM.  ``acc_init`` is its starting pytree.
+    CONTRACT: the accumulator MUST weight every contribution by
+    ``state.frac`` (or a quantity proportional to it).  Dead lanes are
+    predicated through h = 0 and arrive with their kill-time state frozen
+    and frac == 0 — there is deliberately no per-leaf masking pass (it
+    cost ~40% of the step on v5e), so an accumulator weighted by anything
+    else (e.g. plain counts) would re-count dead packets every step.
     ``acc_stride`` accumulates only every k-th snapshot (steps 0, k, 2k, ..)
     — statistically valid Monte Carlo subsampling of the (correlated)
     trajectory snapshots; the caller must scale totalsource by the number

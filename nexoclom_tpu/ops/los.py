@@ -200,8 +200,7 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
     return ratio_x_sigma, sigma_sum
 
 
-def los_geometry(sc_pos, bore, outeredge, moon_center=None,
-                 moon_radius: float = 0.0):
+def los_geometry(sc_pos, bore, outeredge, moons=()):
     """Per-spectrum geometric cutoffs (host-side numpy).
 
     Returns ``(obstruction, outer_dd)``:
@@ -212,11 +211,12 @@ def los_geometry(sc_pos, bore, outeredge, moon_center=None,
     * ``outer_dd``: distance along the boresight to the outer-edge sphere
       (``compute_iteration.py:158-161``).
 
-    ``moon_center``/``moon_radius`` (satellite runs) additionally occult
-    the line of sight at the startpoint moon's disk — the moon sits at its
-    observation-time position (the reference has no moon machinery at
-    all).  Unlike the planet's center-distance cutoff (kept for parity),
-    the moon cutoff is the exact near-intersection distance.
+    ``moons`` — an iterable of ``(center, radius)`` spheres (every
+    included moon at its observation-time phase,
+    ``initial_state.satellites.moon_occultors``) that additionally occult
+    the line of sight (the reference has no moon machinery at all).
+    Unlike the planet's center-distance cutoff (kept for parity), the
+    moon cutoffs are exact near-intersection distances.
     """
     sc_pos = np.asarray(sc_pos, dtype=float)
     bore = np.asarray(bore, dtype=float)
@@ -227,7 +227,9 @@ def los_geometry(sc_pos, bore, outeredge, moon_center=None,
     # boresights that miss the planet's disk get no occlusion cutoff
     obstruction = np.where(ang > asize, 1e30, dist)
 
-    if moon_center is not None and moon_radius > 0.0:
+    for moon_center, moon_radius in moons:
+        if moon_radius <= 0.0:
+            continue
         rel = sc_pos - np.asarray(moon_center, dtype=float)[None, :]
         bm = 2.0 * (rel * bore).sum(axis=1)
         cm = (rel ** 2).sum(axis=1) - float(moon_radius) ** 2

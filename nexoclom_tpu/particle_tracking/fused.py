@@ -52,16 +52,21 @@ def observer_rotation(subobslongitude: float, subobslatitude: float):
 def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
                            quantity: str, g_v0, g_dv, g_table,
                            vrplanet_model, apix_cm2, lookup_impl: str,
-                           g_pl=None, hist_impl: str = 'auto'):
+                           g_pl=None, hist_impl: str = 'auto', moons=()):
     """Static accumulator folding one snapshot into the sky image.
 
     Implements exactly the ModelImage weighting chain
     (``ModelImage.py:250-269``): observer-frame occultation, sun-frame
     shadow, g-value weighting (radiance), per-pixel area normalisation.
     ``g_pl``: compressed g(v) table used when ``lookup_impl == 'relu'``.
+    ``moons``: ``(center, radius)`` spheres at their observation phases
+    (satellite runs) that additionally occult packets toward the observer
+    and shadow them from the sun, consistently with the LOS pipeline.
     """
     M = jnp.asarray(M)
     radiance = quantity in ('radiance', 'difrad')
+    moons = tuple((np.asarray(c, float), float(r)) for c, r in moons)
+    moons_obs = tuple((np.asarray(M) @ c, r) for c, r in moons)
 
     def accumulate(state, image):
         xo = M[0, 0] * state.x + M[0, 1] * state.y + M[0, 2] * state.z
@@ -69,10 +74,18 @@ def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
         zo = M[2, 0] * state.x + M[2, 1] * state.y + M[2, 2] * state.z
 
         inview = (xo * xo + zo * zo > 1.0) | (yo < 0.0)
+        for c_obs, r in moons_obs:
+            behind_moon = (((xo - c_obs[0]) ** 2 + (zo - c_obs[2]) ** 2
+                            < r * r) & (yo > c_obs[1]))
+            inview = inview & ~behind_moon
         weight = state.frac * inview
         if radiance:
             out_of_shadow = (state.x ** 2 + state.z ** 2 > 1.0) | \
                 (state.y < 0.0)
+            for c, r in moons:
+                in_moon_shadow = (((state.x - c[0]) ** 2 + state.z ** 2
+                                   < r * r) & (state.y > c[1]))
+                out_of_shadow = out_of_shadow & ~in_moon_shadow
             if lookup_impl == 'relu' and g_pl is not None:
                 gg = pl_lookup(g_pl, state.vy + vrplanet_model)
             else:
@@ -209,12 +222,16 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
     else:
         g_v0, g_dv, g_tab, g_pl = 0.0, 1.0, jnp.zeros(2, dtype), None
 
+    moons = ()
+    if inputs.geometry.startpoint != inputs.geometry.planet.object:
+        from nexoclom_tpu.initial_state.satellites import moon_occultors
+        moons = moon_occultors(inputs.geometry)
     accumulator = make_image_accumulator(
         M.astype(np.float64 if dtype == jnp.float64 else np.float32),
         xlo, xhi, dims[0], zlo, zhi, dims[1], quantity,
         jnp.asarray(g_v0, dtype), jnp.asarray(g_dv, dtype), g_tab,
         jnp.asarray(vrplanet_model, dtype), jnp.asarray(apix_cm2, dtype),
-        spec.lookup_impl, g_pl=g_pl, hist_impl=hist_impl)
+        spec.lookup_impl, g_pl=g_pl, hist_impl=hist_impl, moons=moons)
 
     image = jnp.zeros(dims, dtype)
     totalsource = 0.0

@@ -72,10 +72,11 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         sticktype=sint.sticktype,
         accom=bool(getattr(sint, 'accomfactor', None)),
         stick_map_planet_fixed=planet_fixed,
-        # satellite sources: the moon's own gravity + re-impact removal
-        # (quirk F16; gated on forces.gravity so gravity-free test configs
-        # stay force-free)
+        # satellite sources (quirk F16): the moon's own gravity (gated on
+        # forces.gravity like the planet's), its shadow (an illumination
+        # effect — always on), and re-impact removal
         moon_gravity=satellite and inputs.forces.gravity,
+        moon_shadow=satellite,
         moon_impact=satellite,
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),

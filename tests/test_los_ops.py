@@ -175,8 +175,7 @@ def test_los_geometry_moon_occlusion():
     # disk is not in view
     sc[:2, 0] = 3.0
     moonc = moon_center.copy(); moonc[0] = 3.0   # keep the hit geometry
-    obstruction, _ = los_geometry(sc, bore, 1e30,
-                                  moon_center=moonc, moon_radius=r_m)
+    obstruction, _ = los_geometry(sc, bore, 1e30, moons=[(moonc, r_m)])
     assert obstruction[0] == pytest.approx(5.9 - r_m)
     assert obstruction[1] == 1e30
     assert obstruction[2] == 1e30   # intersection at negative range

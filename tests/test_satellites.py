@@ -239,10 +239,10 @@ def test_moon_shadow_blocks_photo_loss():
     # shadow term)
     spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
                       surface_bounce=False, check_outer_edge=False,
-                      moon_gravity=True, moon_impact=False)
+                      moon_shadow=True, moon_impact=False)
     forces = empty_force_table(jnp.float64)._replace(
         ion_rate=jnp.asarray(1e-3),
-        moon_gm=jnp.asarray(0.0),          # shadow only, no pull
+        moon_gm=jnp.asarray(0.0),
         moon_a=jnp.asarray(a_rp), moon_omega=jnp.asarray(0.0),
         moon_phi=jnp.asarray(math.pi / 2), moon_radius=jnp.asarray(r_m))
     n = 3
@@ -284,3 +284,21 @@ def test_europa_and_moon_startpoints_run():
     r = np.sqrt(first.x ** 2 + first.y ** 2 + first.z ** 2).to_numpy()
     np.testing.assert_allclose(r, a_rp, rtol=2 * europa.radius /
                                europa.a + 1e-3)
+
+
+def test_satellite_image_paths_agree():
+    """Fused and stored-history images apply the same moon occultation and
+    shadow masks: same seed -> same image (f32-storage tolerance)."""
+    from nexoclom_tpu.data_simulation import ModelImage
+    from nexoclom_tpu.particle_tracking import Output
+    from nexoclom_tpu.particle_tracking.fused import fused_image_run
+    inp = _io_inputs()
+    inp.options.endtime = 1800.0
+    inp.options.step_size = 30.0
+    params = {'quantity': 'radiance', 'dims': '48,48', 'width': '16,16'}
+    Output(inp, 300, seed=44, compress=False)
+    stored = ModelImage(inp, dict(params))
+    fused = fused_image_run(inp, 300, dict(params), seed=44)
+    assert fused.totalsource == stored.totalsource
+    assert np.allclose(fused.image, stored.image, rtol=5e-3,
+                       atol=stored.image.max() * 1e-6)
