@@ -63,11 +63,13 @@ class ModelImage(ModelResult):
         self.xaxis = None
         self.zaxis = None
         self.outid, self.outputfiles, _, _ = self.inputs.search()
+        from nexoclom_tpu.utilities.catalog import get_catalog
+        records = {r['filename']: r for r in
+                   get_catalog().search_outputs(self.inputs.to_dict())}
 
         for fname in self.outputfiles:
             print(f'Output filename: {fname}')
             cached = self.restore(fname, overwrite=overwrite)
-            output = Output.restore(fname)
             if cached is None:
                 image, packim = self.create_image(fname)
             else:
@@ -75,7 +77,10 @@ class ModelImage(ModelResult):
                 image, packim = cached
             self.image += image
             self.packet_image += packim
-            self.totalsource += output.totalsource
+            # totalsource comes from the catalog record — restoring the
+            # multi-GB array store just for one scalar doubled (cached
+            # path: entirely wasted) the image-generation IO
+            self.totalsource += records[fname]['totalsource']
 
         mod_rate = self.totalsource / self.inputs.options.endtime
         self.atoms_per_packet = 1e23 / mod_rate
@@ -131,7 +136,7 @@ class ModelImage(ModelResult):
                           (pts_obs[:, 1] > c_obs[1]))
                 inview &= ~behind
                 shadowed = (((pts_sun[:, 0] - c[0]) ** 2 +
-                             pts_sun[:, 2] ** 2 < r * r) &
+                             (pts_sun[:, 2] - c[2]) ** 2 < r * r) &
                             (pts_sun[:, 1] > c[1]))
                 out_of_shadow &= ~shadowed
 

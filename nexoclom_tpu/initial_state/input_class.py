@@ -169,15 +169,21 @@ class Input:
         if overwrite:
             self.delete_files()
             totalpackets = 0
+            nexisting = 0
         else:
             _, outputfiles, totalpackets, _ = self.search()
+            nexisting = len(outputfiles)
             print(f'Found {len(outputfiles)} files with {totalpackets} '
                   'packets.')
 
         npackets = int(npackets)
         ntodo = npackets - totalpackets
         chunk = packs_per_it
-        it = 0
+        # resume offset: completed chunks consumed seeds seed..seed+n-1;
+        # restarting at the same seed would catalog bitwise-duplicate
+        # packet sets (the reference passes ONE seed to every iteration,
+        # Input.py:246 — deviation F18, docs/QUIRKS.md)
+        it = nexisting
         while ntodo > 0:
             if chunk is None and self.options.step_size == 0:
                 chunk = 1_000_000

@@ -58,12 +58,18 @@ def make_ensemble_step(spec: EngineSpec, step_size: float, outeredge: float,
     hw = image_halfwidth
 
     def single(key, forces: ForceTable):
-        state0 = sample_uniform_flat_source(key, n_packets, vprob_model,
-                                            delv_model, endtime, dtype=dtype)
+        # independent streams for the source draw and the in-loop driver
+        # randomness (bounce re-emission) — reusing one key both directly
+        # and via split() correlates them (Output uses seed ^ 0x5EED for
+        # the same reason)
+        sample_key, run_key = jax.random.split(key)
+        state0 = sample_uniform_flat_source(sample_key, n_packets,
+                                            vprob_model, delv_model,
+                                            endtime, dtype=dtype)
         final, _ = constant_step_driver(
             state0, spec, forces, None,
             jnp.asarray(step_size, dtype), jnp.asarray(outeredge, dtype),
-            jnp.asarray(radius_km, dtype), key,
+            jnp.asarray(radius_km, dtype), run_key,
             nsteps=nsteps, save_history=False)
         image = histogram2d(final.x, final.z, final.frac,
                             -hw, hw, image_bins, -hw, hw, image_bins)

@@ -83,8 +83,9 @@ def make_image_accumulator(M, xlo, xhi, nx, zlo, zhi, nz,
             out_of_shadow = (state.x ** 2 + state.z ** 2 > 1.0) | \
                 (state.y < 0.0)
             for c, r in moons:
-                in_moon_shadow = (((state.x - c[0]) ** 2 + state.z ** 2
-                                   < r * r) & (state.y > c[1]))
+                in_moon_shadow = (((state.x - c[0]) ** 2 +
+                                   (state.z - c[2]) ** 2 < r * r) &
+                                  (state.y > c[1]))
                 out_of_shadow = out_of_shadow & ~in_moon_shadow
             if lookup_impl == 'relu' and g_pl is not None:
                 gg = pl_lookup(g_pl, state.vy + vrplanet_model)

@@ -373,7 +373,14 @@ class Output:
         }
         arrays['meta'] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8)
-        np.savez_compressed(self.filename, **arrays)
+        # atomic publish: the catalog record was inserted above, but
+        # search_outputs ignores records whose file does not exist — write
+        # to a temp path and rename so a crash mid-write never leaves a
+        # partial .npz that readers would count as completed work
+        tmp = self.filename + '.tmp.npz'
+        with open(tmp, 'wb') as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, self.filename)
 
     @classmethod
     def restore(cls, filename: str) -> 'Output':

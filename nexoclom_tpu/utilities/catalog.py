@@ -114,8 +114,11 @@ def _match_inputs(record_inputs: dict, inputs: dict):
                 return None
         elif rec != params:
             return None
-    return abs(record_inputs.get('geometry', {}).get('taa', 0.0) -
+    # the tie-break distance must use the same 0/2pi wrap as the match
+    # test, or records across the seam lose (or mask) the tie-break
+    dtaa = abs(record_inputs.get('geometry', {}).get('taa', 0.0) -
                inputs.get('geometry', {}).get('taa', 0.0))
+    return min(dtaa, 2 * math.pi - dtaa)
 
 
 class Catalog:
@@ -133,6 +136,13 @@ class Catalog:
         with TAA-tolerance + nearest-TAA tie-break semantics."""
         matches = []
         for record in self.outputs.records():
+            # records whose array file was never finalised (crash between
+            # the catalog insert and the npz write, or another host still
+            # saving) do not count as completed work — resume re-runs them
+            # and readers never try to np.load a missing path
+            filename = record.get('filename')
+            if filename is None or not os.path.exists(filename):
+                continue
             dtaa = _match_inputs(record['inputs'], inputs)
             if dtaa is not None:
                 matches.append((dtaa, record))

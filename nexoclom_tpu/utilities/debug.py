@@ -33,29 +33,45 @@ def _check(condition: bool, message: str):
         raise ValidationError(message)
 
 
-def validate_initial_state(x0: dict, exobase: float = 1.0):
-    """Initial-state invariants (source_distribution.py:33,187 asserts)."""
+def validate_initial_state(x0: dict, exobase: float = 1.0,
+                           satellite: bool = False, fitted: bool = False):
+    """Initial-state invariants (source_distribution.py:33,187 asserts).
+
+    ``satellite``: launches sit on the MOON's exobase at its orbital
+    position, not the planet's — the planet-centric radius check does not
+    apply.  ``fitted``: X0.frac is reweighted by the retrieval multiplier
+    (los_fitted.py), so the frac == 1 launch invariant does not apply."""
     for name, column in x0.items():
         values = np.asarray(column)
         _check(np.all(np.isfinite(values)), f'non-finite X0 column {name}')
-    r = np.sqrt(np.asarray(x0['x']) ** 2 + np.asarray(x0['y']) ** 2 +
-                np.asarray(x0['z']) ** 2)
-    _check(np.allclose(r, exobase, atol=1e-5),
-           'packets not launched from the exobase')
-    _check(np.all(np.asarray(x0['frac']) == 1.0), 'initial frac != 1')
+    if not satellite:
+        r = np.sqrt(np.asarray(x0['x']) ** 2 + np.asarray(x0['y']) ** 2 +
+                    np.asarray(x0['z']) ** 2)
+        _check(np.allclose(r, exobase, atol=1e-5),
+               'packets not launched from the exobase')
+    if not fitted:
+        _check(np.all(np.asarray(x0['frac']) == 1.0), 'initial frac != 1')
+    else:
+        _check(np.all(np.asarray(x0['frac']) >= 0), 'negative X0 frac')
     _check(np.all(np.asarray(x0['time']) >= 0), 'negative initial time')
 
 
-def validate_packet_frame(frame, label: str = 'X'):
-    """Result-frame invariants (Output.py:284-291,388-389 asserts)."""
+def validate_packet_frame(frame, label: str = 'X', satellite: bool = False,
+                          frac_ceiling: float | None = None):
+    """Result-frame invariants (Output.py:284-291,388-389 asserts).
+
+    ``frac_ceiling`` overrides the 1 + overshoot upper bound (fitted
+    outputs reweight frac by the retrieval multiplier, which may
+    exceed 1)."""
     for name in ('x', 'y', 'z', 'vx', 'vy', 'vz', 'frac'):
         values = frame[name].to_numpy()
         _check(np.all(np.isfinite(values)),
                f'non-finite values in {label}.{name}')
     frac = frame['frac'].to_numpy()
     _check(np.all(frac >= 0), f'negative frac in {label}')
-    _check(np.all(frac <= 1.0 + FRAC_OVERSHOOT),
-           f'frac exceeds 1 + overshoot tolerance in {label}')
+    ceiling = (1.0 + FRAC_OVERSHOOT) if frac_ceiling is None else frac_ceiling
+    _check(np.all(frac <= ceiling),
+           f'frac exceeds the {ceiling:g} ceiling in {label}')
     live = frac > 0
     if live.any():
         r = np.sqrt(frame['x'].to_numpy() ** 2 + frame['y'].to_numpy() ** 2 +
@@ -66,12 +82,20 @@ def validate_packet_frame(frame, label: str = 'X'):
 
 def validate_output(output):
     """Full Output validation (X0 + X + bookkeeping)."""
+    geometry = output.inputs.geometry
+    satellite = geometry.startpoint != geometry.planet.object
+    fitted = (getattr(output.inputs.options, 'fitted', False)
+              or getattr(output.inputs.spatialdist, 'type', '') ==
+              'fitted output')
     if len(output.X0):
         validate_initial_state(
             {c: output.X0[c].to_numpy() for c in
              ('time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac')},
-            exobase=getattr(output.inputs.spatialdist, 'exobase', 1.0))
+            exobase=getattr(output.inputs.spatialdist, 'exobase', 1.0),
+            satellite=satellite, fitted=fitted)
     if len(output.X):
-        validate_packet_frame(output.X)
+        validate_packet_frame(
+            output.X, satellite=satellite,
+            frac_ceiling=np.inf if fitted else None)
     _check(output.totalsource > 0, 'non-positive totalsource')
     _check(output.npackets > 0, 'non-positive npackets')

@@ -27,6 +27,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 
 def run_sweep(inputs_list, npackets, njobs: int = 2, seed=None,
@@ -63,8 +64,17 @@ def run_sweep(inputs_list, npackets, njobs: int = 2, seed=None,
                      payload_file],
                     env={**os.environ, **(env or {})})
                 active.append((idx, proc))
-            idx, proc = active.pop(0)
-            returncodes[idx] = proc.wait()
+            # reap ANY finished child (not FIFO: waiting on the oldest
+            # would let one long job head-of-line-block refills and degrade
+            # parallelism below njobs)
+            while active:
+                done = [(i, p) for i, p in active if p.poll() is not None]
+                if done:
+                    for idx, proc in done:
+                        returncodes[idx] = proc.returncode
+                        active.remove((idx, proc))
+                    break
+                time.sleep(0.2)
     finally:
         for path in payload_files:
             try:
