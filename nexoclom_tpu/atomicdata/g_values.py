@@ -7,8 +7,9 @@ Radiation acceleration is a_rad = h g / (m lambda) summed over lines.
 Parity notes (vs ``nexoclom/atomicdata/g_values.py``):
 
 * The data table is the same one the reference loads at runtime
-  (``g-values.pkl``: Killen 2009 species + Killen 2022 Na/Ca/Mg), vendored as
-  ``nexoclom_tpu/data/gvalues.csv``.
+  (``g-values.pkl``: Killen et al. 2009 rows plus two synthetic test
+  entries — the Killen 2022 CSVs shipped alongside are never read by the
+  reference), vendored as ``nexoclom_tpu/data/gvalues.csv``.
 * ``gValue.g`` scales as refpoint^2 / aplanet^2 (`g_values.py:86-87`).
 * ``RadPresConst.accel`` interpolates each line's g onto the union velocity
   grid and sums h g/(m lambda) (`g_values.py:148-156`).
@@ -137,7 +138,11 @@ def gvalue_table(species: str, wavelengths, aplanet: float,
     vmin = min(g.velocity[0] for g in gvals)
     vmax = max(g.velocity[-1] for g in gvals)
     if npoints is None:
-        npoints = max(len(g.velocity) for g in gvals)
+        # at least as fine as the union of the source grids (offset line
+        # grids would otherwise be undersampled in the Fraunhofer-well
+        # cores) — same guard as radpres_table
+        union = np.unique(np.concatenate([g.velocity for g in gvals]))
+        npoints = max(512, len(union) + 1)
     grid = np.linspace(vmin, vmax, npoints)
     total = np.zeros_like(grid)
     for g in gvals:

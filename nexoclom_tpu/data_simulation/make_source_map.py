@@ -127,33 +127,33 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
     altitude = X0['altitude'].to_numpy()
     azimuth = X0['azimuth'].to_numpy()
 
-    lon_edges = np.linspace(0, 2 * np.pi, nlon + 1)
-    lat_edges = np.linspace(-np.pi / 2, np.pi / 2, nlat + 1)
-    lon_centers = 0.5 * (lon_edges[:-1] + lon_edges[1:])
-    lat_centers = 0.5 * (lat_edges[:-1] + lat_edges[1:])
-
-    w_incl = np.where(included, weight, 0.0)
-    abundance, _, _ = np.histogram2d(lon[included], lat[included],
-                                     bins=(lon_edges, lat_edges),
-                                     weights=weight[included])
-
-    def hist(vals, lo, hi, n):
-        h, _ = np.histogram(vals[included], bins=n, range=(lo, hi),
+    # bin-centred histograms via the shared mathutils helpers (the
+    # reference uses its mathMB.Histogram/Histogram2d here)
+    from nexoclom_tpu.mathutils import Histogram, Histogram2d
+    abundance = Histogram2d(lon[included], lat[included],
+                            bins=(nlon, nlat),
+                            range=[[0, 2 * np.pi],
+                                   [-np.pi / 2, np.pi / 2]],
                             weights=weight[included])
-        return h.astype(float)
+    h_speed = Histogram(v_kms[included], bins=nvel, range=(0, vmax),
+                        weights=weight[included])
+    h_alt = Histogram(altitude[included], bins=nalt, range=(0, np.pi / 2),
+                      weights=weight[included])
+    h_az = Histogram(azimuth[included], bins=naz, range=(0, 2 * np.pi),
+                     weights=weight[included])
 
+    lon_centers = abundance.x
+    lat_centers = abundance.y
     distribution = {
-        'abundance_uncor': abundance,
+        'abundance_uncor': abundance.histogram,
         'longitude': lon_centers,
         'latitude': lat_centers,
-        'speed_dist': hist(v_kms, 0, vmax, nvel),
-        'speed': np.linspace(0, vmax, nvel + 1)[:-1] + vmax / nvel / 2,
-        'altitude_dist': hist(altitude, 0, np.pi / 2, nalt),
-        'altitude': (np.linspace(0, np.pi / 2, nalt + 1)[:-1] +
-                     np.pi / 2 / nalt / 2),
-        'azimuth_dist': hist(azimuth, 0, 2 * np.pi, naz),
-        'azimuth': (np.linspace(0, 2 * np.pi, naz + 1)[:-1] +
-                    2 * np.pi / naz / 2),
+        'speed_dist': h_speed.histogram,
+        'speed': h_speed.x,
+        'altitude_dist': h_alt.histogram,
+        'altitude': h_alt.x,
+        'azimuth_dist': h_az.histogram,
+        'azimuth': h_az.x,
     }
 
     # smeared per-point statistics (grid ordering: lon-major, matching the
@@ -184,17 +184,20 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
     ``LOSResult.make_source_map``, ``LOSResult.py:310-491``)."""
     params = {**DEFAULT_PARAMS, **(params or {})}
 
+    # one restore per file: the vmax scan and the distribution pass reuse
+    # the same deserialized Outputs (full-array restores dominate
+    # source-map cost on multi-GB stores)
+    outputs = [Output.restore(f) for f in losresult.modelfiles]
+
     # common speed grid over all outputs
     vmax = 0.0
-    for outputfile in losresult.modelfiles:
-        output = Output.restore(outputfile)
+    for output in outputs:
         radius_km = output.inputs.geometry.planet.radius
         vmax = max(vmax, float(np.ceil(output.X0['v'].max() * radius_km)))
     params['vmax'] = vmax
 
     total = None
-    for outputfile in losresult.modelfiles:
-        output = Output.restore(outputfile)
+    for output in outputs:
         radius_km = output.inputs.geometry.planet.radius
         dist = _distribution_for_x0(output.X0, radius_km, vmax, params, todo)
         if total is None:
@@ -233,7 +236,15 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
                 total[key] = total[key] / s / area * sourcerate_atoms
 
         dv = total['speed'][1] - total['speed'][0]
-        for key, axis_key, width in (('speed_dist', 'speed', dv),):
+        # all three global distributions normalise to source-rate densities
+        # (per km/s, per rad); the ANGLE AXES are left alone — the
+        # reference's normalize block rescales them too (quirk F19)
+        for key, width in (
+                ('speed_dist', dv),
+                ('altitude_dist',
+                 total['altitude'][1] - total['altitude'][0]),
+                ('azimuth_dist',
+                 total['azimuth'][1] - total['azimuth'][0])):
             s = total[key].sum()
             if s > 0:
                 total[key] = sourcerate_atoms * total[key] / s / width

@@ -32,8 +32,14 @@ if _platforms:
     import jax
     try:
         jax.config.update('jax_platforms', _platforms)
-    except Exception:
-        pass
+    except Exception as exc:
+        # a silently-ignored failure here would let a CPU-pinned worker
+        # grab the TPU and contend with the parent (CLAUDE.md hazard)
+        import sys
+        print(f'worker: could not pin jax platform to {_platforms!r} '
+              f'({exc}); refusing to run on an unintended backend',
+              file=sys.stderr)
+        raise
 
 
 def run_payload(payload: dict) -> int:
