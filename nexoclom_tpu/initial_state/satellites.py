@@ -18,11 +18,14 @@ F16, docs/QUIRKS.md):
   superior conjunction (anti-solar), pi/2 = over the dawn terminator;
   increasing phi = prograde orbital motion.
 * After launch the engine integrates in the planet's field PLUS the
-  moon's own time-dependent point-mass gravity, and packets that fall
-  back onto the moving moon are removed (``EngineSpec.moon_gravity`` /
-  ``moon_impact``, on by default for satellite runs) — essential for
-  sub-escape sources (Io's v_esc = 2.6 km/s).  The moon's shadow and
-  thermal re-emission from the moon are not modelled.
+  moon's own time-dependent point-mass gravity; the moon's shadow
+  cylinder blocks radiation pressure and photoionization
+  (``EngineSpec.moon_shadow``); and packets that fall back onto the
+  moving moon are removed (``moon_impact``) — essential for sub-escape
+  sources (Io's v_esc = 2.6 km/s) — or thermally re-emitted when the
+  surface interaction bounces (``moon_bounce``, quirk F21:
+  ``ops/surface.bounce_moon_packets`` applies the planet-bounce physics
+  in the moon's co-moving frame).
 * ``geometry.phi`` entries map to the non-planet objects in the order they
   appear in ``geometry.objects`` in the input file (the reference never
   defines this mapping — its engine asserts first).

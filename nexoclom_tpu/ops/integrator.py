@@ -93,6 +93,11 @@ class EngineSpec:
     moon_gravity: bool = False
     moon_shadow: bool = False
     moon_impact: bool = False
+    # re-emit from the moon instead of removing on re-impact: the same
+    # bounce physics as the planet surface, evaluated in the moon's
+    # co-moving frame (ops/surface.bounce_moon_packets); requires
+    # moon_impact for the hit detection
+    moon_bounce: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
     # CPU, pathologically slow on TPU where it lowers to a scalar loop),
@@ -405,6 +410,10 @@ def _apply_kills(stepped: PacketState, spec: EngineSpec,
     if active is not None:
         hit = hit & active
 
+    moon_key = None
+    if spec.moon_bounce:
+        bounce_key, moon_key = jax.random.split(bounce_key)
+
     if spec.surface_bounce:
         from nexoclom_tpu.ops.surface import bounce_packets
         stepped = bounce_packets(bounce_key, stepped, hit, spec, surface,
@@ -414,16 +423,24 @@ def _apply_kills(stepped: PacketState, spec: EngineSpec,
         frac = jnp.where(hit, 0.0, stepped.frac)
 
     if spec.moon_impact:
-        # re-impact on the (moving) startpoint moon removes the packet;
-        # 0.995 margin keeps fresh launches sitting exactly on the surface
-        # (d == moon_radius) from instant removal under f32 rounding
+        # re-impact on the (moving) startpoint moon: removed, or re-emitted
+        # when moon_bounce is on; 0.995 margin keeps fresh launches sitting
+        # exactly on the surface (d == moon_radius) from instant
+        # removal/bounce under f32 rounding
         mx, my = moon_position(forces, stepped.t)
         d2 = ((stepped.x - mx) ** 2 + (stepped.y - my) ** 2 +
               stepped.z ** 2)
         moon_hit = d2 < (0.995 * forces.moon_radius) ** 2
         if active is not None:
             moon_hit = moon_hit & active
-        frac = jnp.where(moon_hit, 0.0, frac)
+        if spec.moon_bounce:
+            from nexoclom_tpu.ops.surface import bounce_moon_packets
+            stepped = bounce_moon_packets(moon_key,
+                                          stepped._replace(frac=frac),
+                                          moon_hit, spec, surface, forces)
+            frac = stepped.frac
+        else:
+            frac = jnp.where(moon_hit, 0.0, frac)
 
     if spec.check_outer_edge:
         frac = jnp.where(r2 > outeredge ** 2, 0.0, frac)

@@ -186,6 +186,92 @@ def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
         frac=jnp.where(hit, new_frac, stepped.frac))
 
 
+def bounce_moon_packets(key, stepped, hit, spec, surface, forces):
+    """Re-emit (or stick) packets that crossed the startpoint MOON's surface.
+
+    The planet-bounce physics of :func:`bounce_packets`
+    (``bouncepackets.py:39-100`` — a path the reference never reaches for
+    moons, since its engine refuses satellite sources outright,
+    ``Output.py:153-155``), evaluated in the moon's co-moving frame
+    (quirk F21, docs/QUIRKS.md):
+
+    * backtrack along the velocity RELATIVE to the moving moon to the moon
+      sphere ``|p_rel| = moon_radius``;
+    * impact speed from energy conservation in the MOON's field,
+      v_imp^2 = v_rel^2 + 2 GM_moon (1/r_rel - 1/R_moon) (GM negative);
+    * cosine-weighted rebound in the moon-local frame; thermal
+      accommodation draws from the same emission-speed table at the
+      moon-local surface temperature T(lon, lat, taa) — the framework's
+      single analytic surface-temperature model, with the moon's subsolar
+      point along -y like the planet's (the Sun is far);
+    * sticking: constant or temperature dependent (surface-map sticking is
+      planet-fixed and is rejected for satellite runs at Output setup);
+    * the re-emitted packet inherits the moon's orbital velocity.
+    """
+    # moon center and orbital velocity at the post-step time (t counts down)
+    from nexoclom_tpu.ops.integrator import orbit_state
+    phi_t = forces.moon_phi - forces.moon_omega * stepped.t
+    mx, my, mvx, mvy = orbit_state(forces.moon_a, forces.moon_omega, phi_t)
+    rm = forces.moon_radius
+
+    rx, ry, rz = stepped.x - mx, stepped.y - my, stepped.z
+    ux, uy, uz = stepped.vx - mvx, stepped.vy - mvy, stepped.vz
+
+    # surface crossing in the co-moving frame: |p_rel + tau v_rel| = R_moon
+    a = ux * ux + uy * uy + uz * uz
+    b = 2.0 * (rx * ux + ry * uy + rz * uz)
+    c = rx * rx + ry * ry + rz * rz - rm * rm
+    a_safe = jnp.maximum(a, 1e-30)
+    disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a_safe * c, 0.0))
+    tau = jnp.minimum((-b - disc) / (2.0 * a_safe),
+                      (-b + disc) / (2.0 * a_safe))
+    sx = rx + ux * tau
+    sy = ry + uy * tau
+    sz = rz + uz * tau
+
+    # impact speed from energy conservation in the moon's field
+    r_now = jnp.sqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-30))
+    v_old2 = jnp.maximum(a + 2.0 * forces.moon_gm * (1.0 / r_now - 1.0 / rm),
+                         0.0)
+
+    k_dir, k_prob = jax.random.split(key)
+    dx, dy, dz = rebound_direction(k_dir, sx, sy, sz)   # normalises inputs
+
+    if spec.accom or spec.sticktype == 'temperature dependent':
+        lonhit = (jnp.arctan2(sx, -sy) + 2.0 * jnp.pi) % (2.0 * jnp.pi)
+        lathit = jnp.arcsin(jnp.clip(sz / rm, -1.0, 1.0))
+        tsurf = surface_temperature(lonhit, lathit, surface.taa, xp=jnp)
+
+    if spec.accom:
+        prob = jax.random.uniform(k_prob, stepped.x.shape,
+                                  dtype=stepped.x.dtype)
+        row = (tsurf - surface.temp0) / surface.dtemp
+        col = prob * (surface.v_table.shape[1] - 1)
+        v_emit = bilinear_lookup(surface.v_table, row, col,
+                                 impl=_bilinear_impl(spec))
+        af = surface.accomfactor
+        v_new = jnp.sqrt(af * v_emit ** 2 + (1.0 - af) * v_old2)
+    else:
+        v_new = jnp.sqrt(v_old2)
+
+    if spec.sticktype == 'temperature dependent':
+        stick = jnp.clip(surface.stick_A[0] *
+                         jnp.exp(surface.stick_A[1] * tsurf) +
+                         surface.stick_A[2], 0.0, 1.0)
+    else:
+        stick = surface.stickcoef
+    new_frac = stepped.frac * (1.0 - stick)
+
+    return stepped._replace(
+        x=jnp.where(hit, mx + sx, stepped.x),
+        y=jnp.where(hit, my + sy, stepped.y),
+        z=jnp.where(hit, sz, stepped.z),
+        vx=jnp.where(hit, mvx + dx * v_new, stepped.vx),
+        vy=jnp.where(hit, mvy + dy * v_new, stepped.vy),
+        vz=jnp.where(hit, dz * v_new, stepped.vz),
+        frac=jnp.where(hit, new_frac, stepped.frac))
+
+
 # ---------------------------------------------------------------------------
 # Host-side table construction
 # ---------------------------------------------------------------------------

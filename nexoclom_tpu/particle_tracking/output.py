@@ -64,6 +64,12 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
     from nexoclom_tpu.ops.integrator import default_lookup_impl
     satellite = (inputs.geometry.startpoint !=
                  inputs.geometry.planet.object)
+    if satellite and not full_stick and sint.sticktype == 'surface map':
+        from nexoclom_tpu.utilities.exceptions import InputError
+        raise InputError('engine_spec_from_inputs',
+                         'surface-map sticking is planet-fixed; satellite '
+                         '(moon) bounce supports constant and temperature-'
+                         'dependent sticking')
     return EngineSpec(
         gravity=inputs.forces.gravity,
         radpres=inputs.forces.radpres,
@@ -74,10 +80,13 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         stick_map_planet_fixed=planet_fixed,
         # satellite sources (quirk F16): the moon's own gravity (gated on
         # forces.gravity like the planet's), its shadow (an illumination
-        # effect — always on), and re-impact removal
+        # effect — always on), and re-impact removal — or thermal
+        # re-emission from the moon when the surface interaction bounces
+        # (quirk F21)
         moon_gravity=satellite and inputs.forces.gravity,
         moon_shadow=satellite,
         moon_impact=satellite,
+        moon_bounce=satellite and not full_stick,
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )

@@ -286,6 +286,140 @@ def test_europa_and_moon_startpoints_run():
                                europa.a + 1e-3)
 
 
+def test_moon_bounce_kernel_exactness_static_moon():
+    """bounce_moon_packets with a static moon: the impactor lands ON the
+    moon sphere, the elastic relative rebound speed satisfies energy
+    conservation in the moon's field, and the re-emitted velocity includes
+    the moon's orbital velocity (zero here); non-hit lanes are untouched."""
+    from nexoclom_tpu.ops.integrator import EngineSpec, PacketState, \
+        empty_force_table
+    from nexoclom_tpu.ops.surface import bounce_moon_packets
+    io, jupiter = SSObject('Io'), SSObject('Jupiter')
+    a_rp = io.a / jupiter.radius
+    r_m = io.radius / jupiter.radius
+    gm_m = io.GM / (jupiter.radius * 1000.0) ** 3
+    forces = empty_force_table(jnp.float64)._replace(
+        moon_gm=jnp.asarray(gm_m), moon_a=jnp.asarray(a_rp),
+        moon_omega=jnp.asarray(0.0), moon_phi=jnp.asarray(0.0),
+        moon_radius=jnp.asarray(r_m))
+    # moon center at (0, a); packet 0 has sunk below the surface moving
+    # radially inward (relative radius 0.9 R_m), packet 1 is far away
+    v_in = 1.0 / jupiter.radius      # 1 km/s inward, model units
+    state = PacketState(
+        t=jnp.asarray([100.0, 100.0]),
+        x=jnp.asarray([0.0, 3.0]), y=jnp.asarray([a_rp + 0.9 * r_m, 0.0]),
+        z=jnp.zeros(2),
+        vx=jnp.zeros(2), vy=jnp.asarray([-v_in, 0.0]), vz=jnp.zeros(2),
+        frac=jnp.ones(2), lossfrac=jnp.zeros(2))
+    hit = jnp.asarray([True, False])
+    spec = EngineSpec(surface_bounce=True, moon_bounce=True, accom=False,
+                      sticktype='constant')
+    import types
+    # the elastic constant-stick path touches only stickcoef
+    surface = types.SimpleNamespace(stickcoef=jnp.asarray(0.25),
+                                    taa=jnp.asarray(0.0))
+    out = bounce_moon_packets(jax.random.PRNGKey(1), state, hit, spec,
+                              surface, forces)
+    # on the sphere
+    d = np.sqrt(float(out.x[0]) ** 2 + (float(out.y[0]) - a_rp) ** 2 +
+                float(out.z[0]) ** 2)
+    assert d == pytest.approx(r_m, rel=1e-12)
+    # elastic speed: v^2 = v_in^2 + 2 gm (1/r - 1/R), gm negative, r < R
+    # -> slower at the surface than at the (interior) sample point is
+    # impossible; here r_now < R so the packet LOSES speed climbing out
+    expected = math.sqrt(v_in ** 2 +
+                         2 * gm_m * (1 / (0.9 * r_m) - 1 / r_m))
+    got = math.sqrt(float(out.vx[0]) ** 2 + float(out.vy[0]) ** 2 +
+                    float(out.vz[0]) ** 2)
+    assert got == pytest.approx(expected, rel=1e-10)
+    # sticking applied
+    assert float(out.frac[0]) == pytest.approx(0.75)
+    # outward in the moon frame
+    rel = np.array([float(out.x[0]), float(out.y[0]) - a_rp,
+                    float(out.z[0])])
+    vel = np.array([float(out.vx[0]), float(out.vy[0]), float(out.vz[0])])
+    assert np.dot(rel, vel) > 0
+    # non-hit lane untouched
+    assert float(out.x[1]) == 3.0 and float(out.frac[1]) == 1.0
+
+
+def test_moon_bounce_elastic_retains_bound_packets():
+    """Sub-escape Io launches with an elastic, non-sticking surface hop
+    instead of dying: compare with the full-stick case of
+    test_sub_escape_launches_fall_back_to_the_moon."""
+    from nexoclom_tpu.initial_state.sections import (AngularDist, SpeedDist,
+                                                     SurfaceInteraction)
+    from nexoclom_tpu.particle_tracking import Output
+
+    def run(stickcoef):
+        inp = _io_inputs()
+        inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': '1.0',
+                                   'sigma': '0'})
+        inp.angulardist = AngularDist({'type': 'radial'})
+        inp.surfaceinteraction = SurfaceInteraction(
+            {'stickcoef': str(stickcoef), 'accomfactor': '0'})
+        inp.options.endtime = 7200.0
+        inp.options.step_size = 15.0
+        inp.options.lifetime = 1e30
+        out = Output(inp, 64, seed=7, compress=False)
+        return out.X.groupby('Index').tail(1).frac.to_numpy()
+
+    frac_elastic = run(0.0)
+    assert (frac_elastic > 0.99).mean() > 0.95   # bound but bouncing: alive
+    frac_half = run(0.5)
+    # every fallen packet bounced at least once -> frac in (0, 1);
+    # most launches are sub-escape so most packets lose frac
+    assert ((frac_half > 0) & (frac_half < 0.51)).mean() > 0.5
+    assert frac_half.mean() < frac_elastic.mean()
+
+
+def test_moon_bounce_thermal_accommodation_runs():
+    """Temperature-dependent sticking + accommodation on the moon: the full
+    thermal path (moon-local surface temperature, emission-speed table)
+    produces finite, bounded fracs and packets stay outside the moon."""
+    from nexoclom_tpu.initial_state.sections import (AngularDist, SpeedDist,
+                                                     SurfaceInteraction)
+    from nexoclom_tpu.initial_state.satellites import satellite_params
+    from nexoclom_tpu.particle_tracking import Output
+
+    inp = _io_inputs()
+    inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': '1.0',
+                               'sigma': '0.2'})
+    inp.angulardist = AngularDist({'type': 'radial'})
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'sticktype': 'temperature dependent', 'accomfactor': '0.8'})
+    inp.options.endtime = 3600.0
+    inp.options.step_size = 15.0
+    inp.options.lifetime = 1e30
+    out = Output(inp, 64, seed=11, compress=False)
+    frac = out.X.frac.to_numpy()
+    assert np.all(np.isfinite(frac)) and np.all(frac >= 0)
+    assert np.all(frac <= 1.0 + 1e-12)
+    a_rp, omega, phi_obs, r_m, _ = satellite_params(inp.geometry)
+    last = out.X.groupby('Index').tail(1)
+    alive = last.frac.to_numpy() > 0
+    t = last.time.to_numpy()
+    phi = phi_obs - omega * t
+    d = np.sqrt((last.x.to_numpy() + a_rp * np.sin(phi)) ** 2 +
+                (last.y.to_numpy() - a_rp * np.cos(phi)) ** 2 +
+                last.z.to_numpy() ** 2)
+    assert np.all(d[alive] > 0.99 * r_m)
+    # the thermal surface sticks some packets at least partially
+    assert (last.frac.to_numpy()[alive] < 1.0).any()
+
+
+def test_moon_bounce_rejects_surface_map_sticking():
+    from nexoclom_tpu.initial_state.sections import SurfaceInteraction
+    from nexoclom_tpu.particle_tracking.output import engine_spec_from_inputs
+    from nexoclom_tpu.utilities.exceptions import InputError
+    inp = _io_inputs()
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'sticktype': 'surface map', 'accomfactor': '0.5',
+         'stick_mapfile': 'nonexistent.pkl'})
+    with pytest.raises(InputError):
+        engine_spec_from_inputs(inp)
+
+
 def test_satellite_image_paths_agree():
     """Fused and stored-history images apply the same moon occultation and
     shadow masks: same seed -> same image (f32-storage tolerance)."""
