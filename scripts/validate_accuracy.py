@@ -25,12 +25,15 @@ Cases (--case, default all):
   ca      Ca spot, full sticking, gravity+photo (the BASELINE case)
   na      Na spot — radiation-pressure dominated, the hardest f32 species
   bounce  Na with temperature-dependent sticking + 0.5 accommodation
+  io      Na from Io (satellite source): moving-moon launch, moon gravity
+          + shadow, thermal re-emission from the moon (quirks F16/F21)
 
 Measured (2026-08, CPU f32 vs f64 total brightness):
   ca      0.34% (20k packets)
   na      0.11% at 80k packets (1.65% at 20k — that is decorrelation noise,
           not bias: the MC floor itself is 0.53%, f32/floor = 0.21)
   bounce  0.84% at 80k packets, MC floor 0.95%, f32/floor = 0.89
+  io      0.38% at 20k packets, MC floor 0.84%, f32/floor = 0.46
 All < 1%.  Cross-backend (TPU f32 vs saved CPU f64, 40k packets,
 post-h-predication engine): ca 0.51%, na 0.12%, bounce 0.84% — all PASS.
 For the radpres-dominated cases always compare against the --mc-floor
@@ -43,14 +46,27 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 PARAMS = {'quantity': 'radiance', 'dims': '64,64', 'width': '8,8'}
+# Io orbits at 5.9 R_J: the satellite case needs a field wide enough to
+# contain the moon's neighborhood
+PARAMS_IO = {'quantity': 'radiance', 'dims': '64,64', 'width': '16,16'}
 SEED = 20260816
 
+def _io_moon_bounce(inputs):
+    """Satellite source with thermal re-emission from Io (quirks F16/F21):
+    moving-moon launch, moon gravity + shadow, co-moving-frame bounce."""
+    from nexoclom_tpu.initial_state.sections import SurfaceInteraction
+    inputs.surfaceinteraction = SurfaceInteraction(
+        {'sticktype': 'temperature dependent', 'accomfactor': '0.8'})
+    inputs.options.step_size = 30.0
+
+
 CASES = {
-    'ca': ('mercury_ca_spot.input', None),
-    'na': ('mercury_na_spot.input', 10800.0),   # clip the 50k-s parity
-                                                # endtime: same physics,
-                                                # CPU-f64-feasible
-    'bounce': ('mercury_na_bounce.input', None),
+    'ca': ('mercury_ca_spot.input', None, None),
+    'na': ('mercury_na_spot.input', 10800.0, None),   # clip the 50k-s parity
+                                                      # endtime: same physics,
+                                                      # CPU-f64-feasible
+    'bounce': ('mercury_na_bounce.input', None, None),
+    'io': ('jupiter_io_satellite.input', 3600.0, _io_moon_bounce),
 }
 
 
@@ -59,12 +75,15 @@ def run_case(case, dtype_name, npackets, seed=SEED):
     from nexoclom_tpu.initial_state import Input
     from nexoclom_tpu.particle_tracking.fused import fused_image_run
     dtype = jnp.float64 if dtype_name == 'float64' else jnp.float32
-    inputfile, endtime = CASES[case]
+    inputfile, endtime, mutate = CASES[case]
     inputs = Input(os.path.join(os.path.dirname(__file__), '..', 'tests',
                                 'data', 'inputfiles', inputfile))
     if endtime is not None:
         inputs.options.endtime = endtime
-    return fused_image_run(inputs, npackets, dict(PARAMS), seed=seed,
+    if mutate is not None:
+        mutate(inputs)
+    params = PARAMS_IO if case == 'io' else PARAMS
+    return fused_image_run(inputs, npackets, dict(params), seed=seed,
                            dtype=dtype).image
 
 
