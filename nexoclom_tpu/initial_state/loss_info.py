@@ -9,6 +9,12 @@
   ``state.py:48-52``).
 * ``lifetime == 0``: photo rate from the Huebner/Berezhnoy tables scaled by
   1/a^2.
+* ``eimp`` / ``chX``: optional constant electron-impact and charge-exchange
+  rates (1/s) summed into the total ionization rate by the engine — the
+  structure the reference stubs out (``LossInfo.py:9-10`` initialises both
+  to 0; ``state.py:56-70`` comments out the sum).  Quirk F22: eimp applies
+  everywhere (electrons are not blocked by the planet's shadow), chX is
+  shadow-masked like the photo rate (solar-wind ions are).
 """
 from __future__ import annotations
 
@@ -16,10 +22,11 @@ from nexoclom_tpu.atomicdata import PhotoRate
 
 
 class LossInfo:
-    def __init__(self, species: str, lifetime: float, aplanet: float):
+    def __init__(self, species: str, lifetime: float, aplanet: float,
+                 eimp: float = 0.0, chX: float = 0.0):
         self.photo = 0.0
-        self.eimp = 0.0
-        self.chX = 0.0
+        self.eimp = float(eimp)
+        self.chX = float(chX)
         self.reactions = None
 
         if lifetime < 0:
@@ -43,4 +50,8 @@ class LossInfo:
         result = 'Included Reactions: ' + ', '.join(self.reactions)
         if self.photo:
             result += f'\nPhoto Rate = {self.photo:0.2e} /s'
+        if self.eimp:
+            result += f'\nElectron Impact Rate = {self.eimp:0.2e} /s'
+        if self.chX:
+            result += f'\nCharge Exchange Rate = {self.chX:0.2e} /s'
         return result

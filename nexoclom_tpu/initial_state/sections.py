@@ -426,6 +426,29 @@ class Options(_Section):
 
         self.lifetime = float(oparam.get('lifetime', 0))
 
+        # Extension (quirk F22): constant electron-impact and charge-
+        # exchange rates summed into the ionization rate — the structure
+        # the reference stubs out forever (``ionizerate = photorate
+        # + eimprate + chxrate``, state.py:56-70 commented; LossInfo.py:9-10
+        # initialises both to 0 with empty '# Electron impact' sections).
+        # Attributes are set ONLY when nonzero so the canonical dict (and
+        # catalog matching against pre-extension runs) is unchanged.
+        eimp = float(oparam.get('eimp_rate', 0.0))
+        chx = float(oparam.get('chx_rate', 0.0))
+        if eimp or chx:
+            if self.lifetime > 0:
+                raise InputError('Options.__init__',
+                                 'options.eimp_rate/chx_rate cannot be '
+                                 'combined with an explicit lifetime > 0 '
+                                 '(the total rate is then 1/lifetime)')
+            if eimp < 0 or chx < 0:
+                raise InputError('Options.__init__',
+                                 'options.eimp_rate/chx_rate must be >= 0')
+            if eimp:
+                self.eimp_rate = eimp
+            if chx:
+                self.chx_rate = chx
+
         if 'outeredge' in oparam:
             self.outeredge = float(oparam['outeredge'])
         elif 'outer_edge' in oparam:

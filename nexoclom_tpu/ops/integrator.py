@@ -98,6 +98,14 @@ class EngineSpec:
     # co-moving frame (ops/surface.bounce_moon_packets); requires
     # moon_impact for the hit detection
     moon_bounce: bool = False
+    # extra loss channels (quirk F22): constant electron-impact rate
+    # (applied everywhere — electrons are not blocked by the planet's
+    # shadow) and charge-exchange rate (shadow-masked like the photo
+    # rate).  The reference stubs both at 0 (LossInfo.py:9-10,
+    # state.py:56-70 commented out).  Only valid with lifetime <= 0
+    # (constant_rate=False), enforced by the Options section.
+    eimp: bool = False
+    chx: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
     # CPU, pathologically slow on TPU where it lowers to a scalar loop),
@@ -132,6 +140,10 @@ class ForceTable(NamedTuple):
     moon_omega: jnp.ndarray = None   # scalar, rad/s
     moon_phi: jnp.ndarray = None     # scalar, phase at t=0 (observation)
     moon_radius: jnp.ndarray = None  # scalar, R_planet
+    # optional extra loss channels (quirk F22; the reference stubs these):
+    # electron impact applies everywhere, charge exchange is shadow-masked
+    eimp_rate: jnp.ndarray = None    # scalar, 1/s
+    chx_rate: jnp.ndarray = None     # scalar, 1/s
 
 
 class SurfaceTable(NamedTuple):
@@ -272,7 +284,7 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         az = az + mgm_d3 * z
 
     out_of_shadow = None
-    if spec.radpres or not spec.constant_rate:
+    if spec.radpres or not spec.constant_rate or spec.chx:
         rho2 = x * x + z * z
         out_of_shadow = (rho2 > 1.0) | (y < 0.0)
         if spec.moon_shadow:
@@ -293,6 +305,12 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         ion = jnp.full_like(x, forces.ion_rate)
     else:
         ion = forces.ion_rate * out_of_shadow
+    # quirk F22: the "ionizerate = photorate + eimprate + chxrate" sum the
+    # reference comments out (state.py:56-72)
+    if spec.chx:
+        ion = ion + forces.chx_rate * out_of_shadow
+    if spec.eimp:
+        ion = ion + forces.eimp_rate
 
     return ax, ay, az, ion
 

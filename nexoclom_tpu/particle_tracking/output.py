@@ -87,6 +87,10 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         moon_shadow=satellite,
         moon_impact=satellite,
         moon_bounce=satellite and not full_stick,
+        # extra loss channels (quirk F22): constant electron-impact /
+        # charge-exchange rates, off unless the input sets them
+        eimp=bool(getattr(inputs.options, 'eimp_rate', 0.0)),
+        chx=bool(getattr(inputs.options, 'chx_rate', 0.0)),
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
@@ -149,11 +153,18 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
                                    accel / radius_km, rel_tol=pl_tol,
                                    dtype=np_dtype))
 
+    eimp = getattr(options, 'eimp_rate', 0.0)
+    chx = getattr(options, 'chx_rate', 0.0)
     if options.lifetime > 0:
         rate = 1.0 / options.lifetime
     else:
-        rate = LossInfo(options.species, options.lifetime, aplanet).photo
+        rate = LossInfo(options.species, options.lifetime, aplanet,
+                        eimp=eimp, chX=chx).photo
     table = table._replace(ion_rate=jnp.asarray(rate, dtype))
+    if eimp:
+        table = table._replace(eimp_rate=jnp.asarray(eimp, dtype))
+    if chx:
+        table = table._replace(chx_rate=jnp.asarray(chx, dtype))
 
     if inputs.geometry.startpoint != inputs.geometry.planet.object:
         from nexoclom_tpu.initial_state.satellites import satellite_params

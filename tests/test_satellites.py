@@ -408,6 +408,52 @@ def test_moon_bounce_thermal_accommodation_runs():
     assert (last.frac.to_numpy()[alive] < 1.0).any()
 
 
+def test_moon_bounce_adaptive_driver():
+    """The moon bounce runs in the ADAPTIVE driver too (both drivers share
+    _apply_kills): sub-escape elastic launches survive a steady-state run."""
+    from nexoclom_tpu.initial_state.sections import (AngularDist, SpeedDist,
+                                                     SurfaceInteraction)
+    from nexoclom_tpu.particle_tracking import Output
+    inp = _io_inputs()
+    inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': '1.0',
+                               'sigma': '0'})
+    inp.angulardist = AngularDist({'type': 'radial'})
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'stickcoef': '0', 'accomfactor': '0'})
+    inp.options.endtime = 3600.0
+    inp.options.step_size = 0.0      # adaptive
+    inp.options.lifetime = 1e30
+    out = Output(inp, 64, seed=13, compress=False)
+    frac = out.X.frac.to_numpy()
+    assert (frac > 0.99).mean() > 0.9    # bouncing, not removed
+    # finished: remaining time integrated down to ~0
+    assert (out.X.time.to_numpy() < inp.options.resolution * 10).all()
+
+
+def test_moon_bounce_sharded_matches_unsharded():
+    """Satellite physics (moving moon + bounce) under a packet-sharded mesh
+    is bit-compatible with the single-device run."""
+    from nexoclom_tpu.initial_state.sections import (AngularDist, SpeedDist,
+                                                     SurfaceInteraction)
+    from nexoclom_tpu.parallel import make_mesh
+    from nexoclom_tpu.particle_tracking.fused import fused_image_run
+    inp = _io_inputs()
+    inp.speeddist = SpeedDist({'type': 'gaussian', 'vprob': '1.5',
+                               'sigma': '0.2'})
+    inp.angulardist = AngularDist({'type': 'radial'})
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'stickcoef': '0.3', 'accomfactor': '0.5'})
+    inp.options.endtime = 1800.0
+    inp.options.step_size = 30.0
+    inp.options.lifetime = 1e30
+    params = {'quantity': 'column', 'dims': '24,24', 'width': '16,16'}
+    plain = fused_image_run(inp, 256, dict(params), seed=21)
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    sharded = fused_image_run(inp, 256, dict(params), seed=21, mesh=mesh)
+    assert np.allclose(sharded.image, plain.image, rtol=1e-10,
+                       atol=plain.image.max() * 1e-12)
+
+
 def test_moon_bounce_rejects_surface_map_sticking():
     from nexoclom_tpu.initial_state.sections import SurfaceInteraction
     from nexoclom_tpu.particle_tracking.output import engine_spec_from_inputs
