@@ -130,7 +130,17 @@ class Input:
 
     def to_dict(self) -> dict:
         """Canonical nested dict (the catalog matching key)."""
-        return {s.section_name: s.to_dict() for s in self._sections()}
+        out = {s.section_name: s.to_dict() for s in self._sections()}
+        # engine-semantics marker (quirk F21): satellite runs with a
+        # bouncing surface interaction re-emit from the moon; earlier
+        # catalog records (no marker) removed re-impacting packets, and
+        # Input.run must never top up a bounce-semantics run with those
+        # physically different outputs
+        from nexoclom_tpu.initial_state.sections import surface_bounces
+        if (self.geometry.startpoint != self.geometry.planet.object and
+                surface_bounces(self.surfaceinteraction)):
+            out['engine'] = {'moon_bounce': True}
+        return out
 
     def __eq__(self, other):
         return isinstance(other, Input) and self.to_dict() == other.to_dict()

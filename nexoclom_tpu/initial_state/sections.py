@@ -244,6 +244,14 @@ class SurfaceInteraction(_Section):
             self.accomfactor = None
 
 
+def surface_bounces(sint) -> bool:
+    """True when the surface interaction re-emits (anything but constant
+    full sticking) — the condition that enables bounce physics on the
+    planet and, for satellite runs, on the moon (quirk F21)."""
+    return not (sint.sticktype == 'constant' and
+                getattr(sint, 'stickcoef', None) == 1.0)
+
+
 class Forces(_Section):
     """Force toggles (``input_classes.py:419-431``); both default True."""
 

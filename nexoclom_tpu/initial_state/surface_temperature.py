@@ -24,6 +24,22 @@ def subsolar_amplitude(taa, t1=None, xp=np):
     return 600.0 + 125.0 * (xp.cos(taa) - 1.0) / 2.0
 
 
+# the model's calibration anchor: t1 = 600 K at Mercury's perihelion
+# distance a(1 - e) = 0.3075 AU; its own TAA modulation tracks equilibrium
+# (T proportional to r^-1/2) within 2.5% over Mercury's orbit
+_CALIBRATION_AU = 0.3075
+
+
+def moon_dayside_amplitude(aplanet_au: float) -> float:
+    """Dayside amplitude t1 (K) for a body at heliocentric distance
+    ``aplanet_au``: the Mercury-calibrated amplitude rescaled by the
+    equilibrium law T ~ r^-1/2 (quirk F21 — applying the raw Mercury
+    amplitude at Jupiter would run Io's dayside ~2.5x too hot; the
+    PLANET path deliberately keeps the unscaled reference model for
+    parity)."""
+    return 600.0 * (_CALIBRATION_AU / float(aplanet_au)) ** 0.5
+
+
 def surface_temperature(longitude, latitude, taa,
                         t0: float = 100.0, t1=None, n: float = 0.25,
                         xp=np):

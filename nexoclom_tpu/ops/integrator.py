@@ -161,6 +161,11 @@ class SurfaceTable(NamedTuple):
     map_lat0: jnp.ndarray = None
     map_dlat: jnp.ndarray = None
     map_subsolarlon: jnp.ndarray = None  # rotation for planet-fixed maps
+    # moon surface-temperature model (satellite bounce, quirk F21): the
+    # Mercury-calibrated dayside amplitude rescaled to the system's
+    # heliocentric distance (see surface_temperature.moon_dayside_amplitude)
+    moon_t0: jnp.ndarray = None          # nightside floor (K)
+    moon_t1: jnp.ndarray = None          # dayside amplitude (K)
 
 
 class PacketState(NamedTuple):
@@ -247,11 +252,19 @@ def orbit_state(a, omega, phi, xp=jnp):
             -a * omega * xp.cos(phi), -a * omega * xp.sin(phi))
 
 
-def moon_position(forces: ForceTable, t):
-    """Moon center (R_planet) at model time ``t`` (counts down to the
-    observation at t=0): phase phi(t) = moon_phi - omega*t."""
+def moon_state(forces: ForceTable, t):
+    """Moon center (R_planet) and orbital velocity (R_planet/s) at model
+    time ``t`` (counts down to the observation at t=0): phase
+    phi(t) = moon_phi - omega*t.  THE single source of the moving-moon
+    phase — hit detection, shadow, gravity, and the co-moving bounce frame
+    all go through here (or :func:`moon_position` for position-only)."""
     phi = forces.moon_phi - forces.moon_omega * t
-    mx, my, _, _ = orbit_state(forces.moon_a, forces.moon_omega, phi)
+    return orbit_state(forces.moon_a, forces.moon_omega, phi)
+
+
+def moon_position(forces: ForceTable, t):
+    """Moon center (R_planet) at model time ``t``; see :func:`moon_state`."""
+    mx, my, _, _ = moon_state(forces, t)
     return mx, my
 
 

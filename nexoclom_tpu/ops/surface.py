@@ -110,42 +110,57 @@ def rebound_direction(key, x, y, z):
     return direction[:, 0], direction[:, 1], direction[:, 2]
 
 
-def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
-    """Re-emit (or stick) packets that crossed the surface this step.
+def _bounce_core(key, spec, surface, px, py, pz, vx, vy, vz, radius, gm,
+                 t0=None, t1=None):
+    """Bounce physics in the impacted body's rest frame — THE single
+    implementation shared by the planet and moon paths (the planet calls it
+    with radius 1 and absolute coordinates; the moon with co-moving-frame
+    relative coordinates and its own radius/GM).
 
-    ``stepped`` is the post-step PacketState; ``hit`` the impact mask.
-    Returns the state with impacting packets moved to the surface point with
-    their re-emission velocity and reduced frac.
+    Physics parity with ``bouncepackets.py:39-100``: quadratic backtrack
+    along the velocity to the sphere ``|p| = radius``; impact speed from
+    energy conservation v^2 = v_now^2 + 2 GM (1/r - 1/radius) (GM
+    negative); cosine-weighted rebound in the local frame; thermal
+    accommodation draws from the emission-speed table at the local surface
+    temperature (``t0``/``t1`` override the Mercury-calibrated amplitude —
+    used by the moon path); constant / temperature-dependent / surface-map
+    sticking.
+
+    Returns ``(sx, sy, sz, dx, dy, dz, v_new, stick)``: the surface point,
+    rebound direction, re-emission speed, and sticking coefficient.
     """
-    x, y, z = stepped.x, stepped.y, stepped.z
-    vx, vy, vz = stepped.vx, stepped.vy, stepped.vz
-
-    # surface crossing: |p + t v| = 1
     a = vx * vx + vy * vy + vz * vz
-    b = 2.0 * (x * vx + y * vy + z * vz)
-    c = x * x + y * y + z * z - 1.0
+    b = 2.0 * (px * vx + py * vy + pz * vz)
+    c = px * px + py * py + pz * pz - radius * radius
     a_safe = jnp.maximum(a, 1e-30)
     disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a_safe * c, 0.0))
-    t0 = (-b - disc) / (2.0 * a_safe)
-    t1 = (-b + disc) / (2.0 * a_safe)
-    t_back = jnp.minimum(t0, t1)
-    sx = x + vx * t_back
-    sy = y + vy * t_back
-    sz = z + vz * t_back
+    tau = jnp.minimum((-b - disc) / (2.0 * a_safe),
+                      (-b + disc) / (2.0 * a_safe))
+    sx = px + vx * tau
+    sy = py + vy * tau
+    sz = pz + vz * tau
 
     # impact speed from energy conservation (GM negative)
-    r_now = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
-    v_old2 = jnp.maximum(a + 2.0 * gm * (1.0 / r_now - 1.0), 0.0)
+    r_now = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-30))
+    v_old2 = jnp.maximum(a + 2.0 * gm * (1.0 / r_now - 1.0 / radius), 0.0)
 
     k_dir, k_prob = jax.random.split(key)
-    dx, dy, dz = rebound_direction(k_dir, sx, sy, sz)
+    dx, dy, dz = rebound_direction(k_dir, sx, sy, sz)  # normalises inputs
 
-    lonhit = (jnp.arctan2(sx, -sy) + 2.0 * jnp.pi) % (2.0 * jnp.pi)
-    lathit = jnp.arcsin(jnp.clip(sz, -1.0, 1.0))
+    # local lon/lat of the hit (subsolar along -y for any body: the Sun is
+    # far); needed by every thermal or map-based branch
+    need_angles = (spec.accom or
+                   spec.sticktype in ('temperature dependent', 'surface map'))
+    if need_angles:
+        lonhit = (jnp.arctan2(sx, -sy) + 2.0 * jnp.pi) % (2.0 * jnp.pi)
+        lathit = jnp.arcsin(jnp.clip(sz / radius, -1.0, 1.0))
+    if spec.accom or spec.sticktype == 'temperature dependent':
+        tsurf = surface_temperature(lonhit, lathit, surface.taa,
+                                    xp=jnp, **({'t0': t0, 't1': t1}
+                                               if t1 is not None else {}))
 
     if spec.accom:
-        tsurf = surface_temperature(lonhit, lathit, surface.taa, xp=jnp)
-        prob = jax.random.uniform(k_prob, x.shape, dtype=x.dtype)
+        prob = jax.random.uniform(k_prob, px.shape, dtype=px.dtype)
         row = (tsurf - surface.temp0) / surface.dtemp
         col = prob * (surface.v_table.shape[1] - 1)
         v_emit = bilinear_lookup(surface.v_table, row, col,
@@ -156,7 +171,6 @@ def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
         v_new = jnp.sqrt(v_old2)
 
     if spec.sticktype == 'temperature dependent':
-        tsurf = surface_temperature(lonhit, lathit, surface.taa, xp=jnp)
         stick = jnp.clip(surface.stick_A[0] *
                          jnp.exp(surface.stick_A[1] * tsurf) +
                          surface.stick_A[2], 0.0, 1.0)
@@ -175,21 +189,35 @@ def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
                             impl=_bilinear_impl(spec)), 0.0, 1.0)
     else:
         stick = surface.stickcoef
+
+    return sx, sy, sz, dx, dy, dz, v_new, stick
+
+
+def bounce_packets(key, stepped, hit, spec, surface, gm, radius_km):
+    """Re-emit (or stick) packets that crossed the surface this step.
+
+    ``stepped`` is the post-step PacketState; ``hit`` the impact mask.
+    Returns the state with impacting packets moved to the surface point with
+    their re-emission velocity and reduced frac.
+    """
+    sx, sy, sz, dx, dy, dz, v_new, stick = _bounce_core(
+        key, spec, surface, stepped.x, stepped.y, stepped.z,
+        stepped.vx, stepped.vy, stepped.vz, 1.0, gm)
     new_frac = stepped.frac * (1.0 - stick)
 
     return stepped._replace(
-        x=jnp.where(hit, sx, x), y=jnp.where(hit, sy, y),
-        z=jnp.where(hit, sz, z),
-        vx=jnp.where(hit, dx * v_new, vx),
-        vy=jnp.where(hit, dy * v_new, vy),
-        vz=jnp.where(hit, dz * v_new, vz),
+        x=jnp.where(hit, sx, stepped.x), y=jnp.where(hit, sy, stepped.y),
+        z=jnp.where(hit, sz, stepped.z),
+        vx=jnp.where(hit, dx * v_new, stepped.vx),
+        vy=jnp.where(hit, dy * v_new, stepped.vy),
+        vz=jnp.where(hit, dz * v_new, stepped.vz),
         frac=jnp.where(hit, new_frac, stepped.frac))
 
 
 def bounce_moon_packets(key, stepped, hit, spec, surface, forces):
     """Re-emit (or stick) packets that crossed the startpoint MOON's surface.
 
-    The planet-bounce physics of :func:`bounce_packets`
+    The planet-bounce physics of :func:`_bounce_core`
     (``bouncepackets.py:39-100`` — a path the reference never reaches for
     moons, since its engine refuses satellite sources outright,
     ``Output.py:153-155``), evaluated in the moon's co-moving frame
@@ -201,65 +229,25 @@ def bounce_moon_packets(key, stepped, hit, spec, surface, forces):
       v_imp^2 = v_rel^2 + 2 GM_moon (1/r_rel - 1/R_moon) (GM negative);
     * cosine-weighted rebound in the moon-local frame; thermal
       accommodation draws from the same emission-speed table at the
-      moon-local surface temperature T(lon, lat, taa) — the framework's
-      single analytic surface-temperature model, with the moon's subsolar
-      point along -y like the planet's (the Sun is far);
+      moon-local surface temperature with the dayside amplitude rescaled
+      to the system's heliocentric distance (``surface.moon_t0/t1``, built
+      in ``build_surface_table`` — the Mercury-calibrated amplitude would
+      be ~2.5x too hot at Jupiter), subsolar along -y like the planet's;
     * sticking: constant or temperature dependent (surface-map sticking is
       planet-fixed and is rejected for satellite runs at Output setup);
     * the re-emitted packet inherits the moon's orbital velocity.
     """
     # moon center and orbital velocity at the post-step time (t counts down)
-    from nexoclom_tpu.ops.integrator import orbit_state
-    phi_t = forces.moon_phi - forces.moon_omega * stepped.t
-    mx, my, mvx, mvy = orbit_state(forces.moon_a, forces.moon_omega, phi_t)
+    from nexoclom_tpu.ops.integrator import moon_state
+    mx, my, mvx, mvy = moon_state(forces, stepped.t)
     rm = forces.moon_radius
 
-    rx, ry, rz = stepped.x - mx, stepped.y - my, stepped.z
-    ux, uy, uz = stepped.vx - mvx, stepped.vy - mvy, stepped.vz
-
-    # surface crossing in the co-moving frame: |p_rel + tau v_rel| = R_moon
-    a = ux * ux + uy * uy + uz * uz
-    b = 2.0 * (rx * ux + ry * uy + rz * uz)
-    c = rx * rx + ry * ry + rz * rz - rm * rm
-    a_safe = jnp.maximum(a, 1e-30)
-    disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a_safe * c, 0.0))
-    tau = jnp.minimum((-b - disc) / (2.0 * a_safe),
-                      (-b + disc) / (2.0 * a_safe))
-    sx = rx + ux * tau
-    sy = ry + uy * tau
-    sz = rz + uz * tau
-
-    # impact speed from energy conservation in the moon's field
-    r_now = jnp.sqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-30))
-    v_old2 = jnp.maximum(a + 2.0 * forces.moon_gm * (1.0 / r_now - 1.0 / rm),
-                         0.0)
-
-    k_dir, k_prob = jax.random.split(key)
-    dx, dy, dz = rebound_direction(k_dir, sx, sy, sz)   # normalises inputs
-
-    if spec.accom or spec.sticktype == 'temperature dependent':
-        lonhit = (jnp.arctan2(sx, -sy) + 2.0 * jnp.pi) % (2.0 * jnp.pi)
-        lathit = jnp.arcsin(jnp.clip(sz / rm, -1.0, 1.0))
-        tsurf = surface_temperature(lonhit, lathit, surface.taa, xp=jnp)
-
-    if spec.accom:
-        prob = jax.random.uniform(k_prob, stepped.x.shape,
-                                  dtype=stepped.x.dtype)
-        row = (tsurf - surface.temp0) / surface.dtemp
-        col = prob * (surface.v_table.shape[1] - 1)
-        v_emit = bilinear_lookup(surface.v_table, row, col,
-                                 impl=_bilinear_impl(spec))
-        af = surface.accomfactor
-        v_new = jnp.sqrt(af * v_emit ** 2 + (1.0 - af) * v_old2)
-    else:
-        v_new = jnp.sqrt(v_old2)
-
-    if spec.sticktype == 'temperature dependent':
-        stick = jnp.clip(surface.stick_A[0] *
-                         jnp.exp(surface.stick_A[1] * tsurf) +
-                         surface.stick_A[2], 0.0, 1.0)
-    else:
-        stick = surface.stickcoef
+    sx, sy, sz, dx, dy, dz, v_new, stick = _bounce_core(
+        key, spec, surface,
+        stepped.x - mx, stepped.y - my, stepped.z,
+        stepped.vx - mvx, stepped.vy - mvy, stepped.vz,
+        rm, forces.moon_gm,
+        t0=surface.moon_t0, t1=surface.moon_t1)
     new_frac = stepped.frac * (1.0 - stick)
 
     return stepped._replace(
@@ -278,13 +266,17 @@ def bounce_moon_packets(key, stepped, hit, spec, surface, forces):
 
 def build_emission_speed_table(taa: float, species: str, radius_km: float,
                                nt: int = 201, nv: int = 101,
-                               nprob: int = 101):
+                               nprob: int = 101, extra_range=None):
     """Inverse-CDF emission-speed table over (temperature, probability).
 
     Same construction as ``SurfaceInteraction.py:28-61``: the temperature
     axis spans the min..max surface temperature at this TAA; for each
     temperature the speed axis spans [0, 3 v_th] and the CDF of the
     flux-weighted Maxwellian is inverted onto a uniform probability grid.
+
+    ``extra_range``: optional (lo, hi) Kelvin interval unioned into the
+    temperature span (the moon bounce uses a rescaled temperature model
+    whose range may fall outside the planet's — quirk F21).
 
     Returns ``(v_table_model_units, temp0, dtemp)`` with the speed already
     converted to R_planet/s.
@@ -298,7 +290,11 @@ def build_emission_speed_table(taa: float, species: str, radius_km: float,
     longrid, latgrid = np.meshgrid(longitude, latitude)
     tsurf = surface_temperature(longrid.ravel(), latgrid.ravel(), taa)
 
-    temperature = np.linspace(tsurf.min(), tsurf.max(), nt)
+    t_lo, t_hi = tsurf.min(), tsurf.max()
+    if extra_range is not None:
+        t_lo = min(t_lo, extra_range[0])
+        t_hi = max(t_hi, extra_range[1])
+    temperature = np.linspace(t_lo, t_hi, nt)
     probability = np.linspace(0.0, 1.0, nprob)
     table = np.empty((nt, nprob))
     for i, temp in enumerate(temperature):

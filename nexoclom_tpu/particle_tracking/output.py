@@ -53,8 +53,19 @@ X0_COLUMNS = ['time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'v',
 def engine_spec_from_inputs(inputs) -> EngineSpec:
     """Map Input sections onto the static engine configuration."""
     sint = inputs.surfaceinteraction
-    full_stick = (sint.sticktype == 'constant' and
-                  getattr(sint, 'stickcoef', None) == 1.0)
+    from nexoclom_tpu.initial_state.sections import surface_bounces
+    full_stick = not surface_bounces(sint)
+    satellite = (inputs.geometry.startpoint !=
+                 inputs.geometry.planet.object)
+    if satellite and sint.sticktype == 'surface map':
+        # checked BEFORE the map load: a satellite input with a missing
+        # mapfile should hear about the unsupported combination, not the
+        # missing file
+        from nexoclom_tpu.utilities.exceptions import InputError
+        raise InputError('engine_spec_from_inputs',
+                         'surface-map sticking is planet-fixed; satellite '
+                         '(moon) bounce supports constant and temperature-'
+                         'dependent sticking')
     planet_fixed = False
     if sint.sticktype == 'surface map':
         # works here — the reference's engine asserts on this path
@@ -62,14 +73,6 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         planet_fixed = 'planet' in _load_sticking_sourcemap(
             sint).coordinate_system
     from nexoclom_tpu.ops.integrator import default_lookup_impl
-    satellite = (inputs.geometry.startpoint !=
-                 inputs.geometry.planet.object)
-    if satellite and not full_stick and sint.sticktype == 'surface map':
-        from nexoclom_tpu.utilities.exceptions import InputError
-        raise InputError('engine_spec_from_inputs',
-                         'surface-map sticking is planet-fixed; satellite '
-                         '(moon) bounce supports constant and temperature-'
-                         'dependent sticking')
     return EngineSpec(
         gravity=inputs.forces.gravity,
         radpres=inputs.forces.radpres,
@@ -153,14 +156,16 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
                                    accel / radius_km, rel_tol=pl_tol,
                                    dtype=np_dtype))
 
-    eimp = getattr(options, 'eimp_rate', 0.0)
-    chx = getattr(options, 'chx_rate', 0.0)
     if options.lifetime > 0:
         rate = 1.0 / options.lifetime
     else:
-        rate = LossInfo(options.species, options.lifetime, aplanet,
-                        eimp=eimp, chX=chx).photo
+        rate = LossInfo(options.species, options.lifetime, aplanet).photo
     table = table._replace(ion_rate=jnp.asarray(rate, dtype))
+    # extra loss channels (quirk F22) ride their own ForceTable fields —
+    # they are NOT folded into ion_rate because the engine applies
+    # different shadow masking per channel (state_eval)
+    eimp = getattr(options, 'eimp_rate', 0.0)
+    chx = getattr(options, 'chx_rate', 0.0)
     if eimp:
         table = table._replace(eimp_rate=jnp.asarray(eimp, dtype))
     if chx:
@@ -186,9 +191,24 @@ def build_surface_table(inputs, spec: EngineSpec, radius_km: float,
     sint = inputs.surfaceinteraction
     if taa is None:
         taa = effective_taa(inputs.geometry)
+    moon_fields = {}
+    extra_range = None
+    if spec.moon_bounce:
+        # moon-local surface temperature model (quirk F21): same functional
+        # form, dayside amplitude rescaled to the system's heliocentric
+        # distance (the raw Mercury calibration would be ~2.5x too hot at
+        # Jupiter)
+        from nexoclom_tpu.initial_state.surface_temperature import (
+            moon_dayside_amplitude)
+        aplanet, _ = planet_dist(inputs.geometry.planet, taa)
+        moon_t0 = 100.0
+        moon_t1 = moon_dayside_amplitude(aplanet)
+        moon_fields = dict(moon_t0=jnp.asarray(moon_t0, dtype),
+                           moon_t1=jnp.asarray(moon_t1, dtype))
+        extra_range = (moon_t0, moon_t0 + moon_t1)
     if spec.accom:
         v_table, temp0, dtemp = build_emission_speed_table(
-            taa, inputs.options.species, radius_km)
+            taa, inputs.options.species, radius_km, extra_range=extra_range)
     else:
         v_table, temp0, dtemp = np.zeros((2, 2)), 0.0, 1.0
     A = getattr(sint, 'A', (0.0, 0.0, 0.0))
@@ -219,7 +239,7 @@ def build_surface_table(inputs, spec: EngineSpec, radius_km: float,
         v_table=jnp.asarray(v_table, dtype),
         temp0=jnp.asarray(temp0, dtype),
         dtemp=jnp.asarray(dtemp, dtype),
-        **map_fields)
+        **map_fields, **moon_fields)
 
 
 class Output:

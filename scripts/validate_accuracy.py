@@ -60,13 +60,15 @@ def _io_moon_bounce(inputs):
     inputs.options.step_size = 30.0
 
 
+# case -> (inputfile, endtime override, mutate(inputs) or None, params)
 CASES = {
-    'ca': ('mercury_ca_spot.input', None, None),
-    'na': ('mercury_na_spot.input', 10800.0, None),   # clip the 50k-s parity
-                                                      # endtime: same physics,
-                                                      # CPU-f64-feasible
-    'bounce': ('mercury_na_bounce.input', None, None),
-    'io': ('jupiter_io_satellite.input', 3600.0, _io_moon_bounce),
+    'ca': ('mercury_ca_spot.input', None, None, PARAMS),
+    'na': ('mercury_na_spot.input', 10800.0, None, PARAMS),  # clip the 50k-s
+                                                             # parity endtime:
+                                                             # same physics,
+                                                             # CPU-f64-feasible
+    'bounce': ('mercury_na_bounce.input', None, None, PARAMS),
+    'io': ('jupiter_io_satellite.input', 3600.0, _io_moon_bounce, PARAMS_IO),
 }
 
 
@@ -75,14 +77,13 @@ def run_case(case, dtype_name, npackets, seed=SEED):
     from nexoclom_tpu.initial_state import Input
     from nexoclom_tpu.particle_tracking.fused import fused_image_run
     dtype = jnp.float64 if dtype_name == 'float64' else jnp.float32
-    inputfile, endtime, mutate = CASES[case]
+    inputfile, endtime, mutate, params = CASES[case]
     inputs = Input(os.path.join(os.path.dirname(__file__), '..', 'tests',
                                 'data', 'inputfiles', inputfile))
     if endtime is not None:
         inputs.options.endtime = endtime
     if mutate is not None:
         mutate(inputs)
-    params = PARAMS_IO if case == 'io' else PARAMS
     return fused_image_run(inputs, npackets, dict(params), seed=seed,
                            dtype=dtype).image
 

@@ -315,9 +315,11 @@ def test_moon_bounce_kernel_exactness_static_moon():
     spec = EngineSpec(surface_bounce=True, moon_bounce=True, accom=False,
                       sticktype='constant')
     import types
-    # the elastic constant-stick path touches only stickcoef
+    # the elastic constant-stick path touches only stickcoef (+ the moon
+    # temperature fields, None when thermal terms are off)
     surface = types.SimpleNamespace(stickcoef=jnp.asarray(0.25),
-                                    taa=jnp.asarray(0.0))
+                                    taa=jnp.asarray(0.0),
+                                    moon_t0=None, moon_t1=None)
     out = bounce_moon_packets(jax.random.PRNGKey(1), state, hit, spec,
                               surface, forces)
     # on the sphere
@@ -455,15 +457,72 @@ def test_moon_bounce_sharded_matches_unsharded():
 
 
 def test_moon_bounce_rejects_surface_map_sticking():
+    """The satellite check fires BEFORE the map load (with a REAL existing
+    mapfile, so a missing-file error cannot mask it) and names the actual
+    problem."""
     from nexoclom_tpu.initial_state.sections import SurfaceInteraction
     from nexoclom_tpu.particle_tracking.output import engine_spec_from_inputs
     from nexoclom_tpu.utilities.exceptions import InputError
+    mapfile = os.path.join(os.path.dirname(__file__), 'data',
+                           'sticking_maps', 'orbit_ca_sticking.pkl')
+    assert os.path.exists(mapfile)
     inp = _io_inputs()
     inp.surfaceinteraction = SurfaceInteraction(
         {'sticktype': 'surface map', 'accomfactor': '0.5',
-         'stick_mapfile': 'nonexistent.pkl'})
-    with pytest.raises(InputError):
+         'stick_mapfile': mapfile})
+    with pytest.raises(InputError, match='planet-fixed'):
         engine_spec_from_inputs(inp)
+
+
+def test_moon_bounce_catalog_semantics_marker():
+    """Bouncing satellite inputs carry an engine-semantics marker in the
+    canonical dict (quirk F21), so pre-bounce catalog records (re-impact =
+    removal) are never mixed into bounce-semantics runs; full-stick
+    satellite and planet inputs are unmarked (matching unchanged)."""
+    from nexoclom_tpu.initial_state.sections import SurfaceInteraction
+    from nexoclom_tpu.utilities.catalog import _match_inputs
+    inp = _io_inputs()                      # fixture: stickcoef = 1
+    assert 'engine' not in inp.to_dict()
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'stickcoef': '0.5', 'accomfactor': '0'})
+    marked = inp.to_dict()
+    assert marked['engine'] == {'moon_bounce': True}
+    # a pre-marker record of the same sections does NOT match
+    legacy = {k: v for k, v in marked.items() if k != 'engine'}
+    assert _match_inputs(legacy, marked) is None
+    assert _match_inputs(marked, marked) is not None
+    # round-trips through restore
+    from nexoclom_tpu.initial_state import Input
+    assert Input.from_dict(marked).to_dict() == marked
+
+
+def test_moon_surface_temperature_scaling():
+    """The moon bounce uses the heliocentric-distance-rescaled dayside
+    amplitude (the raw Mercury calibration would run Io ~2.5x too hot);
+    the emission-speed table's range covers the moon model."""
+    from nexoclom_tpu.initial_state.sections import SurfaceInteraction
+    from nexoclom_tpu.initial_state.surface_temperature import (
+        moon_dayside_amplitude)
+    from nexoclom_tpu.particle_tracking.output import (
+        build_surface_table, engine_spec_from_inputs)
+    # the calibration anchor reproduces Mercury's own amplitude
+    assert moon_dayside_amplitude(0.3075) == pytest.approx(600.0)
+    # equilibrium scaling at Jupiter
+    assert moon_dayside_amplitude(5.2) == pytest.approx(
+        600.0 * (0.3075 / 5.2) ** 0.5, rel=1e-12)
+    inp = _io_inputs()
+    inp.surfaceinteraction = SurfaceInteraction(
+        {'sticktype': 'temperature dependent', 'accomfactor': '0.8'})
+    spec = engine_spec_from_inputs(inp)
+    assert spec.moon_bounce
+    surface = build_surface_table(inp, spec, 71492.0, jnp.float64)
+    t1 = float(surface.moon_t1)
+    assert 100.0 < t1 < 200.0        # ~146 K at Jupiter's distance
+    # temperature grid covers the moon's range [t0, t0 + t1]
+    assert float(surface.temp0) <= float(surface.moon_t0)
+    nt = surface.v_table.shape[0]
+    assert (float(surface.temp0) + float(surface.dtemp) * (nt - 1)
+            >= float(surface.moon_t0) + t1)
 
 
 def test_satellite_image_paths_agree():
