@@ -457,6 +457,22 @@ class Options(_Section):
             if chx:
                 self.chx_rate = chx
 
+        # Extension (quirk F23): spatially varying electron-impact rate
+        # (plasma torus / ionosphere) from a profile file — the magcoord
+        # path the reference stubs (state.py:56-63).  Exclusive with the
+        # constant eimp_rate; the file is validated at Output setup.
+        profile = oparam.get('eimp_profile')
+        if profile:
+            if self.lifetime > 0:
+                raise InputError('Options.__init__',
+                                 'options.eimp_profile cannot be combined '
+                                 'with an explicit lifetime > 0')
+            if eimp:
+                raise InputError('Options.__init__',
+                                 'give options.eimp_rate OR '
+                                 'options.eimp_profile, not both')
+            self.eimp_profile = profile
+
         if 'outeredge' in oparam:
             self.outeredge = float(oparam['outeredge'])
         elif 'outer_edge' in oparam:

@@ -106,6 +106,10 @@ class EngineSpec:
     # (constant_rate=False), enforced by the Options section.
     eimp: bool = False
     chx: bool = False
+    # spatially varying electron impact (quirk F23): separable
+    # rate(rho, z) = f(rho) g(z) from ForceTable.eimp_rho_pl/eimp_z_pl,
+    # applied everywhere; exclusive with the constant eimp channel
+    eimp_profile: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
     # CPU, pathologically slow on TPU where it lowers to a scalar loop),
@@ -144,6 +148,10 @@ class ForceTable(NamedTuple):
     # electron impact applies everywhere, charge exchange is shadow-masked
     eimp_rate: jnp.ndarray = None    # scalar, 1/s
     chx_rate: jnp.ndarray = None     # scalar, 1/s
+    # spatially varying electron impact (quirk F23): separable torus
+    # profile rate(rho, z) = f(rho) g(z), each a compressed relu table
+    eimp_rho_pl: PLTable = None      # f(rho), 1/s vs cylindrical radius
+    eimp_z_pl: PLTable = None        # g(z), dimensionless vs height
 
 
 class SurfaceTable(NamedTuple):
@@ -324,6 +332,15 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         ion = ion + forces.chx_rate * out_of_shadow
     if spec.eimp:
         ion = ion + forces.eimp_rate
+    if spec.eimp_profile:
+        # quirk F23: separable plasma-torus electron impact,
+        # rate(rho, z) = f(rho) g(z), cylindrical about the spin axis;
+        # applied everywhere (no shadow mask, like the constant channel)
+        rho_cyl = jnp.sqrt(x * x + y * y)
+        rate = pl_lookup(forces.eimp_rho_pl, rho_cyl)
+        if forces.eimp_z_pl is not None:
+            rate = rate * pl_lookup(forces.eimp_z_pl, z)
+        ion = ion + rate
 
     return ax, ay, az, ion
 

@@ -60,13 +60,19 @@ def _douglas_peucker(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
     return np.nonzero(keep)[0]
 
 
-def compress_uniform(v0: float, dv: float, values: np.ndarray,
-                     rel_tol: float = 1e-3, dtype=np.float64) -> PLTable:
-    """Compress a uniform-grid table to a PLTable whose interpolant deviates
-    from the original piecewise-linear interpolant by at most
-    ``rel_tol * max|values|`` (host-side, numpy)."""
+def compress_points(grid: np.ndarray, values: np.ndarray,
+                    rel_tol: float = 1e-3, dtype=np.float64) -> PLTable:
+    """Compress tabulated (grid, values) points — any strictly increasing
+    grid — to a PLTable whose interpolant deviates from the original
+    piecewise-linear interpolant by at most ``rel_tol * max|values|``
+    (host-side, numpy)."""
+    grid = np.asarray(grid, np.float64)
     values = np.asarray(values, np.float64)
-    grid = v0 + dv * np.arange(len(values))
+    if grid.ndim != 1 or grid.shape != values.shape or len(grid) < 2:
+        raise ValueError('compress_points needs matching 1-D grid/values '
+                         'with at least 2 points')
+    if not np.all(np.diff(grid) > 0):
+        raise ValueError('compress_points grid must be strictly increasing')
     if rel_tol > 0:
         tol = rel_tol * float(np.max(np.abs(values)))
         idx = _douglas_peucker(grid, values, tol)
@@ -79,6 +85,16 @@ def compress_uniform(v0: float, dv: float, values: np.ndarray,
     return PLTable(knots=jnp.asarray(t[:-1], dtype),
                    dslope=jnp.asarray(dslope, dtype),
                    base=jnp.asarray(np.array([y[0], t[-1]]), dtype))
+
+
+def compress_uniform(v0: float, dv: float, values: np.ndarray,
+                     rel_tol: float = 1e-3, dtype=np.float64) -> PLTable:
+    """Compress a uniform-grid table to a PLTable whose interpolant deviates
+    from the original piecewise-linear interpolant by at most
+    ``rel_tol * max|values|`` (host-side, numpy)."""
+    values = np.asarray(values, np.float64)
+    grid = v0 + dv * np.arange(len(values))
+    return compress_points(grid, values, rel_tol=rel_tol, dtype=dtype)
 
 
 def empty_pltable(dtype=jnp.float64) -> PLTable:

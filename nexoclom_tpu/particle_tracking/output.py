@@ -94,6 +94,7 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         # charge-exchange rates, off unless the input sets them
         eimp=bool(getattr(inputs.options, 'eimp_rate', 0.0)),
         chx=bool(getattr(inputs.options, 'chx_rate', 0.0)),
+        eimp_profile=bool(getattr(inputs.options, 'eimp_profile', None)),
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
@@ -170,6 +171,15 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
         table = table._replace(eimp_rate=jnp.asarray(eimp, dtype))
     if chx:
         table = table._replace(chx_rate=jnp.asarray(chx, dtype))
+    profile = getattr(options, 'eimp_profile', None)
+    if profile:
+        # quirk F23: separable torus profile; the file is already in model
+        # units (planet radii, 1/s) so no conversion
+        from nexoclom_tpu.initial_state.loss_profile import profile_tables
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        rho_pl, z_pl = profile_tables(profile, dtype=np_dtype,
+                                      rel_tol=pl_tol)
+        table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl)
 
     if inputs.geometry.startpoint != inputs.geometry.planet.object:
         from nexoclom_tpu.initial_state.satellites import satellite_params

@@ -76,7 +76,99 @@ def test_options_grammar():
     assert 'eimp_rate' not in Options({**base, 'eimp_rate': '0'}).to_dict()
 
 
-def test_end_to_end_eimp_reduces_frac():
+def test_torus_profile_analytic_decay():
+    """Separable torus profile (quirk F23): packets inside the torus decay
+    at f(rho) g(z); packets outside the tapered edges do not decay at all
+    (profile ends at 0)."""
+    from nexoclom_tpu.ops.pltable import compress_points
+    rho = np.array([0.0, 4.0, 5.0, 5.9, 7.0, 9.0])
+    rate = np.array([0.0, 0.0, 2e-4, 4e-4, 1e-4, 0.0])
+    z = np.array([-3.0, -1.0, 0.0, 1.0, 3.0])
+    rate_z = np.array([0.0, 0.5, 1.0, 0.5, 0.0])
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0),
+        eimp_rho_pl=compress_points(rho, rate, rel_tol=0),
+        eimp_z_pl=compress_points(z, rate_z, rel_tol=0))
+    # packet 0 at torus peak (rho=5.9, z=0, sunward so no shadow term
+    # matters anyway); packet 1 above the torus plane (z=1 -> g=0.5);
+    # packet 2 far outside (rho=20 clamps to the 0 end value)
+    state0 = PacketState(
+        t=jnp.full(3, 1e9),
+        x=jnp.zeros(3), y=jnp.asarray([-5.9, -5.9, -20.0]),
+        z=jnp.asarray([0.0, 1.0, 0.0]),
+        vx=jnp.zeros(3), vy=jnp.zeros(3), vz=jnp.zeros(3),
+        frac=jnp.ones(3), lossfrac=jnp.zeros(3))
+    h, nsteps = 50.0, 21
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(h), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    T = h * (nsteps - 1)
+    assert float(final.frac[0]) == pytest.approx(math.exp(-4e-4 * T),
+                                                 rel=1e-12)
+    assert float(final.frac[1]) == pytest.approx(math.exp(-4e-4 * 0.5 * T),
+                                                 rel=1e-12)
+    assert float(final.frac[2]) == pytest.approx(1.0)
+
+
+def test_torus_profile_loader_validation():
+    from nexoclom_tpu.initial_state.loss_profile import load_loss_profile
+    good = {'rho': [0.0, 5.0, 9.0], 'rate': [0.0, 1e-4, 0.0]}
+    rho, rate, z, rate_z = load_loss_profile(good)
+    assert z is None and rate_z is None and rho[1] == 5.0
+    with pytest.raises(InputError):
+        load_loss_profile({'rho': [0, 5], 'rate': [1e-4]})        # mismatch
+    with pytest.raises(InputError):
+        load_loss_profile({'rho': [5, 0], 'rate': [0, 1e-4]})     # order
+    with pytest.raises(InputError):
+        load_loss_profile({'rho': [0, 5], 'rate': [-1, 1e-4]})    # negative
+    with pytest.raises(InputError):
+        load_loss_profile({'rho': [0, 5]})                        # missing
+    with pytest.raises(InputError):
+        load_loss_profile('/nonexistent/profile.pkl')
+    # options grammar: exclusive with the constant rate / lifetime > 0
+    base = {'endtime': '3600', 'species': 'Na'}
+    with pytest.raises(InputError):
+        Options({**base, 'eimp_rate': '1e-4', 'eimp_profile': 'x.pkl'})
+    with pytest.raises(InputError):
+        Options({**base, 'lifetime': '100', 'eimp_profile': 'x.pkl'})
+    assert Options({**base, 'eimp_profile': 'x.pkl'}).eimp_profile == 'x.pkl'
+
+
+def test_torus_profile_end_to_end(tmp_path):
+    """Io satellite run with a torus profile through Input -> Output: the
+    torus drains launched packets (they start inside it) vs no profile."""
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    profile = {'rho': np.array([0.0, 4.0, 5.9, 8.0, 12.0]),
+               'rate': np.array([0.0, 1e-4, 5e-4, 1e-4, 0.0]),
+               'z': np.array([-4.0, 0.0, 4.0]),
+               'rate_z': np.array([0.0, 1.0, 0.0])}
+    path = str(tmp_path / 'torus.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(profile, f)
+
+    def run(extra):
+        inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+        inp.options.endtime = 3600.0
+        inp.options.step_size = 30.0
+        # isolate the torus channel: a negligible generic rate (the
+        # grammar forbids combining the profile with lifetime > 0)
+        inp.options.lifetime = -1e30
+        for key, value in extra.items():
+            setattr(inp.options, key, value)
+        out = Output(inp, 128, seed=17, compress=False)
+        return out.X.groupby('Index').tail(1).frac.mean()
+
+    plain = run({})
+    torus = run({'eimp_profile': path})
+    # mean rate ~ 5e-4 near Io's orbit: expect a visible drain over 3600 s
+    assert torus < plain * 0.6
+    assert torus > 0
     """An eimp rate drains packets that photo loss alone would not
     (including in shadow), through the full Input -> Output path."""
     from nexoclom_tpu.initial_state import Input
