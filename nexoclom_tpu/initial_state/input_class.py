@@ -87,7 +87,8 @@ class Input:
         base = os.path.dirname(os.path.abspath(self._inputfile))
         for section, attr in ((self.spatialdist, 'mapfile'),
                               (self.speeddist, 'vdistfile'),
-                              (self.surfaceinteraction, 'stick_mapfile')):
+                              (self.surfaceinteraction, 'stick_mapfile'),
+                              (self.options, 'eimp_profile')):
             path = getattr(section, attr, None)
             if (isinstance(path, str) and path not in ('', 'default')
                     and not os.path.isabs(path) and not os.path.exists(path)):

@@ -77,7 +77,23 @@ def main():
                      'abundance': stick,
                      'coordinate_system': 'solar-fixed', **extras()}, f)
 
-    print('wrote 3 map fixtures under tests/data/')
+    # plasma-torus loss profile (quirk F23): Io-torus analog — radial
+    # profile peaked at Io's orbit (5.9 R_J), vertical Gaussian with the
+    # canonical ~0.9 R_J scale height, tapered to 0 at both edges so the
+    # np.interp end clamping vanishes outside
+    os.makedirs(os.path.join(DATA, 'loss_profiles'), exist_ok=True)
+    rho = np.linspace(0.0, 12.0, 121)
+    rate = 5e-4 * np.exp(-((rho - 5.9) / 1.2) ** 2)
+    rate[rho < 3.5] = 0.0
+    rate[rho > 10.0] = 0.0
+    z = np.linspace(-4.0, 4.0, 81)
+    rate_z = np.exp(-(z / 0.9) ** 2)
+    rate_z[np.abs(z) > 3.5] = 0.0
+    with open(os.path.join(DATA, 'loss_profiles', 'io_torus.pkl'),
+              'wb') as f:
+        pickle.dump({'rho': rho, 'rate': rate, 'z': z, 'rate_z': rate_z}, f)
+
+    print('wrote 4 fixtures under tests/data/')
 
 
 if __name__ == '__main__':
