@@ -30,8 +30,10 @@ F16, docs/QUIRKS.md):
   appear in ``geometry.objects`` in the input file (the reference never
   defines this mapping — its engine asserts first).
 
-Satellite runs with ``geometry.starttime`` would need moon ephemerides
-(epoch phases) that neither build vendors; they raise NotImplementedError.
+Satellite runs with ``geometry.starttime`` get their phases from the
+vendored mean ephemeris (``solarsystem/moon_ephemeris.py``, quirk F24) —
+Galilean moons and Earth's Moon; others raise NotImplementedError naming
+the geometry.phi fallback.
 """
 from __future__ import annotations
 
@@ -44,9 +46,11 @@ def moon_phi(geometry, name: str) -> float:
     """Orbital phase (rad) of moon ``name`` from geometry.phi."""
     from nexoclom_tpu.utilities.exceptions import InputError
     if geometry.type == 'geometry with starttime':
-        raise NotImplementedError(
-            'satellite start points with geometry.starttime need moon '
-            'ephemerides; give geometry.phi instead')
+        # vendored mean ephemeris (quirk F24) — the reference's kernel
+        # path is dead (load_kernels.py:27-39)
+        from nexoclom_tpu.solarsystem.moon_ephemeris import (
+            moon_phase_at_time)
+        return moon_phase_at_time(geometry.time, geometry.planet, name)
     phi = geometry.phi
     if phi is None:
         raise InputError('moon_phi', 'geometry.phi was not specified.')

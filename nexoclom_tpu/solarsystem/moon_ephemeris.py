@@ -1,0 +1,122 @@
+"""Moon orbital phases from a timestamp — self-contained mean ephemerides.
+
+The reference's satellite geometry path is dead code twice over: the
+engine refuses satellite start points (``Output.py:153-155``) and the
+time-based geometry needs SPICE kernels it ships commented out
+(``solarsystem/load_kernels.py:27-39`` loads ``jup310.bsp`` from a
+hard-coded path).  This build makes ``geometry.starttime`` work for moon
+sources with a vendored mean ephemeris instead of kernels.
+
+Model: each tabulated moon moves on its circular, planet-equatorial model
+orbit (the same orbit the engine integrates, quirk F16) with its phase
+measured from the planet's anti-solar direction — the engine's ``phi``
+convention (0 = superior conjunction, pi/2 = dawn terminator, prograde).
+Relative to the planet's MEAN anti-solar direction that phase advances
+linearly,
+
+    u(t) = u0 + (n_moon - n_planet) * d,      d = days since J2000.0,
+
+and the TRUE anti-solar direction differs from the mean one by the
+planet's equation of center, which ``kepler.true_anomaly_from_mean``
+evaluates exactly:
+
+    phi(t) = u(t) - (nu_planet(t) - M_planet(t))  [+ lunar inequalities].
+
+Tabulated constants are the classical J2000 low-precision satellite
+ephemeris values (the ones behind every "positions of the Galilean
+satellites" almanac routine).  They are internally verifiable, and the
+tests do verify them: the relative rates equal n_moon - n_planet from the
+vendored constants table, and the Galilean epoch phases satisfy the
+Laplace resonance u1 - 3 u2 + 2 u3 = 180 deg to 1e-4 deg.  For Earth's
+Moon the four largest inequalities in longitude (principal elliptic term,
+evection, variation, annual equation) are applied on top of the mean
+motion; the tests pin the result against the observed new moon of
+2000-01-06 18:14 UTC and the total lunar eclipse of 2000-01-21 04:44 UTC.
+
+Accuracy: ~0.2 deg for the Moon, ~1 deg for the Galilean moons (their
+neglected free eccentricities are < 0.01 and mutual-perturbation terms
+< 1 deg) — far inside the geometry tolerance of exosphere modelling (the
+catalog's TAA match window alone is 0.5 deg).  Moons without tabulated
+elements raise ``NotImplementedError`` with the geometry.phi fallback
+spelled out.
+"""
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from nexoclom_tpu.solarsystem.kepler import true_anomaly_from_mean
+from nexoclom_tpu.solarsystem.ssobject import SSObject
+
+# moon -> (u0_deg, udot_deg_per_day): phase from the parent planet's MEAN
+# anti-solar direction at J2000.0 and its (sidereal moon - planet) rate.
+MOON_EPHEMERIDES = {
+    'Io':       (163.8069, 203.4058646),
+    'Europa':   (358.4140, 101.2916335),
+    'Ganymede': (5.7176, 50.2345180),
+    'Callisto': (224.8092, 21.4879800),
+    # L_moon(J2000) = 218.3164477 minus Earth's L0 = 100.46435;
+    # 13.17639648 (sidereal) minus 0.98564736 (Earth).
+    'Moon':     (117.8520977, 12.19074912),
+}
+
+# Lunar mean anomaly and mean elongation at J2000.0 (deg, deg/day) for the
+# longitude inequalities applied to 'Moon' only.
+_LUNAR_MP = (134.9633964, 13.06499295)
+_LUNAR_D = (297.8501921, 12.19074912)
+
+
+def _days_since_j2000(time) -> float:
+    from nexoclom_tpu.solarsystem.planet_geometry import _J2000, _parse_time
+    return (_parse_time(time) - _J2000).total_seconds() / 86400.0
+
+
+def _planet_equation_of_center(time, planet) -> float:
+    """nu - M (radians, wrapped to (-pi, pi]) of the parent planet."""
+    from nexoclom_tpu.solarsystem.planet_geometry import (
+        _J2000_ELEMENTS, mean_anomaly_at_time)
+    if planet.object not in _J2000_ELEMENTS:
+        raise NotImplementedError(
+            f'mean elements not tabulated for {planet.object}')
+    mean_anom = mean_anomaly_at_time(time, planet)
+    nu = true_anomaly_from_mean(mean_anom, planet.e)
+    return (nu - mean_anom + math.pi) % (2.0 * math.pi) - math.pi
+
+
+def _lunar_inequalities(time, planet) -> float:
+    """Principal elliptic term + evection + variation + annual equation
+    for Earth's Moon (radians added to the mean longitude)."""
+    from nexoclom_tpu.solarsystem.planet_geometry import mean_anomaly_at_time
+    d = _days_since_j2000(time)
+    mp = math.radians(_LUNAR_MP[0] + _LUNAR_MP[1] * d)    # Moon mean anomaly
+    elong = math.radians(_LUNAR_D[0] + _LUNAR_D[1] * d)   # mean elongation
+    m_sun = mean_anomaly_at_time(time, planet)            # Earth/Sun anomaly
+    deg = (6.289 * math.sin(mp)
+           + 1.274 * math.sin(2.0 * elong - mp)
+           + 0.658 * math.sin(2.0 * elong)
+           - 0.186 * math.sin(m_sun))
+    return math.radians(deg)
+
+
+def moon_phase_at_time(time, planet, moon_name: str) -> float:
+    """Orbital phase ``phi`` (radians, [0, 2pi)) of ``moon_name`` at
+    ``time`` in the engine's convention: measured from the planet's true
+    anti-solar direction, increasing prograde (inputfiles.rst:72-77).
+
+    ``time`` is a datetime or ISO string (UTC assumed when naive);
+    ``planet`` is the parent SSObject or its name.
+    """
+    if isinstance(planet, str):
+        planet = SSObject(planet)
+    name = moon_name.title()
+    if name not in MOON_EPHEMERIDES:
+        raise NotImplementedError(
+            f'no mean ephemeris tabulated for {moon_name}; give the phase '
+            f'explicitly with geometry.phi instead of geometry.starttime '
+            f'(tabulated: {", ".join(sorted(MOON_EPHEMERIDES))})')
+    u0, udot = MOON_EPHEMERIDES[name]
+    phi = math.radians(u0 + udot * _days_since_j2000(time))
+    phi -= _planet_equation_of_center(time, planet)
+    if name == 'Moon':
+        phi += _lunar_inequalities(time, planet)
+    return phi % (2.0 * math.pi)

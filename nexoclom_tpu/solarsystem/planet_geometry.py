@@ -46,8 +46,8 @@ def _parse_time(time) -> datetime:
     raise TypeError('time must be a datetime or ISO-format string')
 
 
-def true_anomaly_at_time(time, planet) -> float:
-    """True anomaly (radians) of ``planet`` at ``time``."""
+def mean_anomaly_at_time(time, planet) -> float:
+    """Mean anomaly (radians, [0, 2pi)) of ``planet`` at ``time``."""
     if isinstance(planet, str):
         planet = SSObject(planet)
     if planet.object not in _J2000_ELEMENTS:
@@ -58,8 +58,15 @@ def true_anomaly_at_time(time, planet) -> float:
     days = (_parse_time(time) - _J2000).total_seconds() / 86400.0
     mean_motion = 360.0 / planet.orbperiod                  # deg/day
     mean_longitude = L0 + mean_motion * days
-    mean_anomaly = math.radians((mean_longitude - long_peri) % 360.0)
-    return true_anomaly_from_mean(mean_anomaly, planet.e)
+    return math.radians((mean_longitude - long_peri) % 360.0)
+
+
+def true_anomaly_at_time(time, planet) -> float:
+    """True anomaly (radians) of ``planet`` at ``time``."""
+    if isinstance(planet, str):
+        planet = SSObject(planet)
+    return true_anomaly_from_mean(mean_anomaly_at_time(time, planet),
+                                  planet.e)
 
 
 def planet_geometry(time, planet):

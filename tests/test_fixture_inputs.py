@@ -20,8 +20,6 @@ ALL_FIXTURES = sorted(
 
 # configurations that cannot run (and why)
 RUN_RAISES = {
-    # moon phase from a timestamp needs ephemerides neither build vendors
-    'jupiter_io_starttime.input': NotImplementedError,
     'mercury_stick_map_default.input': InputError,       # no mapfile
 }
 SLOW_ADAPTIVE = {  # adaptive fixtures get a short endtime in the run test
