@@ -13,8 +13,10 @@ about the planet's spin axis:
 
 with ``rho = sqrt(x^2 + y^2)`` and both factors tabulated on 1-D grids in
 planet radii.  Separability covers the standard torus parameterisation
-(radial profile x vertical Gaussian about the centrifugal equator); a
-tilted or longitude-dependent field is out of scope.  On device each
+(radial profile x vertical Gaussian about the centrifugal equator); with
+``options.eimp_tilt`` the symmetry axis tilts off the spin axis and
+co-rotates with the planet — the true centrifugal-equator geometry
+(quirk F25, evaluated in ``ops/integrator.state_eval``).  On device each
 factor is a knot-compressed relu expansion (:mod:`nexoclom_tpu.ops.pltable`)
 — pure FMA per RK stage, no gather — so the profile costs about as much
 as the radiation-pressure lookup.

@@ -473,6 +473,36 @@ class Options(_Section):
                                  'options.eimp_profile, not both')
             self.eimp_profile = profile
 
+        # Extension (quirk F25): the profile's symmetry axis tilted from
+        # the spin axis and co-rotating with the planet — the
+        # centrifugal-equator geometry of a real plasma torus.  Degrees
+        # for tilt/phase, hours for the period (default: the planet's
+        # sidereal rotation period from the constants table).  Attributes
+        # set only when the tilt is nonzero (catalog compatibility).
+        tilt = float(oparam.get('eimp_tilt', 0.0))
+        if tilt:
+            if not profile:
+                raise InputError('Options.__init__',
+                                 'options.eimp_tilt requires '
+                                 'options.eimp_profile')
+            if not 0.0 < tilt < 90.0:
+                raise InputError('Options.__init__',
+                                 'options.eimp_tilt must be in (0, 90) '
+                                 'degrees')
+            self.eimp_tilt = tilt
+            self.eimp_tilt_phase = float(oparam.get('eimp_tilt_phase', 0.0))
+            if 'eimp_tilt_period' in oparam:
+                period = float(oparam['eimp_tilt_period'])
+                if period <= 0:
+                    raise InputError('Options.__init__',
+                                     'options.eimp_tilt_period must be '
+                                     '> 0 hours')
+                self.eimp_tilt_period = period
+        elif 'eimp_tilt_phase' in oparam or 'eimp_tilt_period' in oparam:
+            raise InputError('Options.__init__',
+                             'options.eimp_tilt_phase/_period require a '
+                             'nonzero options.eimp_tilt')
+
         if 'outeredge' in oparam:
             self.outeredge = float(oparam['outeredge'])
         elif 'outer_edge' in oparam:

@@ -110,6 +110,12 @@ class EngineSpec:
     # rate(rho, z) = f(rho) g(z) from ForceTable.eimp_rho_pl/eimp_z_pl,
     # applied everywhere; exclusive with the constant eimp channel
     eimp_profile: bool = False
+    # quirk F25: evaluate the profile about a TILTED, co-rotating axis
+    # (centrifugal-equator geometry): rho/z taken relative to the plane
+    # whose normal leans eimp_tilt from the spin axis toward the azimuth
+    # eimp_tilt_phase - eimp_tilt_omega * t (t counts down to the
+    # observation, same convention as the moving moon)
+    eimp_tilt: bool = False
     check_outer_edge: bool = True
     # radiation-pressure table lookup strategy: 'gather' (XLA gather; fast on
     # CPU, pathologically slow on TPU where it lowers to a scalar loop),
@@ -152,6 +158,13 @@ class ForceTable(NamedTuple):
     # profile rate(rho, z) = f(rho) g(z), each a compressed relu table
     eimp_rho_pl: PLTable = None      # f(rho), 1/s vs cylindrical radius
     eimp_z_pl: PLTable = None        # g(z), dimensionless vs height
+    # tilted co-rotating torus axis (quirk F25): the profile's symmetry
+    # axis leans eimp_tilt from +z toward the azimuth (orbit_state
+    # convention) eimp_tilt_phase - eimp_tilt_omega * t
+    eimp_tilt_sin: jnp.ndarray = None    # scalar, sin(tilt)
+    eimp_tilt_cos: jnp.ndarray = None    # scalar, cos(tilt)
+    eimp_tilt_phase: jnp.ndarray = None  # scalar, azimuth at t=0 (rad)
+    eimp_tilt_omega: jnp.ndarray = None  # scalar, rad/s (co-rotation)
 
 
 class SurfaceTable(NamedTuple):
@@ -334,12 +347,26 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         ion = ion + forces.eimp_rate
     if spec.eimp_profile:
         # quirk F23: separable plasma-torus electron impact,
-        # rate(rho, z) = f(rho) g(z), cylindrical about the spin axis;
-        # applied everywhere (no shadow mask, like the constant channel)
-        rho_cyl = jnp.sqrt(x * x + y * y)
+        # rate(rho, z) = f(rho) g(z); applied everywhere (no shadow mask,
+        # like the constant channel)
+        if spec.eimp_tilt:
+            # quirk F25: rho/z relative to the tilted, co-rotating
+            # centrifugal plane.  Normal n leans eimp_tilt from +z toward
+            # azimuth psi(t) in the orbit_state convention
+            # (u(psi) = (-sin psi, cos psi, 0); psi = 0 -> anti-solar):
+            # height = r . n, radius = sqrt(|r|^2 - height^2).
+            psi = forces.eimp_tilt_phase - forces.eimp_tilt_omega * t
+            z_c = (forces.eimp_tilt_sin * (y * jnp.cos(psi)
+                                           - x * jnp.sin(psi))
+                   + forces.eimp_tilt_cos * z)
+            r2 = x * x + y * y + z * z
+            rho_cyl = jnp.sqrt(jnp.maximum(r2 - z_c * z_c, 0.0))
+        else:
+            rho_cyl = jnp.sqrt(x * x + y * y)
+            z_c = z
         rate = pl_lookup(forces.eimp_rho_pl, rho_cyl)
         if forces.eimp_z_pl is not None:
-            rate = rate * pl_lookup(forces.eimp_z_pl, z)
+            rate = rate * pl_lookup(forces.eimp_z_pl, z_c)
         ion = ion + rate
 
     return ax, ay, az, ion
@@ -376,12 +403,12 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
 
     # Dormand-Prince stage times (c_i); t counts down, so stage time is
     # t - c_i*h — only evaluated when a time-dependent force (the moving
-    # moon) is active
+    # moon or the co-rotating tilted torus) is active
     _DP_C = (0.0, 1.0 / 5.0, 3.0 / 10.0, 4.0 / 5.0, 8.0 / 9.0, 1.0)
+    needs_time = spec.moon_gravity or spec.moon_shadow or spec.eimp_tilt
 
     for n in range(6):
-        t_stage = (state.t - _DP_C[n] * h
-                   if spec.moon_gravity or spec.moon_shadow else None)
+        t_stage = state.t - _DP_C[n] * h if needs_time else None
         ax, ay, az, ion = state_eval(xs[n], ys[n], zs[n], vys[n], spec,
                                      forces, arad_frozen, t=t_stage)
         accels.append((ax, ay, az))

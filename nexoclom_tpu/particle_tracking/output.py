@@ -95,6 +95,7 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         eimp=bool(getattr(inputs.options, 'eimp_rate', 0.0)),
         chx=bool(getattr(inputs.options, 'chx_rate', 0.0)),
         eimp_profile=bool(getattr(inputs.options, 'eimp_profile', None)),
+        eimp_tilt=bool(getattr(inputs.options, 'eimp_tilt', 0.0)),
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
@@ -180,6 +181,23 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
         rho_pl, z_pl = profile_tables(profile, dtype=np_dtype,
                                       rel_tol=pl_tol)
         table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl)
+        tilt_deg = getattr(options, 'eimp_tilt', 0.0)
+        if tilt_deg:
+            # quirk F25: centrifugal-equator tilt co-rotating with the
+            # planet; default period is the planet's sidereal rotation
+            # (System III for Jupiter), phase given at observation (t=0)
+            import math
+            period_hr = getattr(options, 'eimp_tilt_period',
+                                inputs.geometry.planet.rotperiod)
+            tilt_rad = math.radians(tilt_deg)
+            table = table._replace(
+                eimp_tilt_sin=jnp.asarray(math.sin(tilt_rad), dtype),
+                eimp_tilt_cos=jnp.asarray(math.cos(tilt_rad), dtype),
+                eimp_tilt_phase=jnp.asarray(
+                    math.radians(getattr(options, 'eimp_tilt_phase', 0.0)),
+                    dtype),
+                eimp_tilt_omega=jnp.asarray(
+                    2.0 * math.pi / (period_hr * 3600.0), dtype))
 
     if inputs.geometry.startpoint != inputs.geometry.planet.object:
         from nexoclom_tpu.initial_state.satellites import satellite_params

@@ -191,3 +191,161 @@ def test_torus_profile_end_to_end(tmp_path):
     info = LossInfo('Na', 0.0, 0.35, eimp=1e-4, chX=2e-5)
     s = str(info)
     assert 'Electron Impact Rate' in s and 'Charge Exchange Rate' in s
+
+
+def test_tilted_torus_static_geometry():
+    """Quirk F25: with a static 30-deg tilt toward psi=0 (the +y /
+    anti-solar azimuth), decay rates follow rho/z measured from the
+    TILTED plane — matching np.interp of the same profile evaluated at
+    the analytically rotated coordinates."""
+    from nexoclom_tpu.ops.pltable import compress_points
+    rho = np.array([0.0, 4.0, 5.0, 5.9, 7.0, 9.0])
+    rate = np.array([0.0, 0.0, 2e-4, 4e-4, 1e-4, 0.0])
+    z = np.array([-3.0, -1.0, 0.0, 1.0, 3.0])
+    rate_z = np.array([0.0, 0.5, 1.0, 0.5, 0.0])
+    tilt = math.radians(30.0)
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True, eimp_tilt=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0),
+        eimp_rho_pl=compress_points(rho, rate, rel_tol=0),
+        eimp_z_pl=compress_points(z, rate_z, rel_tol=0),
+        eimp_tilt_sin=jnp.asarray(math.sin(tilt)),
+        eimp_tilt_cos=jnp.asarray(math.cos(tilt)),
+        eimp_tilt_phase=jnp.asarray(0.0),
+        eimp_tilt_omega=jnp.asarray(0.0))
+    # normal n = (0, sin(tilt), cos(tilt)); z_c = r.n
+    positions = np.array([
+        [5.9, 0.0, 0.0],    # on the tilt's node line: unchanged by tilt
+        [0.0, -5.9, 0.0],   # spin equator, anti-node: z_c = -5.9 sin(tilt)
+        [0.0, 5.0, 1.0],    # general point
+    ])
+    n_vec = np.array([0.0, math.sin(tilt), math.cos(tilt)])
+    z_c = positions @ n_vec
+    rho_c = np.sqrt((positions ** 2).sum(1) - z_c ** 2)
+    expected_rate = np.interp(rho_c, rho, rate) * np.interp(z_c, z, rate_z)
+    state0 = PacketState(
+        t=jnp.full(3, 1e9), x=jnp.asarray(positions[:, 0]),
+        y=jnp.asarray(positions[:, 1]), z=jnp.asarray(positions[:, 2]),
+        vx=jnp.zeros(3), vy=jnp.zeros(3), vz=jnp.zeros(3),
+        frac=jnp.ones(3), lossfrac=jnp.zeros(3))
+    h, nsteps = 50.0, 21
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(h), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    T = h * (nsteps - 1)
+    for i in range(3):
+        assert float(final.frac[i]) == pytest.approx(
+            math.exp(-expected_rate[i] * T), rel=1e-10), i
+
+
+def test_tilted_torus_corotation():
+    """With a co-rotating tilt the rate at a FIXED point oscillates at the
+    rotation period; the RK-integrated frac matches the exact integral of
+    the analytic rate(t) (5th-order quadrature of a smooth sinusoid)."""
+    from nexoclom_tpu.ops.pltable import compress_points
+    rho = np.array([0.0, 4.0, 5.0, 5.9, 7.0, 9.0])
+    rate = np.array([0.0, 0.0, 2e-4, 4e-4, 1e-4, 0.0])
+    z = np.array([-3.0, -1.0, 0.0, 1.0, 3.0])
+    rate_z = np.array([0.0, 0.5, 1.0, 0.5, 0.0])
+    tilt = math.radians(20.0)
+    period = 9.925 * 3600.0
+    omega = 2.0 * math.pi / period
+    phase0 = 0.7
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True, eimp_tilt=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0),
+        eimp_rho_pl=compress_points(rho, rate, rel_tol=0),
+        eimp_z_pl=compress_points(z, rate_z, rel_tol=0),
+        eimp_tilt_sin=jnp.asarray(math.sin(tilt)),
+        eimp_tilt_cos=jnp.asarray(math.cos(tilt)),
+        eimp_tilt_phase=jnp.asarray(phase0),
+        eimp_tilt_omega=jnp.asarray(omega))
+    pos = np.array([3.0, -4.5, 0.5])
+    h, nsteps = 30.0, 241
+    T = h * (nsteps - 1)
+    # t counts DOWN from T to 0 (observation)
+    state0 = PacketState(
+        t=jnp.asarray([T]), x=jnp.asarray([pos[0]]),
+        y=jnp.asarray([pos[1]]), z=jnp.asarray([pos[2]]),
+        vx=jnp.zeros(1), vy=jnp.zeros(1), vz=jnp.zeros(1),
+        frac=jnp.ones(1), lossfrac=jnp.zeros(1))
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(h), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+
+    def rate_at(t):
+        psi = phase0 - omega * t
+        n_vec = np.array([-math.sin(tilt) * math.sin(psi),
+                          math.sin(tilt) * math.cos(psi), math.cos(tilt)])
+        z_c = pos @ n_vec
+        rho_c = math.sqrt(pos @ pos - z_c ** 2)
+        return np.interp(rho_c, rho, rate) * np.interp(z_c, z, rate_z)
+
+    from scipy.integrate import quad
+    integral, _ = quad(rate_at, 0.0, T, limit=400)
+    assert float(final.frac[0]) == pytest.approx(math.exp(-integral),
+                                                 rel=1e-7)
+    # and the rate really oscillates (tilt matters): static tilt at the
+    # mean phase would give a different answer
+    static = rate_at(0.0) * T
+    assert abs(static - integral) > 0.02 * integral
+
+
+def test_tilt_options_grammar():
+    base = {'endtime': '3600', 'species': 'Na', 'eimp_profile': 'x.pkl'}
+    opt = Options({**base, 'eimp_tilt': '6.4', 'eimp_tilt_phase': '200',
+                   'eimp_tilt_period': '9.925'})
+    assert opt.eimp_tilt == 6.4
+    assert opt.eimp_tilt_phase == 200.0
+    assert opt.eimp_tilt_period == 9.925
+    rt = Options.from_dict(opt.to_dict())
+    assert rt == opt
+    # zero tilt is a no-op; attributes absent (catalog compatibility)
+    assert 'eimp_tilt' not in Options({**base, 'eimp_tilt': '0'}).to_dict()
+    with pytest.raises(InputError):    # tilt without a profile
+        Options({'endtime': '3600', 'species': 'Na', 'eimp_tilt': '6.4'})
+    with pytest.raises(InputError):    # out of range
+        Options({**base, 'eimp_tilt': '95'})
+    with pytest.raises(InputError):    # phase/period without tilt
+        Options({**base, 'eimp_tilt_phase': '200'})
+    with pytest.raises(InputError):    # bad period
+        Options({**base, 'eimp_tilt': '6.4', 'eimp_tilt_period': '0'})
+
+
+def test_tilted_torus_end_to_end(tmp_path):
+    """Tilt through the full Input -> Output path: a thin tilted torus
+    drains an Io source differently from the untilted one."""
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    profile = {'rho': np.array([0.0, 4.0, 5.9, 8.0, 12.0]),
+               'rate': np.array([0.0, 1e-4, 5e-4, 1e-4, 0.0]),
+               'z': np.array([-1.0, 0.0, 1.0]),
+               'rate_z': np.array([0.0, 1.0, 0.0])}
+    path = str(tmp_path / 'torus.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(profile, f)
+
+    def run(extra):
+        inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+        inp.options.endtime = 3600.0
+        inp.options.step_size = 30.0
+        inp.options.lifetime = -1e30
+        inp.options.eimp_profile = path
+        for key, value in extra.items():
+            setattr(inp.options, key, value)
+        out = Output(inp, 128, seed=17, compress=False)
+        return out.X.groupby('Index').tail(1).frac.mean()
+
+    flat = run({})
+    tilted = run({'eimp_tilt': 30.0, 'eimp_tilt_phase': 90.0})
+    assert 0 < tilted != flat
+    # a 30-deg tilt lifts the thin (|z|<1) torus off most of the orbital
+    # plane: packets near Io see less of it
+    assert tilted > flat
