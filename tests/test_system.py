@@ -93,38 +93,41 @@ def test_messenger_like_orbit_physical_radiance():
     assert result.sourcerate > 0 and np.isfinite(result.sourcerate)
 
 
-def test_messenger_like_orbit_system():
-    """End-to-end over the REALISTIC MESSENGER viewing geometry fixture
-    (the actual primary science orbit — 200 x 15,193 km, i = 82.5 deg,
-    periapsis 60N — with UVVS-style limb-scan boresights; generated by
-    scripts/make_messenger_like_fixture.py).  The reference's system test
-    uses real UVVS spectra; this checks the same chain at the same
-    geometry with a global thermal source."""
-    path = os.path.join(os.path.dirname(__file__), 'data', 'spacecraft',
-                        'messenger_like_orbit.csv')
-    data = pd.read_csv(path)
-    assert len(data) >= 300
+def test_messenger_like_orbit_thermal_and_masked():
+    """The same realistic orbit fixture with a GLOBAL thermal source (the
+    surface-temperature Maxwellian, F15) instead of the Na spot, plus the
+    masking DSL: a minalt400 fit uses only the >= 400 km rungs and still
+    converges."""
+    orbit = pd.read_csv(os.path.join(os.path.dirname(__file__), 'data',
+                                     'orbits', 'messenger_like_orbit.csv'))
     inputs = Input(os.path.join(INPUTFILES, 'mercury_maxwellian_t0.input'))
     inputs.options.endtime = 1500.0
-
-    scdata = SpacecraftData(data, species=inputs.options.species,
-                            query='messenger-like limb scans')
+    scdata = SpacecraftData(orbit, species=inputs.options.species,
+                            query='messenger-like limb scans, thermal')
     result = scdata.model(inputs, 4000, dphi=math.radians(1.0),
-                          label='mlike', seed=77)
+                          label='mlike_thermal', seed=77)
     model = result.radiance.to_numpy()
     assert np.all(np.isfinite(model)) and model.max() > 0
     assert result.sourcerate > 0 and np.isfinite(result.sourcerate)
-    # physical trend over the real geometry: a surface-bound thermal
-    # exosphere dims with tangent altitude
+    # a surface-bound thermal exosphere dims with tangent altitude
     from scipy.stats import spearmanr
-    rho, _ = spearmanr(data.alttan.to_numpy(), model)
+    alt = orbit.alttan.to_numpy()
+    limb = alt > 0
+    rho, _ = spearmanr(alt[limb], model[limb])
     assert rho < -0.6, rho
-    # the low-altitude spectra carry signal; the 3200-km rungs are dim
-    low = model[data.alttan.to_numpy() < 300]
-    high = model[data.alttan.to_numpy() > 2000]
-    assert low.mean() > 10 * max(high.mean(), 1e-30)
-    # masking DSL on the same data: fit restricted to >= 400 km rungs
-    masked = scdata.model(inputs, 4000, dphi=math.radians(1.0),
-                          label='mlike_masked', masking='minalt400',
-                          seed=77)
-    assert masked.sourcerate > 0 and np.isfinite(masked.sourcerate)
+    # the cold thermal source (H ~ 60 km) leaves NOTHING above 400 km:
+    # a minalt400-masked fit correctly collapses to zero
+    masked_cold = scdata.model(inputs, 4000, dphi=math.radians(1.0),
+                               label='mlike_masked_cold',
+                               masking='minalt400', seed=77)
+    assert masked_cold.sourcerate == 0.0
+    # masking DSL through the scdata.model chain with a source that DOES
+    # reach altitude (Ca, 50,000 K): the >= 400 km rungs carry the fit
+    hot = Input(os.path.join(INPUTFILES, 'mercury_ca_spot.input'))
+    hot.options.endtime = 1500.0
+    sc_hot = SpacecraftData(orbit, species=hot.options.species,
+                            query='messenger-like limb scans, hot Ca')
+    masked_hot = sc_hot.model(hot, 4000, dphi=math.radians(1.0),
+                              label='mlike_masked_hot',
+                              masking='minalt400', seed=77)
+    assert masked_hot.sourcerate > 0 and np.isfinite(masked_hot.sourcerate)
