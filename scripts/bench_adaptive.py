@@ -84,9 +84,11 @@ def main():
 
     t0 = time.perf_counter()
     final, iters, stats = run()
-    accepted = int(jnp.sum(stats['accepted']))  # device barrier
+    # sum on host in int64: the per-packet counters are int32 (fine, each
+    # <= max_iterations) but their TOTAL passes 2^31 beyond ~1M packets
+    accepted = int(np.asarray(stats['accepted'], np.int64).sum())
     dt = time.perf_counter() - t0
-    attempted = int(jnp.sum(stats['attempted']))
+    attempted = int(np.asarray(stats['attempted'], np.int64).sum())
     iters = int(iters)
     done_at = np.asarray(stats['done_at'])
 
