@@ -79,8 +79,9 @@ def main():
     sunward = img[x < -2.0].sum()
     tail = img[x > 2.0].sum()
     lo, hi = sorted((sunward, tail))
+    ratio = f'{hi / lo:.1f}x' if lo > 0 else 'all of it (no sunward signal)'
     print(f'radiance beyond 2 R_M: one side {lo:.3e}, other {hi:.3e} '
-          f'-> asymmetry {hi / max(lo, 1e-30):.1f}x (the Na tail)')
+          f'-> asymmetry {ratio} (the Na tail)')
     assert hi > 3 * lo, 'expected a pronounced anti-sunward tail'
     print('OK')
 

@@ -33,6 +33,12 @@ evection, variation, annual equation) are applied on top of the mean
 motion; the tests pin the result against the observed new moon of
 2000-01-06 18:14 UTC and the total lunar eclipse of 2000-01-21 04:44 UTC.
 
+Timestamps are treated as EARTH observation times by default
+(``apparent=True``): the configuration is evaluated one light-travel time
+earlier (Earth-Jupiter is 35-52 min, over which Io moves 5-7 deg),
+matching the reference's SPICE ``abcorr='LT'`` convention; pass
+``apparent=False`` for the instantaneous geometric phase.
+
 Accuracy: ~0.2 deg for the Moon, ~1 deg for the Galilean moons (their
 neglected free eccentricities are < 0.01 and mutual-perturbation terms
 < 1 deg) — far inside the geometry tolerance of exosphere modelling (the
@@ -66,19 +72,10 @@ _LUNAR_MP = (134.9633964, 13.06499295)
 _LUNAR_D = (297.8501921, 12.19074912)
 
 
-def _days_since_j2000(time) -> float:
-    from nexoclom_tpu.solarsystem.planet_geometry import _J2000, _parse_time
-    return (_parse_time(time) - _J2000).total_seconds() / 86400.0
-
-
 def _planet_equation_of_center(time, planet) -> float:
     """nu - M (radians, wrapped to (-pi, pi]) of the parent planet."""
-    from nexoclom_tpu.solarsystem.planet_geometry import (
-        _J2000_ELEMENTS, mean_anomaly_at_time)
-    if planet.object not in _J2000_ELEMENTS:
-        raise NotImplementedError(
-            f'mean elements not tabulated for {planet.object}')
-    mean_anom = mean_anomaly_at_time(time, planet)
+    from nexoclom_tpu.solarsystem.planet_geometry import mean_anomaly_at_time
+    mean_anom = mean_anomaly_at_time(time, planet)   # raises for untabulated
     nu = true_anomaly_from_mean(mean_anom, planet.e)
     return (nu - mean_anom + math.pi) % (2.0 * math.pi) - math.pi
 
@@ -86,8 +83,9 @@ def _planet_equation_of_center(time, planet) -> float:
 def _lunar_inequalities(time, planet) -> float:
     """Principal elliptic term + evection + variation + annual equation
     for Earth's Moon (radians added to the mean longitude)."""
-    from nexoclom_tpu.solarsystem.planet_geometry import mean_anomaly_at_time
-    d = _days_since_j2000(time)
+    from nexoclom_tpu.solarsystem.planet_geometry import (
+        days_since_j2000, mean_anomaly_at_time)
+    d = days_since_j2000(time)
     mp = math.radians(_LUNAR_MP[0] + _LUNAR_MP[1] * d)    # Moon mean anomaly
     elong = math.radians(_LUNAR_D[0] + _LUNAR_D[1] * d)   # mean elongation
     m_sun = mean_anomaly_at_time(time, planet)            # Earth/Sun anomaly
@@ -98,14 +96,27 @@ def _lunar_inequalities(time, planet) -> float:
     return math.radians(deg)
 
 
-def moon_phase_at_time(time, planet, moon_name: str) -> float:
+LIGHT_SECONDS_PER_AU = 499.004784
+
+
+def moon_phase_at_time(time, planet, moon_name: str,
+                       apparent: bool = True) -> float:
     """Orbital phase ``phi`` (radians, [0, 2pi)) of ``moon_name`` at
     ``time`` in the engine's convention: measured from the planet's true
     anti-solar direction, increasing prograde (inputfiles.rst:72-77).
 
     ``time`` is a datetime or ISO string (UTC assumed when naive);
     ``planet`` is the parent SSObject or its name.
+
+    ``apparent=True`` (default) interprets ``time`` as an EARTH
+    observation timestamp and evaluates the configuration one light-travel
+    time earlier (Earth-Jupiter is 35-52 min, over which Io moves 5-7
+    deg) — matching the reference's SPICE convention (``abcorr='LT'``
+    throughout ``spice_routines.py``).  ``apparent=False`` gives the
+    instantaneous geometric phase.
     """
+    from nexoclom_tpu.solarsystem.planet_geometry import (
+        days_since_j2000, earth_distance_au)
     if isinstance(planet, str):
         planet = SSObject(planet)
     name = moon_name.title()
@@ -114,8 +125,15 @@ def moon_phase_at_time(time, planet, moon_name: str) -> float:
             f'no mean ephemeris tabulated for {moon_name}; give the phase '
             f'explicitly with geometry.phi instead of geometry.starttime '
             f'(tabulated: {", ".join(sorted(MOON_EPHEMERIDES))})')
+    days = days_since_j2000(time)
+    if apparent:
+        delay_s = earth_distance_au(time, planet) * LIGHT_SECONDS_PER_AU
+        days -= delay_s / 86400.0
+        from datetime import timedelta
+        from nexoclom_tpu.solarsystem.planet_geometry import parse_time
+        time = parse_time(time) - timedelta(seconds=delay_s)
     u0, udot = MOON_EPHEMERIDES[name]
-    phi = math.radians(u0 + udot * _days_since_j2000(time))
+    phi = math.radians(u0 + udot * days)
     phi -= _planet_equation_of_center(time, planet)
     if name == 'Moon':
         phi += _lunar_inequalities(time, planet)

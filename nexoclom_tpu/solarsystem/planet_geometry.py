@@ -37,13 +37,18 @@ _J2000_ELEMENTS = {
 _J2000 = datetime(2000, 1, 1, 11, 58, 56, tzinfo=timezone.utc)
 
 
-def _parse_time(time) -> datetime:
+def parse_time(time) -> datetime:
     if isinstance(time, datetime):
         return time if time.tzinfo else time.replace(tzinfo=timezone.utc)
     if isinstance(time, str):
         parsed = datetime.fromisoformat(time)
         return parsed if parsed.tzinfo else parsed.replace(tzinfo=timezone.utc)
     raise TypeError('time must be a datetime or ISO-format string')
+
+
+def days_since_j2000(time) -> float:
+    """Days elapsed since the J2000.0 epoch (UTC assumed when naive)."""
+    return (parse_time(time) - _J2000).total_seconds() / 86400.0
 
 
 def mean_anomaly_at_time(time, planet) -> float:
@@ -55,9 +60,8 @@ def mean_anomaly_at_time(time, planet) -> float:
             f'mean elements not tabulated for {planet.object}')
     L0, long_peri = _J2000_ELEMENTS[planet.object]
 
-    days = (_parse_time(time) - _J2000).total_seconds() / 86400.0
     mean_motion = 360.0 / planet.orbperiod                  # deg/day
-    mean_longitude = L0 + mean_motion * days
+    mean_longitude = L0 + mean_motion * days_since_j2000(time)
     return math.radians((mean_longitude - long_peri) % 360.0)
 
 
@@ -67,6 +71,30 @@ def true_anomaly_at_time(time, planet) -> float:
         planet = SSObject(planet)
     return true_anomaly_from_mean(mean_anomaly_at_time(time, planet),
                                   planet.e)
+
+
+def heliocentric_state(time, planet):
+    """(r_au, ecliptic_longitude_rad) of ``planet`` at ``time`` from the
+    mean elements — the pieces needed for Earth-planet distances."""
+    if isinstance(planet, str):
+        planet = SSObject(planet)
+    _, long_peri = _J2000_ELEMENTS[planet.object]
+    taa = true_anomaly_at_time(time, planet)
+    r, _ = planet_dist(planet, taa)
+    return r, (taa + math.radians(long_peri)) % (2.0 * math.pi)
+
+
+def earth_distance_au(time, planet) -> float:
+    """Earth-planet distance (AU) at ``time`` from the mean elements
+    (coplanar approximation; good to ~1% — used for light-time)."""
+    if isinstance(planet, str):
+        planet = SSObject(planet)
+    if planet.object == 'Earth':
+        return 0.0
+    r_e, lon_e = heliocentric_state(time, 'Earth')
+    r_p, lon_p = heliocentric_state(time, planet)
+    return math.sqrt(r_e * r_e + r_p * r_p
+                     - 2.0 * r_e * r_p * math.cos(lon_e - lon_p))
 
 
 def planet_geometry(time, planet):

@@ -57,9 +57,34 @@ def test_phase_advances_at_synodic_rate():
     from datetime import datetime, timedelta, timezone
     t0 = datetime(2026, 8, 16, tzinfo=timezone.utc)
     t1 = t0 + timedelta(days=360.0 / udot)
-    p0 = moon_phase_at_time(t0, 'Jupiter', 'Io')
-    p1 = moon_phase_at_time(t1, 'Jupiter', 'Io')
+    # geometric phases: the apparent correction drifts with the changing
+    # Earth-Jupiter distance and is tested separately
+    p0 = moon_phase_at_time(t0, 'Jupiter', 'Io', apparent=False)
+    p1 = moon_phase_at_time(t1, 'Jupiter', 'Io', apparent=False)
     assert abs((p1 - p0 + math.pi) % TWO_PI - math.pi) < math.radians(0.1)
+
+
+def test_light_time_correction():
+    """apparent=True (the default, matching the reference's SPICE
+    abcorr='LT') retards the configuration by the Earth-planet light
+    travel time: for Io that is 5-7 deg of orbital phase; for Earth's own
+    Moon it is ~0."""
+    from nexoclom_tpu.solarsystem.planet_geometry import earth_distance_au
+    t = '2026-08-16T00:00:00'
+    dist = earth_distance_au(t, 'Jupiter')
+    assert 3.9 < dist < 6.5                      # sanity: AU range
+    delay_days = dist * 499.004784 / 86400.0
+    geo = moon_phase_at_time(t, 'Jupiter', 'Io', apparent=False)
+    app = moon_phase_at_time(t, 'Jupiter', 'Io')
+    udot = math.radians(MOON_EPHEMERIDES['Io'][1])
+    expect = udot * delay_days
+    assert abs((geo - app + math.pi) % TWO_PI - math.pi
+               ) == pytest.approx(expect, rel=1e-2)
+    # Earth's Moon viewed from Earth: no correction
+    geo_m = moon_phase_at_time('2024-04-08T18:21:00', 'Earth', 'Moon',
+                               apparent=False)
+    app_m = moon_phase_at_time('2024-04-08T18:21:00', 'Earth', 'Moon')
+    assert abs(geo_m - app_m) < 1e-9
 
 
 def test_untabulated_moon_names_fallback():
