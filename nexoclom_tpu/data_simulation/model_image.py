@@ -245,3 +245,97 @@ class ModelImage(ModelResult):
             json.dump({'image': self.image.tolist(),
                        'xaxis': self.xaxis.tolist(),
                        'zaxis': self.zaxis.tolist()}, f)
+
+    def export_html(self, filename='image.html', log=True):
+        """Self-contained interactive HTML view — the role of the
+        reference's bokeh page (``ModelImage.display``,
+        ``ModelImage.py:276-365``) without the bokeh dependency: canvas
+        rendering with a hover readout of (x, z, value) and a log/linear
+        toggle, data embedded inline so the file works offline."""
+        if not filename.endswith('.html'):
+            raise TypeError('Not a valid file format')
+        unit = 'kR' if self.quantity == 'radiance' else 'atoms/cm2'
+        payload = json.dumps({
+            'image': np.asarray(self.image, np.float64).tolist(),
+            'xaxis': np.asarray(self.xaxis, np.float64).tolist(),
+            'zaxis': np.asarray(self.zaxis, np.float64).tolist(),
+            'label': (f'{self.inputs.options.species} {self.quantity} '
+                      f'({unit})'),
+            'radius_label': f'R_{self.origin.object}',
+            'log': bool(log)})
+        html = _IMAGE_HTML_TEMPLATE.replace('__PAYLOAD__', payload)
+        with open(filename, 'w') as f:
+            f.write(html)
+        return filename
+
+
+# 8-stop inferno approximation, linearly interpolated client-side
+_IMAGE_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>nexoclom_tpu image</title>
+<style>
+ body { font-family: sans-serif; background: #111; color: #ddd;
+        display: flex; flex-direction: column; align-items: center; }
+ #wrap { position: relative; }
+ canvas { image-rendering: pixelated; border: 1px solid #444; }
+ #readout { font: 13px monospace; margin: 8px; min-height: 1em; }
+ button { margin: 6px; }
+</style></head><body>
+<h3 id="title"></h3>
+<div id="wrap"><canvas id="c"></canvas></div>
+<div id="readout">&nbsp;</div>
+<button id="toggle"></button>
+<script>
+const D = __PAYLOAD__;
+const nx = D.xaxis.length, nz = D.zaxis.length;
+const STOPS = [[0,0,4],[40,11,84],[101,21,110],[159,42,99],
+               [212,72,66],[245,125,21],[250,193,39],[252,255,164]];
+function cmap(t) {
+  t = Math.min(Math.max(t, 0), 1) * (STOPS.length - 1);
+  const i = Math.min(Math.floor(t), STOPS.length - 2), f = t - i;
+  return STOPS[i].map((v, k) => Math.round(v + f * (STOPS[i+1][k] - v)));
+}
+let useLog = D.log;
+const canvas = document.getElementById('c');
+const scale = Math.max(1, Math.floor(700 / Math.max(nx, nz)));
+canvas.width = nx; canvas.height = nz;
+canvas.style.width = (nx * scale) + 'px';
+canvas.style.height = (nz * scale) + 'px';
+document.getElementById('title').textContent = D.label;
+function draw() {
+  let vmax = -Infinity, vminpos = Infinity;
+  for (const row of D.image) for (const v of row) {
+    if (v > vmax) vmax = v;
+    if (v > 0 && v < vminpos) vminpos = v;
+  }
+  if (!isFinite(vminpos)) { vminpos = 1; vmax = vmax || 1; }
+  const ctx = canvas.getContext('2d');
+  const img = ctx.createImageData(nx, nz);
+  for (let i = 0; i < nx; i++) for (let j = 0; j < nz; j++) {
+    const v = D.image[i][j];
+    let t;
+    if (useLog) t = v <= 0 ? 0 :
+      (Math.log(v) - Math.log(vminpos)) / (Math.log(vmax) - Math.log(vminpos) || 1);
+    else t = v / (vmax || 1);
+    const [r, g, b] = cmap(t);
+    const p = 4 * ((nz - 1 - j) * nx + i);   // z up
+    img.data[p] = r; img.data[p+1] = g; img.data[p+2] = b;
+    img.data[p+3] = 255;
+  }
+  ctx.putImageData(img, 0, 0);
+  document.getElementById('toggle').textContent =
+    useLog ? 'switch to linear scale' : 'switch to log scale';
+}
+document.getElementById('toggle').onclick = () => { useLog = !useLog; draw(); };
+canvas.onmousemove = (e) => {
+  const r = canvas.getBoundingClientRect();
+  const i = Math.floor((e.clientX - r.left) / r.width * nx);
+  const j = nz - 1 - Math.floor((e.clientY - r.top) / r.height * nz);
+  if (i < 0 || i >= nx || j < 0 || j >= nz) return;
+  document.getElementById('readout').textContent =
+    'x=' + D.xaxis[i].toFixed(2) + ' ' + D.radius_label +
+    '  z=' + D.zaxis[j].toFixed(2) + ' ' + D.radius_label +
+    '  value=' + D.image[i][j].toExponential(3);
+};
+draw();
+</script></body></html>
+"""

@@ -129,6 +129,17 @@ def test_model_image_display_and_export(use_ca_catalog, tmp_path):
     import json
     loaded = json.loads(out.read_text())
     assert np.allclose(np.array(loaded['image']), img.image)
+    # interactive HTML export (the reference's bokeh-page role): data
+    # embedded inline, self-contained
+    html = tmp_path / 'im.html'
+    assert img.export_html(str(html)) == str(html)
+    text = html.read_text()
+    payload = json.loads(text.split('const D = ', 1)[1].split(';\n', 1)[0])
+    assert np.allclose(np.array(payload['image']), img.image)
+    assert len(payload['xaxis']) == img.image.shape[0]
+    assert 'Ca column' in payload['label']
+    with pytest.raises(TypeError):
+        img.export_html(str(tmp_path / 'im.txt'))
 
 
 def test_model_density(use_ca_catalog):
