@@ -38,7 +38,14 @@ class ModelImage(ModelResult):
     def __init__(self, inputs, params, overwrite=False):
         super().__init__(inputs, params)
         self.type = 'image'
-        self.origin = inputs.geometry.planet
+        # quirk F26: params['origin'] selects the image center/unit body.
+        # The reference declares this (ModelImage.py:49-51) but its
+        # non-planet path calls transform_reference_frame, which exists
+        # nowhere (only a commented stub, SourceMap.py:89) — it crashes.
+        # Here any moon of the geometry works: coordinates are measured
+        # from the MOVING moon's center at each snapshot's time, in moon
+        # radii; occultation/shadow stay in the physical frame.
+        self.origin, self._origin_orbit = self._resolve_origin(inputs)
 
         dims = str(self.params.get('dims', '800,800')).split(',')
         self.dims = [int(dims[0]), int(dims[1])]
@@ -57,7 +64,8 @@ class ModelImage(ModelResult):
         self.zrange = [self.center[1] - self.width[1] / 2,
                        self.center[1] + self.width[1] / 2]
         scale = (self.width[0] / self.dims[0], self.width[1] / self.dims[1])
-        radius_cm = self.radius_km * CM_PER_KM
+        # pixel geometry in ORIGIN radii (= planet radii unless F26)
+        radius_cm = self.origin.radius * CM_PER_KM
         self.Apix = scale[0] * scale[1] * radius_cm ** 2   # cm^2
 
         self.xaxis = None
@@ -92,6 +100,29 @@ class ModelImage(ModelResult):
         self.zaxis = self.zrange[0] + dz * (np.arange(self.dims[1]) + 0.5)
 
     # ------------------------------------------------------------- geometry
+    def _resolve_origin(self, inputs):
+        """(origin SSObject, orbit params or None) from params['origin'].
+
+        For a moon origin returns ``(a_rp, omega, phi_obs)`` — enough to
+        place the moving moon at any snapshot time (quirk F26)."""
+        import math as _math
+
+        from nexoclom_tpu.utilities.exceptions import InputError
+        planet = inputs.geometry.planet
+        name = str(self.params.get('origin', planet.object)).title()
+        if name == planet.object:
+            return planet, None
+        moon = next((o for o in inputs.geometry.objects
+                     if o.object == name), None)
+        if moon is None:
+            raise InputError(
+                'ModelImage', f'origin {name!r} is not the planet or an '
+                f'object included in the geometry')
+        from nexoclom_tpu.initial_state.satellites import moon_phi
+        a_rp = moon.a / planet.radius
+        omega = 2.0 * _math.pi / (moon.orbperiod * 86400.0)
+        return moon, (a_rp, omega, moon_phi(inputs.geometry, name))
+
     def image_rotation(self) -> np.ndarray:
         """Sun-frame -> observer-frame rotation from the sub-observer point
         (``ModelImage.py:367-384``)."""
@@ -145,14 +176,31 @@ class ModelImage(ModelResult):
         weight = self.packet_weighting(frac, radvel, output.aplanet,
                                        out_of_shadow) / self.Apix
 
+        if self._origin_orbit is None:
+            pts_img = pts_obs
+        else:
+            # quirk F26: moon-centered image — subtract the MOVING moon's
+            # center at each snapshot's own time and rescale to moon radii
+            # (the occultation/shadow masks above stay in the physical
+            # frame).  Single phase source: ops.integrator.orbit_state.
+            from nexoclom_tpu.ops.integrator import orbit_state
+            a_rp, omega, phi_obs = self._origin_orbit
+            t = packets['time'].to_numpy(dtype=float)
+            cx, cy, _, _ = orbit_state(a_rp, omega, phi_obs - omega * t,
+                                       xp=np)
+            rel = pts_sun - np.stack(
+                [cx, cy, np.zeros_like(cx)], axis=1)
+            scale = self.origin.radius / self.radius_km
+            pts_img = (rel @ M.T) / scale
+
         image = np.asarray(histogram2d(
-            jnp.asarray(pts_obs[:, 0]), jnp.asarray(pts_obs[:, 2]),
+            jnp.asarray(pts_img[:, 0]), jnp.asarray(pts_img[:, 2]),
             jnp.asarray(weight),
             self.xrange[0], self.xrange[1], self.dims[0],
             self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
         packim = np.asarray(histogram2d(
-            jnp.asarray(pts_obs[:, 0]), jnp.asarray(pts_obs[:, 2]),
-            jnp.ones(len(pts_obs)),
+            jnp.asarray(pts_img[:, 0]), jnp.asarray(pts_img[:, 2]),
+            jnp.ones(len(pts_img)),
             self.xrange[0], self.xrange[1], self.dims[0],
             self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
 

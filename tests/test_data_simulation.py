@@ -354,3 +354,43 @@ def test_delete_files_selective(use_ca_catalog):
     assert n_after == n_before
     assert new_files[0] not in files3
     assert not os.path.exists(new_files[0])
+
+
+def test_moon_centered_image_f26():
+    """params['origin'] = a moon (quirk F26): the image is measured from
+    the MOVING moon's center in moon radii — the reference's origin
+    parameter crashes for any non-planet (transform_reference_frame does
+    not exist).  The young Io cloud is centered in the moon frame but
+    sits at Io's orbital position in the planet frame, and both frames
+    hold the same total atom count."""
+    inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+    inp.options.endtime = 1800.0
+    inp.options.step_size = 30.0
+    inp.run(300, seed=21)
+
+    moon_img = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',
+                                'width': '16,16', 'origin': 'Io'})
+    planet_img = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',
+                                  'width': '16,16'})
+    assert moon_img.origin.object == 'Io'
+    total_moon = moon_img.image.sum()
+    assert total_moon > 0
+    # centroid near the moon in the moon frame (R_Io)
+    wx = (moon_img.image.sum(axis=1) @ moon_img.xaxis) / total_moon
+    wz = (moon_img.image.sum(axis=0) @ moon_img.zaxis) / total_moon
+    assert abs(wx) < 3.0 and abs(wz) < 3.0
+    # planet frame: centroid at Io's orbital position (phi=1 ->
+    # x=-a sin 1, y=a cos 1; pole-on default view shows x and y)
+    a_io = 421800.0 / 71492.0
+    total_p = planet_img.image.sum()
+    px = (planet_img.image.sum(axis=1) @ planet_img.xaxis) / total_p
+    assert abs(px - (-a_io * np.sin(1.0))) < 1.0
+    # same cloud, same atoms: sum(column) x pixel area agrees across
+    # frames (both capture essentially the whole cloud)
+    atoms_moon = total_moon * moon_img.Apix
+    atoms_planet = total_p * planet_img.Apix
+    assert atoms_moon == pytest.approx(atoms_planet, rel=0.15)
+
+    from nexoclom_tpu.utilities.exceptions import InputError
+    with pytest.raises(InputError):
+        ModelImage(inp, {'quantity': 'column', 'origin': 'Ganymede'})
