@@ -29,6 +29,19 @@ or in-memory dict with
     z        (m,) optional height grid, planet radii, increasing
     rate_z   (m,) optional dimensionless vertical factor (g(z))
 
+or, for a NON-separable field (quirk F27),
+
+    rho      (n,) and z (m,) grids as above
+    rate2d   (n, m) rate at every (rho, z), 1/s
+
+A ``rate2d`` field is decomposed by truncated SVD into the smallest sum
+of separable terms ``sum_k f_k(rho) g_k(z)`` whose bilinear interpolant
+matches the table to ``rel_tol_2d`` of its maximum (default 1%, under
+the Monte-Carlo noise floor); each factor then compresses to a relu
+table like the separable case, so the device cost is K pairs of pure-FMA
+lookups and the evaluation stays gather-free.  The reconstructed sum is
+clamped at 0 on device (SVD truncation can undershoot slightly).
+
 End clamping follows np.interp: outside the grids the END VALUES hold, so
 profiles should taper to 0 at their edges to vanish far away.  Rates are
 applied everywhere (electrons are not blocked by the planet's shadow),
@@ -49,7 +62,8 @@ def load_loss_profile(source):
 
     ``source`` is a file path (.pkl / .npz) or an in-memory dict.
     Returns ``(rho, rate, z, rate_z)`` as float64 arrays; ``z``/``rate_z``
-    are None for radial-only profiles.
+    are None for radial-only profiles.  For a non-separable field (quirk
+    F27) returns ``(rho, None, z, rate2d)`` with ``rate2d`` 2-D.
     """
     if isinstance(source, dict):
         data = source
@@ -92,6 +106,30 @@ def load_loss_profile(source):
                              f'{ykey} must be non-negative')
         return x, y
 
+    if 'rate2d' in data:
+        # non-separable field (quirk F27)
+        def axis(key):
+            x = np.asarray(data[key], np.float64).ravel()
+            if len(x) < 2 or not np.all(np.diff(x) > 0):
+                raise InputError('load_loss_profile',
+                                 f'{key} must be strictly increasing with '
+                                 f'>= 2 points')
+            return x
+        rho, z = axis('rho'), axis('z')
+        rate2d = np.asarray(data['rate2d'], np.float64)
+        if rate2d.shape != (len(rho), len(z)):
+            raise InputError('load_loss_profile',
+                             f'rate2d must be (len(rho), len(z)) = '
+                             f'({len(rho)}, {len(z)}), got {rate2d.shape}')
+        if not np.isfinite(rate2d).all():
+            raise InputError('load_loss_profile',
+                             'rate2d contains non-finite values')
+        if (rate2d < 0).any():
+            raise InputError('load_loss_profile', 'rate2d must be >= 0')
+        if rho[0] < 0:
+            raise InputError('load_loss_profile', 'rho must be >= 0')
+        return rho, None, z, rate2d
+
     rho, rate = grid_pair('rho', 'rate', required=True)
     z, rate_z = grid_pair('z', 'rate_z', required=False)
     if rho[0] < 0:
@@ -99,12 +137,60 @@ def load_loss_profile(source):
     return rho, rate, z, rate_z
 
 
-def profile_tables(source, dtype=np.float64, rel_tol: float = 1e-3):
-    """Compressed device tables ``(rho_pl, z_pl)`` for the engine;
-    ``z_pl`` is None for radial-only profiles (g == 1)."""
+def decompose_rank(rho, z, rate2d, rel_tol_2d: float = 1e-2,
+                   max_rank: int = 8):
+    """Truncated-SVD separable decomposition of a 2-D rate field.
+
+    Returns ``[(f_k, g_k), ...]`` (1-D arrays over rho / z) with the
+    smallest K such that ``max|rate2d - sum_k outer(f_k, g_k)|`` is at
+    most ``rel_tol_2d * max(rate2d)``.  Raises if ``max_rank`` terms
+    cannot meet the tolerance (the field is too rough — refine the grid
+    or loosen the tolerance)."""
+    u_mat, svals, vt_mat = np.linalg.svd(rate2d, full_matrices=False)
+    peak = float(rate2d.max()) or 1.0
+    tol = rel_tol_2d * peak
+    limit = min(max_rank, len(svals))
+    for k in range(1, limit + 1):
+        approx = (u_mat[:, :k] * svals[:k]) @ vt_mat[:k]
+        err = float(np.abs(rate2d - approx).max())
+        if err <= tol:
+            break
+    else:
+        raise InputError(
+            'decompose_rank',
+            f'rate2d needs more than {max_rank} separable terms to reach '
+            f'{rel_tol_2d:.0e} of max (residual {err / peak:.1e}); smooth '
+            f'the field or loosen the tolerance')
+    terms = []
+    for i in range(k):
+        f_k = u_mat[:, i] * svals[i]
+        g_k = vt_mat[i]
+        if g_k.max() < -g_k.min():            # sign convention: g peaks > 0
+            f_k, g_k = -f_k, -g_k
+        terms.append((f_k, g_k))
+    return terms
+
+
+def profile_tables(source, dtype=np.float64, rel_tol: float = 1e-3,
+                   rel_tol_2d: float = 1e-2):
+    """Compressed device tables for the engine.
+
+    Separable profiles return ``(rho_pl, z_pl, ())`` with ``z_pl`` None
+    for radial-only (g == 1).  Non-separable ``rate2d`` profiles return
+    ``(None, None, terms)`` with ``terms`` a tuple of ``(f_pl, g_pl)``
+    relu-table pairs (quirk F27)."""
     from nexoclom_tpu.ops.pltable import compress_points
     rho, rate, z, rate_z = load_loss_profile(source)
+    if rate is None:
+        pairs = []
+        for f_k, g_k in decompose_rank(rho, z, rate_z,
+                                       rel_tol_2d=rel_tol_2d):
+            pairs.append((compress_points(rho, f_k, rel_tol=rel_tol,
+                                          dtype=dtype),
+                          compress_points(z, g_k, rel_tol=rel_tol,
+                                          dtype=dtype)))
+        return None, None, tuple(pairs)
     rho_pl = compress_points(rho, rate, rel_tol=rel_tol, dtype=dtype)
     z_pl = (compress_points(z, rate_z, rel_tol=rel_tol, dtype=dtype)
             if z is not None else None)
-    return rho_pl, z_pl
+    return rho_pl, z_pl, ()

@@ -158,6 +158,10 @@ class ForceTable(NamedTuple):
     # profile rate(rho, z) = f(rho) g(z), each a compressed relu table
     eimp_rho_pl: PLTable = None      # f(rho), 1/s vs cylindrical radius
     eimp_z_pl: PLTable = None        # g(z), dimensionless vs height
+    # non-separable field (quirk F27): truncated-SVD decomposition
+    # rate = max(0, sum_k f_k(rho) g_k(z)) as (f_pl, g_pl) pairs; takes
+    # precedence over the single separable pair when non-empty
+    eimp_pl_terms: tuple = ()
     # tilted co-rotating torus axis (quirk F25): the profile's symmetry
     # axis leans eimp_tilt from +z toward the azimuth (orbit_state
     # convention) eimp_tilt_phase - eimp_tilt_omega * t
@@ -364,9 +368,16 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         else:
             rho_cyl = jnp.sqrt(x * x + y * y)
             z_c = z
-        rate = pl_lookup(forces.eimp_rho_pl, rho_cyl)
-        if forces.eimp_z_pl is not None:
-            rate = rate * pl_lookup(forces.eimp_z_pl, z_c)
+        if forces.eimp_pl_terms:
+            # quirk F27: non-separable field as a sum of separable terms;
+            # clamp at 0 (SVD truncation can undershoot slightly)
+            rate = sum(pl_lookup(f_pl, rho_cyl) * pl_lookup(g_pl, z_c)
+                       for f_pl, g_pl in forces.eimp_pl_terms)
+            rate = jnp.maximum(rate, 0.0)
+        else:
+            rate = pl_lookup(forces.eimp_rho_pl, rho_cyl)
+            if forces.eimp_z_pl is not None:
+                rate = rate * pl_lookup(forces.eimp_z_pl, z_c)
         ion = ion + rate
 
     return ax, ay, az, ion

@@ -178,9 +178,10 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
         # units (planet radii, 1/s) so no conversion
         from nexoclom_tpu.initial_state.loss_profile import profile_tables
         np_dtype = np.float64 if dtype == jnp.float64 else np.float32
-        rho_pl, z_pl = profile_tables(profile, dtype=np_dtype,
-                                      rel_tol=pl_tol)
-        table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl)
+        rho_pl, z_pl, terms = profile_tables(profile, dtype=np_dtype,
+                                             rel_tol=pl_tol)
+        table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl,
+                               eimp_pl_terms=terms)
         tilt_deg = getattr(options, 'eimp_tilt', 0.0)
         if tilt_deg:
             # quirk F25: centrifugal-equator tilt co-rotating with the

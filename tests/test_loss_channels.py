@@ -349,3 +349,107 @@ def test_tilted_torus_end_to_end(tmp_path):
     # a 30-deg tilt lifts the thin (|z|<1) torus off most of the orbital
     # plane: packets near Io see less of it
     assert tilted > flat
+
+
+def test_nonseparable_rate2d_decomposition():
+    """Quirk F27: a genuinely non-separable rate2d (two blobs at
+    different (rho, z)) decomposes into few separable terms whose sum
+    matches the table within the tolerance; a rank-1 field recovers a
+    single term exactly."""
+    from nexoclom_tpu.initial_state.loss_profile import (decompose_rank,
+                                                         profile_tables)
+    rho = np.linspace(0.0, 10.0, 41)
+    z = np.linspace(-3.0, 3.0, 31)
+    blob = lambda r0, z0: (np.exp(-0.5 * ((rho[:, None] - r0) / 1.0) ** 2)
+                           * np.exp(-0.5 * ((z[None, :] - z0) / 0.8) ** 2))
+    rate2d = 3e-4 * blob(5.9, 1.0) + 1e-4 * blob(3.0, -1.5)
+    terms = decompose_rank(rho, z, rate2d, rel_tol_2d=1e-2)
+    assert 2 <= len(terms) <= 4
+    approx = sum(np.outer(f, g) for f, g in terms)
+    assert np.abs(rate2d - approx).max() <= 1e-2 * rate2d.max()
+
+    # rank-1 input -> exactly one term, machine-precision reconstruction
+    one = decompose_rank(rho, z, 2e-4 * blob(5.0, 0.0), rel_tol_2d=1e-2)
+    assert len(one) == 1
+
+    # loader validation
+    from nexoclom_tpu.initial_state.loss_profile import load_loss_profile
+    with pytest.raises(InputError):
+        load_loss_profile({'rho': rho, 'z': z, 'rate2d': rate2d[:-1]})
+    with pytest.raises(InputError):
+        load_loss_profile({'rho': rho, 'z': z, 'rate2d': -rate2d})
+    rho_pl, z_pl, pairs = profile_tables(
+        {'rho': rho, 'z': z, 'rate2d': rate2d}, rel_tol=0)
+    assert rho_pl is None and z_pl is None and len(pairs) == len(terms)
+
+
+def test_nonseparable_rate2d_engine_decay():
+    """The engine's decay under a rate2d field matches exp(-rate * T)
+    with rate from bilinear interpolation of the table, within the SVD
+    truncation tolerance."""
+    from scipy.interpolate import RegularGridInterpolator
+    from nexoclom_tpu.initial_state.loss_profile import profile_tables
+    rho = np.linspace(0.0, 10.0, 41)
+    z = np.linspace(-3.0, 3.0, 31)
+    blob = lambda r0, z0: (np.exp(-0.5 * ((rho[:, None] - r0) / 1.0) ** 2)
+                           * np.exp(-0.5 * ((z[None, :] - z0) / 0.8) ** 2))
+    rate2d = 3e-4 * blob(5.9, 1.0) + 1e-4 * blob(3.0, -1.5)
+    _, _, pairs = profile_tables({'rho': rho, 'z': z, 'rate2d': rate2d},
+                                 rel_tol=0, rel_tol_2d=1e-3)
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0), eimp_pl_terms=pairs)
+    positions = np.array([[0.0, -5.9, 1.0],     # first blob peak
+                          [3.0, 0.0, -1.5],     # second blob peak
+                          [0.0, -4.5, 0.0],     # between the blobs
+                          [0.0, -9.9, 2.9]])    # far corner, ~0 rate
+    state0 = PacketState(
+        t=jnp.full(4, 1e9), x=jnp.asarray(positions[:, 0]),
+        y=jnp.asarray(positions[:, 1]), z=jnp.asarray(positions[:, 2]),
+        vx=jnp.zeros(4), vy=jnp.zeros(4), vz=jnp.zeros(4),
+        frac=jnp.ones(4), lossfrac=jnp.zeros(4))
+    h, nsteps = 50.0, 21
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(h), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    T = h * (nsteps - 1)
+    interp = RegularGridInterpolator((rho, z), rate2d)
+    rho_c = np.hypot(positions[:, 0], positions[:, 1])
+    expected = interp(np.stack([rho_c, positions[:, 2]], axis=1))
+    for i in range(4):
+        assert float(final.frac[i]) == pytest.approx(
+            math.exp(-expected[i] * T), rel=3e-3), i
+
+
+def test_nonseparable_rate2d_end_to_end(tmp_path):
+    """rate2d through Input -> Output, combined with the tilt (F25+F27):
+    a blob field pinned near Io's orbit drains an Io source."""
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    rho = np.linspace(0.0, 12.0, 25)
+    z = np.linspace(-3.0, 3.0, 13)
+    rate2d = (5e-4 * np.exp(-0.5 * ((rho[:, None] - 5.9) / 1.0) ** 2)
+              * np.exp(-0.5 * (z[None, :] / 1.0) ** 2))
+    path = str(tmp_path / 'torus2d.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump({'rho': rho, 'z': z, 'rate2d': rate2d}, f)
+
+    def run(extra):
+        inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+        inp.options.endtime = 3600.0
+        inp.options.step_size = 30.0
+        inp.options.lifetime = -1e30
+        for key, value in extra.items():
+            setattr(inp.options, key, value)
+        out = Output(inp, 128, seed=17, compress=False)
+        return out.X.groupby('Index').tail(1).frac.mean()
+
+    plain = run({})
+    torus = run({'eimp_profile': path})
+    tilted = run({'eimp_profile': path, 'eimp_tilt': 30.0})
+    assert 0 < torus < plain * 0.8
+    assert 0 < tilted != torus
