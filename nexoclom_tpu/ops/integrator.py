@@ -33,6 +33,7 @@ bounce (the reference's adaptive path asserts it unsupported).
 """
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
@@ -817,6 +818,78 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
     if return_h:
         ret = ret + (out[1],)
     return ret
+
+
+def _content_key(tree):
+    """Hashable digest of a pytree's array contents (for the baked-driver
+    compile cache)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        parts.append((arr.shape, str(arr.dtype),
+                      hashlib.sha1(np.ascontiguousarray(arr)
+                                   .tobytes()).hexdigest()))
+    return tuple(parts)
+
+
+_BAKED_ADAPTIVE_CACHE: dict = {}
+_BAKED_ADAPTIVE_CACHE_MAX = 16
+
+
+def adaptive_step_driver_baked(state0: PacketState, spec: EngineSpec,
+                               forces: ForceTable,
+                               surface: Optional[SurfaceTable],
+                               resolution, outeredge, radius_km, key,
+                               initial_step=1000.0,
+                               max_iterations: int = 100000,
+                               collect_stats: bool = False,
+                               inner_steps: int = 1,
+                               return_h: bool = False):
+    """:func:`adaptive_step_driver` with the physics tables and control
+    scalars baked into the executable as COMPILE-TIME CONSTANTS.
+
+    On axon v5e the while-loop runs 4x slower when its loop-invariant
+    inputs (ForceTable/SurfaceTable/scalars) arrive as jit ARGUMENTS
+    instead of embedded constants — measured 8.45 vs 2.15 ms/iteration at
+    1M lanes over a full 2899-iteration run, identical results
+    (docs/scaling.md, 2026-08).  The constant-step scan shows NO such
+    gap, so only the adaptive driver gets the baked variant.
+
+    Each distinct physics configuration compiles once (keyed on the table
+    CONTENTS; persistent-cached across processes like every other engine
+    graph).  The packet state and the RNG key stay arguments — new seeds
+    and batches of the same shape do not recompile.  Per-packet
+    ``initial_step`` arrays (the compacting orchestrator) also stay
+    arguments."""
+    stepper_args = ()
+    if np.ndim(initial_step) == 0:
+        h_kind = ('scalar', float(initial_step))
+    else:
+        h_kind = ('array',)
+        stepper_args = (initial_step,)
+    cache_key = (spec, _content_key(forces), _content_key(surface),
+                 float(resolution), float(outeredge), float(radius_km),
+                 h_kind, max_iterations, collect_stats, inner_steps,
+                 return_h)
+    fn = _BAKED_ADAPTIVE_CACHE.get(cache_key)
+    if fn is None:
+        if len(_BAKED_ADAPTIVE_CACHE) >= _BAKED_ADAPTIVE_CACHE_MAX:
+            _BAKED_ADAPTIVE_CACHE.pop(next(iter(_BAKED_ADAPTIVE_CACHE)))
+        if h_kind[0] == 'scalar':
+            fn = jax.jit(lambda s, k: adaptive_step_driver(
+                s, spec, forces, surface, resolution, outeredge, radius_km,
+                k, initial_step=initial_step,
+                max_iterations=max_iterations, collect_stats=collect_stats,
+                inner_steps=inner_steps, return_h=return_h))
+        else:
+            fn = jax.jit(lambda s, k, h0: adaptive_step_driver(
+                s, spec, forces, surface, resolution, outeredge, radius_km,
+                k, initial_step=h0,
+                max_iterations=max_iterations, collect_stats=collect_stats,
+                inner_steps=inner_steps, return_h=return_h))
+        _BAKED_ADAPTIVE_CACHE[cache_key] = fn
+    return fn(state0, key, *stepper_args)
 
 
 def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,

@@ -44,7 +44,7 @@ def main():
     import numpy as np
     from nexoclom_tpu.initial_state import Input
     from nexoclom_tpu.initial_state.sampling import build_initial_state
-    from nexoclom_tpu.ops.integrator import (adaptive_step_driver,
+    from nexoclom_tpu.ops.integrator import (adaptive_step_driver_baked,
                                              packet_state_from_dict)
     from nexoclom_tpu.particle_tracking.output import (
         build_force_table, build_surface_table, engine_spec_from_inputs)
@@ -70,7 +70,7 @@ def main():
     x0 = build_initial_state(inp, n, seed=7, dtype=dtype)
     state0 = packet_state_from_dict(x0)
     key = jax.random.PRNGKey(99)
-    run = lambda: adaptive_step_driver(
+    run = lambda: adaptive_step_driver_baked(
         state0, spec, forces, surface, jnp.asarray(args.resolution, dtype),
         jnp.asarray(inp.options.outeredge, dtype),
         jnp.asarray(radius_km, dtype), key, collect_stats=True,

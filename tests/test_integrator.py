@@ -370,3 +370,31 @@ def test_adaptive_return_h_and_array_initial_step():
         np.testing.assert_allclose(np.asarray(getattr(final_2, f)),
                                    np.asarray(getattr(final_1, f)),
                                    rtol=1e-12, atol=1e-12, err_msg=f)
+
+
+def test_baked_adaptive_matches_plain():
+    """adaptive_step_driver_baked (tables as compile-time constants — 4x
+    on the TPU while loop) is bit-identical to the argument-passing
+    driver, and its compile cache keys on table CONTENTS."""
+    from nexoclom_tpu.ops.integrator import (adaptive_step_driver,
+                                             adaptive_step_driver_baked,
+                                             _BAKED_ADAPTIVE_CACHE)
+    state0 = make_state(n=64, vmin=2.0, vmax=6.0, endtime=2000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, jnp.asarray(1e-4),
+            jnp.asarray(1e30), jnp.asarray(RADIUS_KM), KEY)
+    plain, it_p = adaptive_step_driver(state0, *args)
+    baked, it_b = adaptive_step_driver_baked(state0, *args)
+    assert int(it_p) == int(it_b)
+    for leaf_p, leaf_b in zip(plain, baked):
+        np.testing.assert_array_equal(np.asarray(leaf_p),
+                                      np.asarray(leaf_b))
+    # same physics -> cache hit; different GM -> new entry
+    n_entries = len(_BAKED_ADAPTIVE_CACHE)
+    adaptive_step_driver_baked(state0, *args)
+    assert len(_BAKED_ADAPTIVE_CACHE) == n_entries
+    other = (GRAVITY_SPEC,
+             gravity_forces()._replace(gm=jnp.asarray(GM_MERCURY * 1.1)),
+             None, jnp.asarray(1e-4), jnp.asarray(1e30),
+             jnp.asarray(RADIUS_KM), KEY)
+    adaptive_step_driver_baked(state0, *other)
+    assert len(_BAKED_ADAPTIVE_CACHE) == n_entries + 1
