@@ -953,7 +953,10 @@ def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,
     final = state0
     while total_iters < max_total_iterations:
         seg_key = jax.random.fold_in(key, seg_i)
-        final, iters, h_out = adaptive_step_driver(
+        # baked variant: same 4x while-iteration win; per-packet h stays
+        # an argument, so only distinct batch SHAPES compile (which the
+        # segmented orchestrator pays under the plain jit too)
+        final, iters, h_out = adaptive_step_driver_baked(
             state, spec, forces, surface, resolution, outeredge, radius_km,
             seg_key, initial_step=h, max_iterations=segment, return_h=True)
         total_iters += int(iters)
