@@ -76,13 +76,15 @@ def main():
 
     img = np.asarray(image.image)
     x = np.asarray(image.xaxis)
-    sunward = img[x < -2.0].sum()
+    # the rotation to this vantage maps the anti-sunward +y axis onto
+    # POSITIVE sky-plane x (verified empirically): the tail is at x > 0
     tail = img[x > 2.0].sum()
-    lo, hi = sorted((sunward, tail))
-    ratio = f'{hi / lo:.1f}x' if lo > 0 else 'all of it (no sunward signal)'
-    print(f'radiance beyond 2 R_M: one side {lo:.3e}, other {hi:.3e} '
-          f'-> asymmetry {ratio} (the Na tail)')
-    assert hi > 3 * lo, 'expected a pronounced anti-sunward tail'
+    sunward = img[x < -2.0].sum()
+    ratio = (f'{tail / sunward:.1f}x' if sunward > 0
+             else 'all of it (no sunward signal)')
+    print(f'radiance beyond 2 R_M: sunward {sunward:.3e}, anti-sunward '
+          f'{tail:.3e} -> tail asymmetry {ratio}')
+    assert tail > 3 * sunward, 'expected a pronounced anti-sunward tail'
     print('OK')
 
 

@@ -105,8 +105,6 @@ class ModelImage(ModelResult):
 
         For a moon origin returns ``(a_rp, omega, phi_obs)`` — enough to
         place the moving moon at any snapshot time (quirk F26)."""
-        import math as _math
-
         from nexoclom_tpu.utilities.exceptions import InputError
         planet = inputs.geometry.planet
         name = str(self.params.get('origin', planet.object)).title()
@@ -118,9 +116,9 @@ class ModelImage(ModelResult):
             raise InputError(
                 'ModelImage', f'origin {name!r} is not the planet or an '
                 f'object included in the geometry')
-        from nexoclom_tpu.initial_state.satellites import moon_phi
-        a_rp = moon.a / planet.radius
-        omega = 2.0 * _math.pi / (moon.orbperiod * 86400.0)
+        from nexoclom_tpu.initial_state.satellites import (moon_phi,
+                                                           orbit_params)
+        a_rp, omega = orbit_params(planet, moon)
         return moon, (a_rp, omega, moon_phi(inputs.geometry, name))
 
     def image_rotation(self) -> np.ndarray:
@@ -156,19 +154,42 @@ class ModelImage(ModelResult):
 
         geometry = self.inputs.geometry
         if geometry.startpoint != geometry.planet.object:
-            # satellite runs: included moons (at their observation phases)
-            # occult packets toward the observer and shadow them from the
-            # sun, consistently with the LOS and fused-image pipelines
-            from nexoclom_tpu.initial_state.satellites import moon_occultors
-            for c, r in moon_occultors(geometry):
-                c_obs = M @ c
-                behind = (((pts_obs[:, 0] - c_obs[0]) ** 2 +
-                           (pts_obs[:, 2] - c_obs[2]) ** 2 < r * r) &
-                          (pts_obs[:, 1] > c_obs[1]))
+            n_rows = len(pts_sun)
+            if self._origin_orbit is None:
+                # planet-framed satellite images: included moons at their
+                # observation phases — the convention shared with the LOS
+                # and fused-image pipelines (each history row is read as
+                # an observation-time sample of the steady-state cloud)
+                from nexoclom_tpu.initial_state.satellites import (
+                    moon_occultors)
+                moon_list = [(np.broadcast_to(c, (n_rows, 3)), r)
+                             for c, r in moon_occultors(geometry)]
+            else:
+                # F26 moon-centered frame: the frame follows each
+                # snapshot's own configuration, so the occulting moons
+                # move with it too (phi_obs - omega * t per row) — an
+                # atom sitting behind the moon in the relative frame is
+                # masked where the moon actually is in that snapshot
+                from nexoclom_tpu.initial_state.satellites import (
+                    moon_occultor_orbits)
+                from nexoclom_tpu.ops.integrator import orbit_state
+                t_rows = packets['time'].to_numpy(dtype=float)
+                moon_list = []
+                for a_rp, omega, phi_obs, r in moon_occultor_orbits(
+                        geometry):
+                    cx, cy, _, _ = orbit_state(
+                        a_rp, omega, phi_obs - omega * t_rows, xp=np)
+                    moon_list.append(
+                        (np.stack([cx, cy, np.zeros_like(cx)], axis=1), r))
+            for c, r in moon_list:
+                c_obs = c @ M.T
+                behind = (((pts_obs[:, 0] - c_obs[:, 0]) ** 2 +
+                           (pts_obs[:, 2] - c_obs[:, 2]) ** 2 < r * r) &
+                          (pts_obs[:, 1] > c_obs[:, 1]))
                 inview &= ~behind
-                shadowed = (((pts_sun[:, 0] - c[0]) ** 2 +
-                             (pts_sun[:, 2] - c[2]) ** 2 < r * r) &
-                            (pts_sun[:, 1] > c[1]))
+                shadowed = (((pts_sun[:, 0] - c[:, 0]) ** 2 +
+                             (pts_sun[:, 2] - c[:, 2]) ** 2 < r * r) &
+                            (pts_sun[:, 1] > c[:, 1]))
                 out_of_shadow &= ~shadowed
 
         frac = packets['frac'].to_numpy() * inview

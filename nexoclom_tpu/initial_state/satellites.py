@@ -66,6 +66,14 @@ def moon_phi(geometry, name: str) -> float:
     return float(phi[order.index(name)])
 
 
+def orbit_params(planet, moon):
+    """(a_rp, omega): the moon's circular-orbit radius in planet radii and
+    angular rate in rad/s — THE single source of these conversions
+    (``moon.a`` is km for moons, ``orbperiod`` days)."""
+    return (moon.a / planet.radius,
+            2.0 * math.pi / (moon.orbperiod * 86400.0))
+
+
 def satellite_orbit(planet, moon, phi: float):
     """Moon center position (R_planet) and orbital velocity (R_planet/s)
     in the solar-fixed model frame at phase ``phi``.
@@ -75,8 +83,7 @@ def satellite_orbit(planet, moon, phi: float):
     superior conjunction, pi/2 = dawn terminator, prograde).
     """
     from nexoclom_tpu.ops.integrator import orbit_state
-    a_rp = moon.a / planet.radius           # moon.a is km for moons
-    omega = 2.0 * math.pi / (moon.orbperiod * 86400.0)
+    a_rp, omega = orbit_params(planet, moon)
     cx, cy, vx, vy = orbit_state(a_rp, omega, phi, xp=np)
     return np.array([cx, cy, 0.0]), np.array([vx, vy, 0.0])
 
@@ -94,8 +101,7 @@ def satellite_params(geometry):
         moon = SSObject(name)
     phi = moon_phi(geometry, name)
     planet = geometry.planet
-    a_rp = moon.a / planet.radius
-    omega = 2.0 * math.pi / (moon.orbperiod * 86400.0)
+    a_rp, omega = orbit_params(planet, moon)
     gm_rp3 = moon.GM / (planet.radius * 1000.0) ** 3
     return (a_rp, omega, phi, moon.radius / planet.radius, gm_rp3)
 
@@ -132,6 +138,22 @@ def moon_occultors(geometry):
         center, _ = satellite_orbit(planet, moon,
                                     moon_phi(geometry, moon.object))
         out.append((center, moon.radius / planet.radius))
+    return out
+
+
+def moon_occultor_orbits(geometry):
+    """Orbit parameters ``(a_rp, omega, phi_obs, radius_rp)`` of every
+    non-planet object — for observables that place each occulting moon at
+    a SNAPSHOT's own time (phi_obs - omega * t), e.g. the moon-centered
+    image frame (quirk F26)."""
+    planet = geometry.planet
+    out = []
+    for moon in geometry.objects:
+        if moon.object == planet.object:
+            continue
+        a_rp, omega = orbit_params(planet, moon)
+        out.append((a_rp, omega, moon_phi(geometry, moon.object),
+                    moon.radius / planet.radius))
     return out
 
 

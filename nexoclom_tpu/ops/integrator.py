@@ -686,9 +686,6 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
 @partial(jax.jit, static_argnames=('spec', 'max_iterations',
                                    'collect_stats', 'inner_steps',
                                    'return_h'))
-@partial(jax.jit, static_argnames=('spec', 'max_iterations',
-                                   'collect_stats', 'inner_steps',
-                                   'return_h'))
 def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
                          forces: ForceTable, surface: Optional[SurfaceTable],
                          resolution, outeredge, radius_km, key,
@@ -698,10 +695,11 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
     """Adaptive integration as one ``lax.while_loop`` with per-packet step
     sizes and lockstep predication.
 
-    Jitted as a whole (like the constant-step driver): calling the bare
-    while_loop eagerly measured 4x slower per iteration on axon v5e
-    (8.6 vs 2.1 ms/iter at 1M lanes, 2026-08) — the loop must live
-    inside one compiled computation.
+    Prefer :func:`adaptive_step_driver_baked` on TPU: with the tables
+    passed as ARGUMENTS this loop runs 4x slower per iteration on axon
+    v5e than with them baked as compile-time constants (8.45 vs 2.15
+    ms/iter at 1M lanes, 2026-08; the constant-step scan shows no such
+    gap).
 
     Error-control parity with ``Output.py:221-346``; see module docstring.
     Returns ``(final_state, iterations)``, or with

@@ -78,6 +78,9 @@ def heliocentric_state(time, planet):
     mean elements — the pieces needed for Earth-planet distances."""
     if isinstance(planet, str):
         planet = SSObject(planet)
+    if planet.object not in _J2000_ELEMENTS:
+        raise NotImplementedError(
+            f'mean elements not tabulated for {planet.object}')
     _, long_peri = _J2000_ELEMENTS[planet.object]
     taa = true_anomaly_at_time(time, planet)
     r, _ = planet_dist(planet, taa)

@@ -388,7 +388,10 @@ def test_baked_adaptive_matches_plain():
     for leaf_p, leaf_b in zip(plain, baked):
         np.testing.assert_array_equal(np.asarray(leaf_p),
                                       np.asarray(leaf_b))
-    # same physics -> cache hit; different GM -> new entry
+    # same physics -> cache hit; different GM -> new entry (guard the
+    # growth assertions against the FIFO cap: earlier adaptive runs in
+    # this process may already fill the cache)
+    from nexoclom_tpu.ops.integrator import _BAKED_ADAPTIVE_CACHE_MAX
     n_entries = len(_BAKED_ADAPTIVE_CACHE)
     adaptive_step_driver_baked(state0, *args)
     assert len(_BAKED_ADAPTIVE_CACHE) == n_entries
@@ -397,4 +400,5 @@ def test_baked_adaptive_matches_plain():
              None, jnp.asarray(1e-4), jnp.asarray(1e30),
              jnp.asarray(RADIUS_KM), KEY)
     adaptive_step_driver_baked(state0, *other)
-    assert len(_BAKED_ADAPTIVE_CACHE) == n_entries + 1
+    if n_entries < _BAKED_ADAPTIVE_CACHE_MAX:
+        assert len(_BAKED_ADAPTIVE_CACHE) == n_entries + 1
