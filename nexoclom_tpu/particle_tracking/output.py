@@ -346,12 +346,15 @@ class Output:
             self.X = self._assemble_history(state0, history)
         else:
             # baked variant: tables as compile-time constants — 4x faster
-            # while-loop iterations on axon v5e (ops/integrator.py)
+            # while-loop iterations on axon v5e (ops/integrator.py).
+            # inner_steps=4 amortises the per-iteration cond (another
+            # +23% measured); trajectories are identical, the loop can
+            # only overrun by up to 3 all-dead iterations
             final, iterations = adaptive_step_driver_baked(
                 state0, spec, forces, surface,
                 jnp.asarray(options.resolution, dtype),
                 jnp.asarray(options.outeredge, dtype),
-                jnp.asarray(radius_km, dtype), run_key)
+                jnp.asarray(radius_km, dtype), run_key, inner_steps=4)
             self.X = self._assemble_final(final)
 
         self.save()
