@@ -34,6 +34,20 @@ or, for a NON-separable field (quirk F27),
     rho      (n,) and z (m,) grids as above
     rate2d   (n, m) rate at every (rho, z), 1/s
 
+Either form may add a LONGITUDE-STRUCTURED co-rotating factor (quirk
+F28) — the System III brightness modulation of a real torus:
+
+    phi       (p,) azimuth grid over [0, 2 pi], increasing, and
+    rate_phi  (p,) dimensionless factor h(phi), periodic
+              (h[0] == h[-1] required; mean ~1 keeps rate2d calibrated)
+
+On device the packet's System III longitude is phi_sys =
+azimuth - phase + omega_rot * t (azimuth about the SPIN axis in the
+orbit_state convention, co-rotating at ``options.eimp_tilt_period`` or
+the planet's sidereal rotation; ``options.eimp_phi_phase`` gives the
+longitude origin's azimuth at the observation time), and the factor is
+one periodic relu-table lookup — still gather-free.
+
 A ``rate2d`` field is decomposed by truncated SVD into the smallest sum
 of separable terms ``sum_k f_k(rho) g_k(z)`` whose bilinear interpolant
 matches the table to ``rel_tol_2d`` of its maximum (default 1%, under
@@ -61,9 +75,11 @@ def load_loss_profile(source):
     """Load and validate a loss profile.
 
     ``source`` is a file path (.pkl / .npz) or an in-memory dict.
-    Returns ``(rho, rate, z, rate_z)`` as float64 arrays; ``z``/``rate_z``
-    are None for radial-only profiles.  For a non-separable field (quirk
-    F27) returns ``(rho, None, z, rate2d)`` with ``rate2d`` 2-D.
+    Returns ``(rho, rate, z, rate_z, phi, rate_phi)`` as float64 arrays;
+    ``z``/``rate_z`` are None for radial-only profiles and
+    ``phi``/``rate_phi`` None without a longitude factor (quirk F28).
+    For a non-separable field (quirk F27) ``rate`` is None and
+    ``rate_z`` holds the 2-D ``rate2d``.
     """
     if isinstance(source, dict):
         data = source
@@ -106,6 +122,35 @@ def load_loss_profile(source):
                              f'{ykey} must be non-negative')
         return x, y
 
+    phi = rate_phi = None
+    if 'phi' in data or 'rate_phi' in data:
+        # longitude-structured factor (quirk F28)
+        if 'phi' not in data or 'rate_phi' not in data:
+            raise InputError('load_loss_profile',
+                             'give BOTH phi and rate_phi for a '
+                             'longitude-structured profile')
+        phi = np.asarray(data['phi'], np.float64).ravel()
+        rate_phi = np.asarray(data['rate_phi'], np.float64).ravel()
+        if phi.shape != rate_phi.shape or len(phi) < 3:
+            raise InputError('load_loss_profile',
+                             'phi/rate_phi must match with >= 3 points')
+        if not np.all(np.diff(phi) > 0):
+            raise InputError('load_loss_profile',
+                             'phi must be strictly increasing')
+        if phi[0] < 0 or phi[-1] > 2.0 * np.pi + 1e-9:
+            raise InputError('load_loss_profile',
+                             'phi must lie in [0, 2 pi]')
+        if abs(phi[0]) > 1e-9 or abs(phi[-1] - 2.0 * np.pi) > 1e-9:
+            raise InputError('load_loss_profile',
+                             'phi must span exactly [0, 2 pi]')
+        if not np.isfinite(rate_phi).all() or (rate_phi < 0).any():
+            raise InputError('load_loss_profile',
+                             'rate_phi must be finite and >= 0')
+        if abs(rate_phi[0] - rate_phi[-1]) > 1e-9 * max(rate_phi.max(), 1):
+            raise InputError('load_loss_profile',
+                             'rate_phi must be periodic '
+                             '(rate_phi[0] == rate_phi[-1])')
+
     if 'rate2d' in data:
         # non-separable field (quirk F27)
         def axis(key):
@@ -128,13 +173,13 @@ def load_loss_profile(source):
             raise InputError('load_loss_profile', 'rate2d must be >= 0')
         if rho[0] < 0:
             raise InputError('load_loss_profile', 'rho must be >= 0')
-        return rho, None, z, rate2d
+        return rho, None, z, rate2d, phi, rate_phi
 
     rho, rate = grid_pair('rho', 'rate', required=True)
     z, rate_z = grid_pair('z', 'rate_z', required=False)
     if rho[0] < 0:
         raise InputError('load_loss_profile', 'rho must be >= 0')
-    return rho, rate, z, rate_z
+    return rho, rate, z, rate_z, phi, rate_phi
 
 
 def decompose_rank(rho, z, rate2d, rel_tol_2d: float = 1e-2,
@@ -175,12 +220,16 @@ def profile_tables(source, dtype=np.float64, rel_tol: float = 1e-3,
                    rel_tol_2d: float = 1e-2):
     """Compressed device tables for the engine.
 
-    Separable profiles return ``(rho_pl, z_pl, ())`` with ``z_pl`` None
-    for radial-only (g == 1).  Non-separable ``rate2d`` profiles return
-    ``(None, None, terms)`` with ``terms`` a tuple of ``(f_pl, g_pl)``
-    relu-table pairs (quirk F27)."""
+    Separable profiles return ``(rho_pl, z_pl, (), phi_pl)`` with
+    ``z_pl`` None for radial-only (g == 1).  Non-separable ``rate2d``
+    profiles return ``(None, None, terms, phi_pl)`` with ``terms`` a
+    tuple of ``(f_pl, g_pl)`` relu-table pairs (quirk F27).  ``phi_pl``
+    is the periodic longitude factor h(phi) over [0, 2 pi] (quirk F28)
+    or None."""
     from nexoclom_tpu.ops.pltable import compress_points
-    rho, rate, z, rate_z = load_loss_profile(source)
+    rho, rate, z, rate_z, phi, rate_phi = load_loss_profile(source)
+    phi_pl = (compress_points(phi, rate_phi, rel_tol=rel_tol, dtype=dtype)
+              if phi is not None else None)
     if rate is None:
         pairs = []
         for f_k, g_k in decompose_rank(rho, z, rate_z,
@@ -189,8 +238,8 @@ def profile_tables(source, dtype=np.float64, rel_tol: float = 1e-3,
                                           dtype=dtype),
                           compress_points(z, g_k, rel_tol=rel_tol,
                                           dtype=dtype)))
-        return None, None, tuple(pairs)
+        return None, None, tuple(pairs), phi_pl
     rho_pl = compress_points(rho, rate, rel_tol=rel_tol, dtype=dtype)
     z_pl = (compress_points(z, rate_z, rel_tol=rel_tol, dtype=dtype)
             if z is not None else None)
-    return rho_pl, z_pl, ()
+    return rho_pl, z_pl, (), phi_pl

@@ -503,6 +503,17 @@ class Options(_Section):
                              'options.eimp_tilt_phase/_period require a '
                              'nonzero options.eimp_tilt')
 
+        # Extension (quirk F28): azimuth (degrees, orbit_state convention)
+        # of the profile's phi = 0 longitude at the observation time, for
+        # longitude-structured (System III) profiles; the factor itself
+        # lives in the profile file (phi/rate_phi)
+        if 'eimp_phi_phase' in oparam:
+            if not profile:
+                raise InputError('Options.__init__',
+                                 'options.eimp_phi_phase requires '
+                                 'options.eimp_profile')
+            self.eimp_phi_phase = float(oparam['eimp_phi_phase'])
+
         if 'outeredge' in oparam:
             self.outeredge = float(oparam['outeredge'])
         elif 'outer_edge' in oparam:

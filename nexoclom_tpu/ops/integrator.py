@@ -116,6 +116,10 @@ class EngineSpec:
     # rate(rho, z) = f(rho) g(z) from ForceTable.eimp_rho_pl/eimp_z_pl,
     # applied everywhere; exclusive with the constant eimp channel
     eimp_profile: bool = False
+    # quirk F28: multiply the profile by a longitude-structured factor
+    # h(phi_sys) co-rotating with the planet (System III modulation),
+    # from ForceTable.eimp_phi_pl
+    eimp_phi: bool = False
     # quirk F25: evaluate the profile about a TILTED, co-rotating axis
     # (centrifugal-equator geometry): rho/z taken relative to the plane
     # whose normal leans eimp_tilt from the spin axis toward the azimuth
@@ -175,6 +179,12 @@ class ForceTable(NamedTuple):
     eimp_tilt_cos: jnp.ndarray = None    # scalar, cos(tilt)
     eimp_tilt_phase: jnp.ndarray = None  # scalar, azimuth at t=0 (rad)
     eimp_tilt_omega: jnp.ndarray = None  # scalar, rad/s (co-rotation)
+    # longitude-structured co-rotating factor h(phi_sys) (quirk F28):
+    # periodic relu table over [0, 2 pi] about the SPIN axis
+    eimp_phi_pl: PLTable = None          # h(phi), dimensionless
+    eimp_phi_phase: jnp.ndarray = None   # scalar, azimuth of the phi=0
+                                         # longitude at t=0 (rad)
+    eimp_rot_omega: jnp.ndarray = None   # scalar, rad/s
 
 
 class SurfaceTable(NamedTuple):
@@ -384,6 +394,18 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
             rate = pl_lookup(forces.eimp_rho_pl, rho_cyl)
             if forces.eimp_z_pl is not None:
                 rate = rate * pl_lookup(forces.eimp_z_pl, z_c)
+        if spec.eimp_phi:
+            # quirk F28: System III longitude of the packet — azimuth
+            # about the SPIN axis (orbit_state convention: phi =
+            # atan2(-x, y)) relative to the co-rotating longitude origin
+            # at azimuth phase - omega*t; the factor h is a periodic
+            # relu table over [0, 2 pi)
+            phi_sys = (jnp.arctan2(-x, y)
+                       - (forces.eimp_phi_phase
+                          - forces.eimp_rot_omega * t))
+            two_pi = 2.0 * jnp.pi
+            phi_sys = phi_sys - two_pi * jnp.floor(phi_sys / two_pi)
+            rate = rate * pl_lookup(forces.eimp_phi_pl, phi_sys)
         ion = ion + rate
 
     return ax, ay, az, ion
@@ -422,7 +444,8 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
     # t - c_i*h — only evaluated when a time-dependent force (the moving
     # moon or the co-rotating tilted torus) is active
     _DP_C = (0.0, 1.0 / 5.0, 3.0 / 10.0, 4.0 / 5.0, 8.0 / 9.0, 1.0)
-    needs_time = spec.moon_gravity or spec.moon_shadow or spec.eimp_tilt
+    needs_time = (spec.moon_gravity or spec.moon_shadow or spec.eimp_tilt
+                  or spec.eimp_phi)
 
     for n in range(6):
         t_stage = state.t - _DP_C[n] * h if needs_time else None

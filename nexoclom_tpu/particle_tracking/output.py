@@ -95,10 +95,21 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         eimp=bool(getattr(inputs.options, 'eimp_rate', 0.0)),
         chx=bool(getattr(inputs.options, 'chx_rate', 0.0)),
         eimp_profile=bool(getattr(inputs.options, 'eimp_profile', None)),
+        eimp_phi=_profile_has_phi(getattr(inputs.options, 'eimp_profile',
+                                          None)),
         eimp_tilt=bool(getattr(inputs.options, 'eimp_tilt', 0.0)),
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
+
+
+def _profile_has_phi(profile) -> bool:
+    """Whether the eimp profile carries a longitude factor (quirk F28) —
+    a static engine property, so the spec must know before tracing."""
+    if not profile:
+        return False
+    from nexoclom_tpu.initial_state.loss_profile import load_loss_profile
+    return load_loss_profile(profile)[4] is not None
 
 
 _STICK_MAP_CACHE: dict = {}
@@ -178,10 +189,24 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
         # units (planet radii, 1/s) so no conversion
         from nexoclom_tpu.initial_state.loss_profile import profile_tables
         np_dtype = np.float64 if dtype == jnp.float64 else np.float32
-        rho_pl, z_pl, terms = profile_tables(profile, dtype=np_dtype,
-                                             rel_tol=pl_tol)
+        rho_pl, z_pl, terms, phi_pl = profile_tables(profile,
+                                                     dtype=np_dtype,
+                                                     rel_tol=pl_tol)
         table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl,
                                eimp_pl_terms=terms)
+        if phi_pl is not None:
+            # quirk F28: longitude-structured co-rotating factor; period
+            # shared with the tilt (or the planet's sidereal rotation)
+            import math
+            period_hr = getattr(options, 'eimp_tilt_period',
+                                inputs.geometry.planet.rotperiod)
+            table = table._replace(
+                eimp_phi_pl=phi_pl,
+                eimp_phi_phase=jnp.asarray(
+                    math.radians(getattr(options, 'eimp_phi_phase', 0.0)),
+                    dtype),
+                eimp_rot_omega=jnp.asarray(
+                    2.0 * math.pi / (period_hr * 3600.0), dtype))
         tilt_deg = getattr(options, 'eimp_tilt', 0.0)
         if tilt_deg:
             # quirk F25: centrifugal-equator tilt co-rotating with the

@@ -117,8 +117,9 @@ def test_torus_profile_analytic_decay():
 def test_torus_profile_loader_validation():
     from nexoclom_tpu.initial_state.loss_profile import load_loss_profile
     good = {'rho': [0.0, 5.0, 9.0], 'rate': [0.0, 1e-4, 0.0]}
-    rho, rate, z, rate_z = load_loss_profile(good)
+    rho, rate, z, rate_z, phi, rate_phi = load_loss_profile(good)
     assert z is None and rate_z is None and rho[1] == 5.0
+    assert phi is None and rate_phi is None
     with pytest.raises(InputError):
         load_loss_profile({'rho': [0, 5], 'rate': [1e-4]})        # mismatch
     with pytest.raises(InputError):
@@ -378,8 +379,9 @@ def test_nonseparable_rate2d_decomposition():
         load_loss_profile({'rho': rho, 'z': z, 'rate2d': rate2d[:-1]})
     with pytest.raises(InputError):
         load_loss_profile({'rho': rho, 'z': z, 'rate2d': -rate2d})
-    rho_pl, z_pl, pairs = profile_tables(
+    rho_pl, z_pl, pairs, phi_pl = profile_tables(
         {'rho': rho, 'z': z, 'rate2d': rate2d}, rel_tol=0)
+    assert phi_pl is None
     assert rho_pl is None and z_pl is None and len(pairs) == len(terms)
 
 
@@ -394,8 +396,9 @@ def test_nonseparable_rate2d_engine_decay():
     blob = lambda r0, z0: (np.exp(-0.5 * ((rho[:, None] - r0) / 1.0) ** 2)
                            * np.exp(-0.5 * ((z[None, :] - z0) / 0.8) ** 2))
     rate2d = 3e-4 * blob(5.9, 1.0) + 1e-4 * blob(3.0, -1.5)
-    _, _, pairs = profile_tables({'rho': rho, 'z': z, 'rate2d': rate2d},
-                                 rel_tol=0, rel_tol_2d=1e-3)
+    _, _, pairs, _ = profile_tables({'rho': rho, 'z': z,
+                                     'rate2d': rate2d},
+                                    rel_tol=0, rel_tol_2d=1e-3)
     spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
                       surface_bounce=False, check_outer_edge=False,
                       eimp_profile=True)
@@ -453,3 +456,141 @@ def test_nonseparable_rate2d_end_to_end(tmp_path):
     tilted = run({'eimp_profile': path, 'eimp_tilt': 30.0})
     assert 0 < torus < plain * 0.8
     assert 0 < tilted != torus
+
+
+def test_longitude_factor_loader_validation():
+    """Quirk F28 grammar: phi/rate_phi must be a periodic factor over
+    exactly [0, 2 pi]."""
+    from nexoclom_tpu.initial_state.loss_profile import (load_loss_profile,
+                                                         profile_tables)
+    base = {'rho': [0.0, 5.0, 9.0], 'rate': [0.0, 1e-4, 0.0]}
+    phi = np.linspace(0, 2 * np.pi, 25)
+    good = {**base, 'phi': phi, 'rate_phi': 1 + 0.3 * np.cos(phi)}
+    out = load_loss_profile(good)
+    assert out[4] is not None and len(out) == 6
+    _, _, _, phi_pl = profile_tables(good, rel_tol=0)
+    assert phi_pl is not None
+    with pytest.raises(InputError):      # only one of the pair
+        load_loss_profile({**base, 'phi': phi})
+    with pytest.raises(InputError):      # not periodic
+        load_loss_profile({**base, 'phi': phi, 'rate_phi': phi})
+    with pytest.raises(InputError):      # wrong span
+        load_loss_profile({**base, 'phi': phi / 2,
+                           'rate_phi': np.ones(25)})
+    with pytest.raises(InputError):      # negative factor
+        load_loss_profile({**base, 'phi': phi,
+                           'rate_phi': np.cos(phi)})
+    # options grammar: phase requires a profile
+    with pytest.raises(InputError):
+        Options({'endtime': '3600', 'species': 'Na',
+                 'eimp_phi_phase': '200'})
+
+
+def test_longitude_factor_static_and_corotating():
+    """The System III factor h(phi_sys): static case matches np.interp at
+    the packet's azimuth; co-rotating case matches quad() of the analytic
+    time-varying rate."""
+    from nexoclom_tpu.ops.pltable import compress_points
+    rho = np.array([0.0, 4.0, 5.0, 5.9, 7.0, 9.0])
+    rate = np.array([0.0, 0.0, 2e-4, 4e-4, 1e-4, 0.0])
+    phi = np.linspace(0, 2 * np.pi, 49)
+    h = 1.0 + 0.4 * np.cos(phi - 1.0)
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True, eimp_phi=True)
+    base_forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0),
+        eimp_rho_pl=compress_points(rho, rate, rel_tol=0),
+        eimp_phi_pl=compress_points(phi, h, rel_tol=0))
+
+    # static (omega = 0, phase = 0): three azimuths at the torus peak
+    positions = np.array([[0.0, -5.9, 0.0],    # azimuth pi (sunward)
+                          [-5.9, 0.0, 0.0],    # azimuth pi/2
+                          [4.0, 4.34, 0.0]])   # azimuth atan2(-4, 4.34)
+    forces = base_forces._replace(eimp_phi_phase=jnp.asarray(0.0),
+                                  eimp_rot_omega=jnp.asarray(0.0))
+    state0 = PacketState(
+        t=jnp.full(3, 1e9), x=jnp.asarray(positions[:, 0]),
+        y=jnp.asarray(positions[:, 1]), z=jnp.asarray(positions[:, 2]),
+        vx=jnp.zeros(3), vy=jnp.zeros(3), vz=jnp.zeros(3),
+        frac=jnp.ones(3), lossfrac=jnp.zeros(3))
+    hstep, nsteps = 50.0, 21
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(hstep), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    T = hstep * (nsteps - 1)
+    for i, pos in enumerate(positions):
+        az = math.atan2(-pos[0], pos[1]) % (2 * math.pi)
+        rho_c = math.hypot(pos[0], pos[1])
+        expected = np.interp(rho_c, rho, rate) * np.interp(az, phi, h)
+        assert float(final.frac[i]) == pytest.approx(
+            math.exp(-expected * T), rel=1e-9), i
+
+    # co-rotating: fixed point, h sweeps past it at omega_rot
+    omega = 2.0 * math.pi / (9.925 * 3600.0)
+    phase0 = 0.7
+    forces = base_forces._replace(eimp_phi_phase=jnp.asarray(phase0),
+                                  eimp_rot_omega=jnp.asarray(omega))
+    pos = np.array([3.0, -4.5, 0.0])
+    hstep, nsteps = 30.0, 241
+    T = hstep * (nsteps - 1)
+    state0 = PacketState(
+        t=jnp.asarray([T]), x=jnp.asarray([pos[0]]),
+        y=jnp.asarray([pos[1]]), z=jnp.asarray([pos[2]]),
+        vx=jnp.zeros(1), vy=jnp.zeros(1), vz=jnp.zeros(1),
+        frac=jnp.ones(1), lossfrac=jnp.zeros(1))
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(hstep), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    az = math.atan2(-pos[0], pos[1])
+    rho_c = math.hypot(pos[0], pos[1])
+    f_rho = np.interp(rho_c, rho, rate)
+
+    def rate_at(t):
+        phi_sys = (az - (phase0 - omega * t)) % (2 * math.pi)
+        return f_rho * np.interp(phi_sys, phi, h)
+
+    from scipy.integrate import quad
+    integral = quad(rate_at, 0.0, T, limit=400)[0]
+    assert float(final.frac[0]) == pytest.approx(math.exp(-integral),
+                                                 rel=1e-6)
+
+
+def test_longitude_factor_end_to_end(tmp_path):
+    """F28 through Input -> Output, composed with the tilt (F25): a
+    System III-modulated tilted torus runs and differs from the
+    unmodulated one."""
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    phi = np.linspace(0, 2 * np.pi, 37)
+    profile = {'rho': np.array([0.0, 4.0, 5.9, 8.0, 12.0]),
+               'rate': np.array([0.0, 1e-4, 5e-4, 1e-4, 0.0]),
+               'z': np.array([-2.0, 0.0, 2.0]),
+               'rate_z': np.array([0.0, 1.0, 0.0]),
+               'phi': phi, 'rate_phi': 1 + 0.8 * np.cos(phi)}
+    path = str(tmp_path / 'torus_sys3.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(profile, f)
+    flat = dict(profile)
+    del flat['phi'], flat['rate_phi']
+    path_flat = str(tmp_path / 'torus_flat.pkl')
+    with open(path_flat, 'wb') as f:
+        pickle.dump(flat, f)
+
+    def run(profile_path, extra):
+        inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+        inp.options.endtime = 3600.0
+        inp.options.step_size = 30.0
+        inp.options.lifetime = -1e30
+        inp.options.eimp_profile = profile_path
+        for key, value in extra.items():
+            setattr(inp.options, key, value)
+        out = Output(inp, 128, seed=17, compress=False)
+        return out.X.groupby('Index').tail(1).frac.mean()
+
+    base = run(path_flat, {})
+    sys3 = run(path, {'eimp_phi_phase': 90.0, 'eimp_tilt': 6.4})
+    assert 0 < sys3 != base
