@@ -594,3 +594,15 @@ def test_longitude_factor_end_to_end(tmp_path):
     base = run(path_flat, {})
     sys3 = run(path, {'eimp_phi_phase': 90.0, 'eimp_tilt': 6.4})
     assert 0 < sys3 != base
+
+
+def test_azimuth_convention_matches_orbit_phase():
+    """The F28 azimuth (atan2(-x, y)) and the moon orbital phase share
+    one convention: a point AT the moon's position has azimuth equal to
+    the moon's phi — so a longitude factor peaked at Io's longitude
+    really peaks at Io."""
+    from nexoclom_tpu.ops.integrator import orbit_state
+    for phase in (0.0, 1.0, 2.5, 4.71, 6.0):
+        x, y, _, _ = orbit_state(5.9, 1e-4, phase, xp=np)
+        az = math.atan2(-x, y) % (2 * math.pi)
+        assert az == pytest.approx(phase % (2 * math.pi), abs=1e-12)
