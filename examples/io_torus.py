@@ -4,9 +4,10 @@ Capabilities the reference declares but cannot run (its engine refuses
 satellite start points, and its electron-impact path is a stub chain):
 packets launch from the moving Io — inheriting its orbital velocity,
 feeling its gravity and shadow, dying on re-impact — while the plasma
-torus (a separable rate(rho, z) field whose centrifugal equator leans
-6.4 deg off the spin axis and co-rotates at the System III period)
-erodes the cloud.  Produces the observer-frame image of the banana cloud.
+torus (a rate(rho, z) field whose centrifugal equator leans 6.4 deg off
+the spin axis, co-rotates at the System III period, and carries a ~20%
+System III longitude modulation) erodes the cloud.  Produces the
+observer-frame image of the banana cloud.
 
     python examples/io_torus.py [--packets 20000] [--tpu]
         [--savepath /tmp/nexoclom_tpu_examples]
@@ -44,12 +45,14 @@ INPUTFILE = textwrap.dedent("""\
     options.eimp_profile = io_torus_profile.pkl
     options.eimp_tilt = 6.4
     options.eimp_tilt_phase = 200.
+    options.eimp_phi_phase = 200.
 """)
 
 
 def torus_profile():
     """A simple Io-torus electron-impact field: radial peak at Io's orbit
-    (5.9 R_J), vertical Gaussian of scale height 1 R_J."""
+    (5.9 R_J), vertical Gaussian of scale height 1 R_J, and a ~20%
+    System III longitude modulation (quirk F28)."""
     import numpy as np
     rho = np.linspace(0.0, 12.0, 49)
     rate = 2.0e-4 * np.exp(-0.5 * ((rho - 5.9) / 1.2) ** 2)
@@ -57,7 +60,10 @@ def torus_profile():
     z = np.linspace(-4.0, 4.0, 33)
     rate_z = np.exp(-0.5 * (z / 1.0) ** 2)
     rate_z[0] = rate_z[-1] = 0.0
-    return {'rho': rho, 'rate': rate, 'z': z, 'rate_z': rate_z}
+    phi = np.linspace(0.0, 2.0 * np.pi, 73)
+    rate_phi = 1.0 + 0.2 * np.cos(phi)
+    return {'rho': rho, 'rate': rate, 'z': z, 'rate_z': rate_z,
+            'phi': phi, 'rate_phi': rate_phi}
 
 
 def main():
