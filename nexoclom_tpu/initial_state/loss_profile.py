@@ -71,6 +71,9 @@ import numpy as np
 from nexoclom_tpu.utilities.exceptions import InputError
 
 
+_LOAD_CACHE: dict = {}
+
+
 def load_loss_profile(source):
     """Load and validate a loss profile.
 
@@ -81,12 +84,20 @@ def load_loss_profile(source):
     For a non-separable field (quirk F27) ``rate`` is None and
     ``rate_z`` holds the 2-D ``rate2d``.
     """
+    cache_key = None
     if isinstance(source, dict):
         data = source
     elif isinstance(source, str):
         if not os.path.exists(source):
             raise InputError('load_loss_profile',
                              f'eimp_profile file {source!r} does not exist')
+        # memoized by (path, mtime): the spec builder and the force-table
+        # builder both read the profile during one engine setup — one
+        # parse + validation serves both, and the mtime key guarantees
+        # they see the SAME file contents
+        cache_key = (source, os.path.getmtime(source))
+        if cache_key in _LOAD_CACHE:
+            return _LOAD_CACHE[cache_key]
         if source.endswith('.npz'):
             with np.load(source) as f:
                 data = {k: f[k] for k in f.files}
@@ -137,9 +148,6 @@ def load_loss_profile(source):
         if not np.all(np.diff(phi) > 0):
             raise InputError('load_loss_profile',
                              'phi must be strictly increasing')
-        if phi[0] < 0 or phi[-1] > 2.0 * np.pi + 1e-9:
-            raise InputError('load_loss_profile',
-                             'phi must lie in [0, 2 pi]')
         if abs(phi[0]) > 1e-9 or abs(phi[-1] - 2.0 * np.pi) > 1e-9:
             raise InputError('load_loss_profile',
                              'phi must span exactly [0, 2 pi]')
@@ -173,13 +181,22 @@ def load_loss_profile(source):
             raise InputError('load_loss_profile', 'rate2d must be >= 0')
         if rho[0] < 0:
             raise InputError('load_loss_profile', 'rho must be >= 0')
-        return rho, None, z, rate2d, phi, rate_phi
+        return _cache_result(cache_key,
+                             (rho, None, z, rate2d, phi, rate_phi))
 
     rho, rate = grid_pair('rho', 'rate', required=True)
     z, rate_z = grid_pair('z', 'rate_z', required=False)
     if rho[0] < 0:
         raise InputError('load_loss_profile', 'rho must be >= 0')
-    return rho, rate, z, rate_z, phi, rate_phi
+    return _cache_result(cache_key, (rho, rate, z, rate_z, phi, rate_phi))
+
+
+def _cache_result(cache_key, result):
+    if cache_key is not None:
+        if len(_LOAD_CACHE) > 32:
+            _LOAD_CACHE.clear()
+        _LOAD_CACHE[cache_key] = result
+    return result
 
 
 def decompose_rank(rho, z, rate2d, rel_tol_2d: float = 1e-2,

@@ -512,7 +512,11 @@ class Options(_Section):
                 raise InputError('Options.__init__',
                                  'options.eimp_phi_phase requires '
                                  'options.eimp_profile')
-            self.eimp_phi_phase = float(oparam['eimp_phi_phase'])
+            phi_phase = float(oparam['eimp_phi_phase'])
+            if phi_phase:
+                # zero is the default — leave the attribute unset so the
+                # canonical dict (and catalog matching) is unchanged
+                self.eimp_phi_phase = phi_phase
 
         if 'outeredge' in oparam:
             self.outeredge = float(oparam['outeredge'])

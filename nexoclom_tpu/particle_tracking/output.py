@@ -96,20 +96,31 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         chx=bool(getattr(inputs.options, 'chx_rate', 0.0)),
         eimp_profile=bool(getattr(inputs.options, 'eimp_profile', None)),
         eimp_phi=_profile_has_phi(getattr(inputs.options, 'eimp_profile',
-                                          None)),
+                                          None), inputs.options),
         eimp_tilt=bool(getattr(inputs.options, 'eimp_tilt', 0.0)),
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
     )
 
 
-def _profile_has_phi(profile) -> bool:
+def _profile_has_phi(profile, options=None) -> bool:
     """Whether the eimp profile carries a longitude factor (quirk F28) —
-    a static engine property, so the spec must know before tracing."""
+    a static engine property, so the spec must know before tracing.
+    (The load is memoized in loss_profile, so the force-table build reads
+    the same parse.)  Raises when ``eimp_phi_phase`` is set but the file
+    has no phi factor — a silently ignored phase would be wrong science."""
     if not profile:
         return False
     from nexoclom_tpu.initial_state.loss_profile import load_loss_profile
-    return load_loss_profile(profile)[4] is not None
+    has_phi = load_loss_profile(profile)[4] is not None
+    if (not has_phi and options is not None
+            and getattr(options, 'eimp_phi_phase', None) is not None):
+        from nexoclom_tpu.utilities.exceptions import InputError
+        raise InputError('engine_spec_from_inputs',
+                         'options.eimp_phi_phase is set but the '
+                         'eimp_profile file has no phi/rate_phi '
+                         'longitude factor')
+    return has_phi
 
 
 _STICK_MAP_CACHE: dict = {}
@@ -194,27 +205,24 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
                                                      rel_tol=pl_tol)
         table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl,
                                eimp_pl_terms=terms)
+        # co-rotation rate shared by the F25 tilt and the F28 longitude
+        # factor: options.eimp_tilt_period or the planet's sidereal spin
+        import math
+        period_hr = getattr(options, 'eimp_tilt_period',
+                            inputs.geometry.planet.rotperiod)
+        rot_omega = 2.0 * math.pi / (period_hr * 3600.0)
         if phi_pl is not None:
-            # quirk F28: longitude-structured co-rotating factor; period
-            # shared with the tilt (or the planet's sidereal rotation)
-            import math
-            period_hr = getattr(options, 'eimp_tilt_period',
-                                inputs.geometry.planet.rotperiod)
+            # quirk F28: longitude-structured co-rotating factor
             table = table._replace(
                 eimp_phi_pl=phi_pl,
                 eimp_phi_phase=jnp.asarray(
                     math.radians(getattr(options, 'eimp_phi_phase', 0.0)),
                     dtype),
-                eimp_rot_omega=jnp.asarray(
-                    2.0 * math.pi / (period_hr * 3600.0), dtype))
+                eimp_rot_omega=jnp.asarray(rot_omega, dtype))
         tilt_deg = getattr(options, 'eimp_tilt', 0.0)
         if tilt_deg:
             # quirk F25: centrifugal-equator tilt co-rotating with the
-            # planet; default period is the planet's sidereal rotation
-            # (System III for Jupiter), phase given at observation (t=0)
-            import math
-            period_hr = getattr(options, 'eimp_tilt_period',
-                                inputs.geometry.planet.rotperiod)
+            # planet; phase given at observation (t=0)
             tilt_rad = math.radians(tilt_deg)
             table = table._replace(
                 eimp_tilt_sin=jnp.asarray(math.sin(tilt_rad), dtype),
@@ -222,8 +230,7 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
                 eimp_tilt_phase=jnp.asarray(
                     math.radians(getattr(options, 'eimp_tilt_phase', 0.0)),
                     dtype),
-                eimp_tilt_omega=jnp.asarray(
-                    2.0 * math.pi / (period_hr * 3600.0), dtype))
+                eimp_tilt_omega=jnp.asarray(rot_omega, dtype))
 
     if inputs.geometry.startpoint != inputs.geometry.planet.object:
         from nexoclom_tpu.initial_state.satellites import satellite_params
