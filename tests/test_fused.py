@@ -172,3 +172,35 @@ def test_fast_mode_matches_parity_statistically():
     b = fused_image_run(inp, 400, dict(PARAMS), seed=21, fast=True)
     ratio = b.image.sum() / a.image.sum()
     assert abs(ratio - 1.0) < 0.01
+
+
+def test_fused_matches_stored_history_torus_satellite():
+    """Fused exactness holds for the full field stack too: Io satellite
+    source with a tilted, System III-modulated torus (F23/F25/F28) —
+    the in-scan accumulation must equal the stored-history ModelImage."""
+    import pickle
+    phi = np.linspace(0, 2 * np.pi, 25)
+    profile = {'rho': np.array([0.0, 4.0, 5.9, 8.0, 12.0]),
+               'rate': np.array([0.0, 1e-4, 5e-4, 1e-4, 0.0]),
+               'z': np.array([-2.0, 0.0, 2.0]),
+               'rate_z': np.array([0.0, 1.0, 0.0]),
+               'phi': phi, 'rate_phi': 1 + 0.5 * np.cos(phi)}
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'torus.pkl')
+        with open(path, 'wb') as f:
+            pickle.dump(profile, f)
+        inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+        inp.options.endtime = 1200.0
+        inp.options.step_size = 30.0
+        inp.options.lifetime = -1e30
+        inp.options.eimp_profile = path
+        inp.options.eimp_tilt = 6.4
+        inp.options.eimp_phi_phase = 90.0
+        params = {'quantity': 'column', 'dims': '32,32', 'width': '16,16'}
+        Output(inp, 200, seed=13, compress=False)
+        stored = ModelImage(inp, dict(params))
+        fused = fused_image_run(inp, 200, dict(params), seed=13)
+        assert fused.totalsource == stored.totalsource
+        assert np.allclose(fused.image, stored.image, rtol=1e-6,
+                           atol=stored.image.max() * 1e-8)
