@@ -606,3 +606,31 @@ def test_azimuth_convention_matches_orbit_phase():
         x, y, _, _ = orbit_state(5.9, 1e-4, phase, xp=np)
         az = math.atan2(-x, y) % (2 * math.pi)
         assert az == pytest.approx(phase % (2 * math.pi), abs=1e-12)
+
+
+def test_adaptive_driver_with_full_field_stack(tmp_path):
+    """The ADAPTIVE driver (the reference's primary mode) handles the
+    tilted, longitude-modulated torus too — the time-dependent field
+    evaluation rides the same per-stage t as the moving moon."""
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    phi = np.linspace(0, 2 * np.pi, 25)
+    profile = {'rho': np.array([0.0, 4.0, 5.9, 8.0, 12.0]),
+               'rate': np.array([0.0, 1e-4, 5e-4, 1e-4, 0.0]),
+               'phi': phi, 'rate_phi': 1 + 0.5 * np.cos(phi)}
+    path = str(tmp_path / 'torus.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(profile, f)
+    inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+    inp.options.endtime = 600.0
+    inp.options.step_size = 0.0          # adaptive
+    inp.options.resolution = 1e-3
+    inp.options.lifetime = -1e30
+    inp.options.eimp_profile = path
+    inp.options.eimp_tilt = 6.4
+    inp.options.eimp_phi_phase = 90.0
+    out = Output(inp, 64, seed=23, compress=False)
+    frac = out.X.frac.to_numpy()
+    assert np.all(np.isfinite(frac)) and np.all((frac >= 0) & (frac <= 1))
+    assert frac.max() < 1.0              # the torus drained something
