@@ -139,7 +139,11 @@ class Input:
         # physically different outputs
         from nexoclom_tpu.initial_state.sections import surface_bounces
         if (self.geometry.startpoint != self.geometry.planet.object and
-                surface_bounces(self.surfaceinteraction)):
+                surface_bounces(self.surfaceinteraction) and
+                # surface-map sticking bounces on the PLANET only — moon
+                # re-impacts remove (the map is planet-fixed), matching
+                # engine_spec_from_inputs's moon_bounce gate
+                self.surfaceinteraction.sticktype != 'surface map'):
             out['engine'] = {'moon_bounce': True}
         return out
 

@@ -192,6 +192,13 @@ def load_loss_profile(source):
 
 
 def _cache_result(cache_key, result):
+    # the same tuple is handed to every caller; freeze the arrays so a
+    # caller mutating one cannot silently corrupt subsequent loads (the
+    # mtime-keyed memoization guarantees spec/force-table consistency
+    # only if the cached contents are immutable)
+    for item in result:
+        if isinstance(item, np.ndarray):
+            item.flags.writeable = False
     if cache_key is not None:
         if len(_LOAD_CACHE) > 32:
             _LOAD_CACHE.clear()

@@ -491,17 +491,25 @@ class Options(_Section):
                                  'degrees')
             self.eimp_tilt = tilt
             self.eimp_tilt_phase = float(oparam.get('eimp_tilt_phase', 0.0))
-            if 'eimp_tilt_period' in oparam:
-                period = float(oparam['eimp_tilt_period'])
-                if period <= 0:
-                    raise InputError('Options.__init__',
-                                     'options.eimp_tilt_period must be '
-                                     '> 0 hours')
-                self.eimp_tilt_period = period
-        elif 'eimp_tilt_phase' in oparam or 'eimp_tilt_period' in oparam:
+        elif 'eimp_tilt_phase' in oparam:
             raise InputError('Options.__init__',
-                             'options.eimp_tilt_phase/_period require a '
+                             'options.eimp_tilt_phase requires a '
                              'nonzero options.eimp_tilt')
+        # the co-rotation period is shared by the F25 tilt and the F28
+        # longitude factor (build_force_table uses one rot_omega for
+        # both), so an untilted longitude-structured profile may still
+        # set a custom period (advisor round 2)
+        if 'eimp_tilt_period' in oparam:
+            if not profile:
+                raise InputError('Options.__init__',
+                                 'options.eimp_tilt_period requires '
+                                 'options.eimp_profile')
+            period = float(oparam['eimp_tilt_period'])
+            if period <= 0:
+                raise InputError('Options.__init__',
+                                 'options.eimp_tilt_period must be '
+                                 '> 0 hours')
+            self.eimp_tilt_period = period
 
         # Extension (quirk F28): azimuth (degrees, orbit_state convention)
         # of the profile's phi = 0 longitude at the observation time, for

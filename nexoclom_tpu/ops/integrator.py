@@ -841,17 +841,40 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
     return ret
 
 
+_DIGEST_CACHE: dict = {}   # id(leaf) -> (weakref, digest)
+_DIGEST_CACHE_MAX = 512
+
+
+def _leaf_digest(leaf):
+    """SHA-1 content digest of one array leaf, memoized per live object:
+    digesting a ForceTable pulls every leaf to the host, so rehashing the
+    same tables on every baked-driver call (and every segment of
+    adaptive_compacting_run) would pay a device->host transfer each time
+    (advisor round 2).  The id key is validated through a weakref — a
+    recycled id for a different object misses cleanly."""
+    import weakref
+    key = id(leaf)
+    hit = _DIGEST_CACHE.get(key)
+    if hit is not None and hit[0]() is leaf:
+        return hit[1]
+    arr = np.asarray(leaf)
+    digest = (arr.shape, str(arr.dtype),
+              hashlib.sha1(np.ascontiguousarray(arr).tobytes()).hexdigest())
+    try:
+        ref = weakref.ref(leaf)
+    except TypeError:
+        return digest           # not weakref-able (python scalar): skip
+    if len(_DIGEST_CACHE) >= _DIGEST_CACHE_MAX:
+        _DIGEST_CACHE.clear()   # drop stale ids; entries are cheap to rebuild
+    _DIGEST_CACHE[key] = (ref, digest)
+    return digest
+
+
 def _content_key(tree):
     """Hashable digest of a pytree's array contents (for the baked-driver
     compile cache)."""
     leaves, treedef = jax.tree.flatten(tree)
-    parts = [str(treedef)]
-    for leaf in leaves:
-        arr = np.asarray(leaf)
-        parts.append((arr.shape, str(arr.dtype),
-                      hashlib.sha1(np.ascontiguousarray(arr)
-                                   .tobytes()).hexdigest()))
-    return tuple(parts)
+    return tuple([str(treedef)] + [_leaf_digest(leaf) for leaf in leaves])
 
 
 _BAKED_ADAPTIVE_CACHE: dict = {}

@@ -234,7 +234,10 @@ def bounce_moon_packets(key, stepped, hit, spec, surface, forces):
       in ``build_surface_table`` — the Mercury-calibrated amplitude would
       be ~2.5x too hot at Jupiter), subsolar along -y like the planet's;
     * sticking: constant or temperature dependent (surface-map sticking is
-      planet-fixed and is rejected for satellite runs at Output setup);
+      planet-fixed, so satellite runs with a sticking map keep the map on
+      the PLANET surface and use removal semantics on the moon — this
+      function is never reached for them, ``engine_spec_from_inputs``
+      leaves ``moon_bounce`` off);
     * the re-emitted packet inherits the moon's orbital velocity.
     """
     # moon center and orbital velocity at the post-step time (t counts down)

@@ -18,9 +18,11 @@ Self-test (2 processes x 2 virtual CPU devices, gloo collectives):
 
     python -m nexoclom_tpu.parallel.distributed --selftest
 
-spawns two processes that integrate one packet batch on a 4-device global
-mesh and checks the fused histogram reduction agrees with a single-process
-run (tests/test_distributed.py runs this in CI).
+spawns two processes that run, on a 4-device global mesh, (a) the
+constant-step engine with a fused histogram, (b) the ADAPTIVE driver —
+whose while_loop termination test is a per-iteration cross-process
+collective — and (c) the LOS cone reduction, each checked for equality
+against a single-process run (tests/test_distributed.py runs this in CI).
 """
 from __future__ import annotations
 
@@ -152,10 +154,56 @@ def _selftest_worker(process_id: int, num_processes: int, port: int,
     got = np.asarray(jax.device_get(
         jax.tree.map(lambda x: x.addressable_data(0), hist)))
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-12, atol=1e-12)
+
+    # --- adaptive driver across processes: the while_loop cond is a global
+    # all-lanes-done reduction, i.e. a per-iteration CROSS-PROCESS
+    # collective (gloo here, DCN on a pod) — the reference's default mode
+    from nexoclom_tpu.ops.integrator import adaptive_step_driver
+    full_a = dict(full, t=np.full(n_global, 600.0))
+    local_a = PacketState(**{k: v[sl] for k, v in full_a.items()})
+    global_a = shard_host_local_state(local_a, mesh)
+    a_args = (spec, forces, None, jnp.asarray(1e-4), jnp.asarray(1e30),
+              jnp.asarray(2440.0), jax.random.PRNGKey(1))
+    fin_g, it_g = adaptive_step_driver(global_a, *a_args,
+                                       max_iterations=2000)
+    with jax.transfer_guard('allow'):
+        ref_a = PacketState(**{k: jnp.asarray(v)
+                               for k, v in full_a.items()})
+    fin_r, it_r = adaptive_step_driver(ref_a, *a_args, max_iterations=2000)
+    assert int(jax.device_get(it_g)) == int(it_r) < 2000
+    # sharded leaves are only partly addressable per process: compare each
+    # local shard against its slice of the single-device reference
+    for name, leaf_g, leaf_r in zip(fin_g._fields, fin_g, fin_r):
+        for s in leaf_g.addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(s.data), np.asarray(leaf_r)[s.index],
+                rtol=1e-12, atol=1e-15, err_msg=name)
+
+    # --- LOS cone reduction across processes: per-spectrum weight sums
+    # cross shards (psum over gloo)
+    from nexoclom_tpu.ops.los import los_geometry, los_reduce
+    sc = rng.uniform(-6.0, 6.0, (8, 3))
+    bore = -sc + rng.normal(0.0, 0.3, (8, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    # identical geometry on every process: rng is seeded and consumed in
+    # the same order everywhere
+    obstruction, outer_dd = los_geometry(sc, bore, outeredge=30.0)
+    los_args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+                jnp.asarray(outer_dd), jnp.asarray(0.2), jnp.asarray(2.44e8))
+    rad_g, npk_g, _ = los_reduce(fin_g.x, fin_g.y, fin_g.z,
+                                 jnp.maximum(fin_g.frac, 0.01), *los_args)
+    rad_r, npk_r, _ = los_reduce(fin_r.x, fin_r.y, fin_r.z,
+                                 jnp.maximum(fin_r.frac, 0.01), *los_args)
+    assert int(np.asarray(npk_r).sum()) > 0
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(rad_g.addressable_data(0))),
+        np.asarray(rad_r), rtol=1e-12)
+
     print(f'SELFTEST-OK process {process_id}: '
           f'{n_global_devices}-device global mesh over '
           f'{num_processes} processes, histogram total '
-          f'{float(np.asarray(ref).sum()):.6f}', flush=True)
+          f'{float(np.asarray(ref).sum()):.6f}, adaptive {int(it_r)} iters, '
+          f'LOS {int(np.asarray(npk_r).sum())} views', flush=True)
 
 
 def run_selftest(num_processes: int = 2, port: int | None = None,

@@ -57,15 +57,6 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
     full_stick = not surface_bounces(sint)
     satellite = (inputs.geometry.startpoint !=
                  inputs.geometry.planet.object)
-    if satellite and sint.sticktype == 'surface map':
-        # checked BEFORE the map load: a satellite input with a missing
-        # mapfile should hear about the unsupported combination, not the
-        # missing file
-        from nexoclom_tpu.utilities.exceptions import InputError
-        raise InputError('engine_spec_from_inputs',
-                         'surface-map sticking is planet-fixed; satellite '
-                         '(moon) bounce supports constant and temperature-'
-                         'dependent sticking')
     planet_fixed = False
     if sint.sticktype == 'surface map':
         # works here — the reference's engine asserts on this path
@@ -89,7 +80,12 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         moon_gravity=satellite and inputs.forces.gravity,
         moon_shadow=satellite,
         moon_impact=satellite,
-        moon_bounce=satellite and not full_stick,
+        # surface-map sticking is planet-fixed, so a satellite run keeps
+        # the map-driven bounce on the PLANET but falls back to removal
+        # semantics on the moon (moon_bounce off) — there is no moon-fixed
+        # map to bounce against (advisor round 2; docs/QUIRKS.md F14)
+        moon_bounce=(satellite and not full_stick
+                     and sint.sticktype != 'surface map'),
         # extra loss channels (quirk F22): constant electron-impact /
         # charge-exchange rates, off unless the input sets them
         eimp=bool(getattr(inputs.options, 'eimp_rate', 0.0)),

@@ -1,6 +1,8 @@
 """Multi-host (multi-process) smoke test: a mesh spanning 2 OS processes
 (2 virtual CPU devices each, gloo collectives) runs the real constant-step
-engine with a fused histogram and matches a single-process run exactly.
+engine with a fused histogram, the ADAPTIVE driver (per-iteration
+cross-process collective in the while_loop cond), and the LOS cone
+reduction — each matching a single-process run exactly.
 
 The heavy lifting lives in ``nexoclom_tpu/parallel/distributed.py`` so the
 same self-test is runnable standalone:

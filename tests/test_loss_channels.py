@@ -313,10 +313,18 @@ def test_tilt_options_grammar():
         Options({'endtime': '3600', 'species': 'Na', 'eimp_tilt': '6.4'})
     with pytest.raises(InputError):    # out of range
         Options({**base, 'eimp_tilt': '95'})
-    with pytest.raises(InputError):    # phase/period without tilt
+    with pytest.raises(InputError):    # phase without tilt
         Options({**base, 'eimp_tilt_phase': '200'})
     with pytest.raises(InputError):    # bad period
         Options({**base, 'eimp_tilt': '6.4', 'eimp_tilt_period': '0'})
+    # an untilted longitude-structured (F28) profile may still co-rotate
+    # at a custom period: the rate is shared between F25 and F28
+    opt_f28 = Options({**base, 'eimp_tilt_period': '9.925'})
+    assert opt_f28.eimp_tilt_period == 9.925
+    assert 'eimp_tilt' not in opt_f28.to_dict()
+    with pytest.raises(InputError):   # period without a profile
+        Options({'endtime': '3600', 'species': 'Na',
+                 'eimp_tilt_period': '9.925'})
 
 
 def test_tilted_torus_end_to_end(tmp_path):

@@ -87,6 +87,97 @@ def test_graft_dryrun_multichip():
     dryrun_multichip(1)
 
 
+def test_adaptive_sharded_matches_unsharded():
+    """The adaptive while_loop under a packet-sharded mesh: the cond's
+    global all-lanes-done reduction becomes a per-iteration collective —
+    results must match the single-device run exactly (the reference's
+    DEFAULT mode, input_classes.py:1085-1092, must scale too)."""
+    from nexoclom_tpu.ops.integrator import (adaptive_step_driver,
+                                             adaptive_step_driver_baked)
+    from nexoclom_tpu.parallel import packet_sharding
+    from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
+
+    spec = EngineSpec(gravity=True, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM), ion_rate=jnp.asarray(1e-4))
+    key = jax.random.PRNGKey(3)
+    state0 = sample_uniform_flat_source(
+        key, 256, vprob=3.0 / RADIUS_KM, delv=2.0 / RADIUS_KM,
+        endtime=3600.0, dtype=jnp.float64)
+    args = (spec, forces, None, 1e-4, 30.0, RADIUS_KM, key)
+
+    final_ref, iters_ref = adaptive_step_driver(state0, *args,
+                                                max_iterations=5000)
+
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    with mesh:
+        state_s = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, packet_sharding(mesh)), state0)
+        final_s, iters_s = adaptive_step_driver(state_s, *args,
+                                                max_iterations=5000)
+        jax.block_until_ready(final_s)
+        # the baked variant (the production TPU path) under the same mesh
+        final_b, iters_b = adaptive_step_driver_baked(state_s, *args,
+                                                      max_iterations=5000)
+        jax.block_until_ready(final_b)
+
+    assert int(iters_s) == int(iters_ref) == int(iters_b)
+    assert int(iters_ref) < 5000          # actually converged
+    for name, leaf_s, leaf_b, leaf_r in zip(
+            final_ref._fields, final_s, final_b, final_ref):
+        np.testing.assert_allclose(np.asarray(leaf_s), np.asarray(leaf_r),
+                                   rtol=1e-12, atol=1e-15, err_msg=name)
+        np.testing.assert_allclose(np.asarray(leaf_b), np.asarray(leaf_r),
+                                   rtol=1e-12, atol=1e-15, err_msg=name)
+    # all packets finished (converged or dead), so the physics is real
+    assert bool(jnp.all((final_ref.t <= 1e-4) | (final_ref.frac == 0.0)))
+
+
+def test_los_reduce_sharded_matches_unsharded():
+    """The O(S x N) LOS cone reduction with the packet axis sharded: the
+    per-spectrum weight sums cross shards (psum) — radiance, counts, and
+    the per-packet used mask must match the single-device run."""
+    from nexoclom_tpu.ops.los import los_geometry, los_reduce
+    from nexoclom_tpu.parallel import packet_sharding
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    r = rng.uniform(1.1, 6.0, n)
+    costh = rng.uniform(-1.0, 1.0, n)
+    phi = rng.uniform(0.0, 2 * np.pi, n)
+    sinth = np.sqrt(1.0 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    weight = jnp.asarray(rng.uniform(0.0, 1.0, n))
+
+    n_spec = 40
+    sc = rng.uniform(-8.0, 8.0, (n_spec, 3))
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True) / 7.0, 1.0)
+    bore = -sc + rng.normal(0.0, 1.0, (n_spec, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, outer_dd = los_geometry(sc, bore, outeredge=10.0)
+
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(outer_dd), jnp.asarray(0.05), jnp.asarray(2.44e8))
+    rad_ref, npack_ref, used_ref = los_reduce(px, py, pz, weight, *args)
+    assert int(npack_ref.sum()) > 0       # the geometry actually sees packets
+
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    with mesh:
+        sh = packet_sharding(mesh)
+        px_s, py_s, pz_s, w_s = (jax.device_put(a, sh)
+                                 for a in (px, py, pz, weight))
+        rad_s, npack_s, used_s = los_reduce(px_s, py_s, pz_s, w_s, *args)
+        jax.block_until_ready(rad_s)
+
+    np.testing.assert_allclose(np.asarray(rad_s), np.asarray(rad_ref),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(npack_s), np.asarray(npack_ref))
+    np.testing.assert_array_equal(np.asarray(used_s), np.asarray(used_ref))
+
+
 def test_fused_image_sharded_matches_unsharded():
     import os
     from nexoclom_tpu.initial_state import Input

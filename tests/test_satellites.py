@@ -456,13 +456,14 @@ def test_moon_bounce_sharded_matches_unsharded():
                        atol=plain.image.max() * 1e-12)
 
 
-def test_moon_bounce_rejects_surface_map_sticking():
-    """The satellite check fires BEFORE the map load (with a REAL existing
-    mapfile, so a missing-file error cannot mask it) and names the actual
-    problem."""
+def test_moon_surface_map_sticking_falls_back_to_removal():
+    """Surface-map sticking on a satellite run keeps the map-driven bounce
+    on the PLANET but uses removal semantics on the moon: the map is
+    planet-fixed, so there is nothing to bounce against on the moon
+    (advisor round 2 — this configuration used to be rejected outright).
+    The catalog marker follows the same gate: no moon_bounce marker."""
     from nexoclom_tpu.initial_state.sections import SurfaceInteraction
     from nexoclom_tpu.particle_tracking.output import engine_spec_from_inputs
-    from nexoclom_tpu.utilities.exceptions import InputError
     mapfile = os.path.join(os.path.dirname(__file__), 'data',
                            'sticking_maps', 'orbit_ca_sticking.pkl')
     assert os.path.exists(mapfile)
@@ -470,8 +471,12 @@ def test_moon_bounce_rejects_surface_map_sticking():
     inp.surfaceinteraction = SurfaceInteraction(
         {'sticktype': 'surface map', 'accomfactor': '0.5',
          'stick_mapfile': mapfile})
-    with pytest.raises(InputError, match='planet-fixed'):
-        engine_spec_from_inputs(inp)
+    spec = engine_spec_from_inputs(inp)
+    assert spec.surface_bounce            # the planet map still bounces
+    assert spec.sticktype == 'surface map'
+    assert spec.moon_impact               # re-impacts still detected...
+    assert not spec.moon_bounce           # ...but remove, not re-emit
+    assert 'engine' not in inp.to_dict()  # removal semantics: unmarked
 
 
 def test_moon_bounce_catalog_semantics_marker():
