@@ -1,0 +1,29 @@
+"""CI smoke tests for the examples gallery: each example's ``main()`` runs
+end to end at a tiny packet count (CPU backend, temp savepath) so the
+gallery cannot rot silently.  The examples' own science assertions (tail
+asymmetry, torus annulus fraction, positive fitted source rate) stay
+active — they are physics-strong enough to hold at small counts."""
+import importlib
+import os
+import sys
+
+import pytest
+
+EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), '..', 'examples')
+
+
+@pytest.mark.parametrize('name, packets', [
+    ('mercury_na_tail', 1500),
+    ('io_torus', 1200),
+    ('messenger_fit', 1500),
+])
+def test_example_runs(name, packets, tmp_path, monkeypatch):
+    monkeypatch.syspath_prepend(EXAMPLES_DIR)
+    # examples honor NEXOCLOM_SAVEPATH via setdefault; force it to the
+    # test's temp dir so nothing escapes
+    monkeypatch.setenv('NEXOCLOM_SAVEPATH', str(tmp_path))
+    monkeypatch.setattr(sys, 'argv', [
+        f'{name}.py', '--packets', str(packets),
+        '--savepath', str(tmp_path)])
+    module = importlib.import_module(name)
+    module.main()
