@@ -1,14 +1,28 @@
-"""Benchmark: packet-steps/sec/chip for the full-physics RK5(4) step loop.
+"""Benchmark: packet-steps/sec/chip for the three production pipelines.
 
-Measures the headline engine throughput on the Ca-class Mercury problem
-(gravity + radiation-pressure table + shadow-masked photoionization + surface
-kill + outer-edge check, constant 30 s steps) over a 2^20-packet batch —
-the BASELINE.json north-star metric (target 1e8 packet-steps/sec/chip).
+One JSON line with three driver-visible metrics (round-over-round record):
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``value`` — the headline BASELINE.json metric, unchanged for continuity:
+  the full-physics RK5(4) constant-step loop on the Ca-class Mercury
+  problem (gravity + radiation-pressure table + shadow-masked
+  photoionization + surface kill + outer-edge check, 30 s steps, 2^20
+  packets; target 1e8 packet-steps/sec/chip).
+* ``adaptive_value`` — accepted packet-steps/s of the ADAPTIVE driver (the
+  reference's default mode, input_classes.py:1085-1092) on the same
+  Input-driven Ca case: per-packet step control in one lax.while_loop with
+  baked physics tables and inner_steps=4 (the production configuration,
+  docs/scaling.md).
+* ``fused_value`` — packet-steps/s of the fused-observable image pipeline
+  (200x200 radiance, stride 1) streaming 2^22 packets through the chunked
+  scan.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
+"adaptive_value", "adaptive_vs_baseline", "fused_value",
+"fused_vs_baseline"}.
 """
 import json
 import math
+import os
 import time
 
 import numpy as np
@@ -16,14 +30,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE = 1e8
 
-def main():
-    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
-    enable_compilation_cache()
+
+def bench_const_step():
+    """Headline metric: constant-step full-physics loop (unchanged)."""
     from nexoclom_tpu.atomicdata import radpres_table
     from nexoclom_tpu.initial_state.loss_info import LossInfo
     from nexoclom_tpu.ops.integrator import (EngineSpec, constant_step_driver,
+                                             default_lookup_impl,
                                              empty_force_table)
+    from nexoclom_tpu.ops.pltable import compress_uniform
     from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
     from nexoclom_tpu.solarsystem import SSObject, planet_dist
 
@@ -32,11 +50,9 @@ def main():
     radius_km = mercury.radius
     aplanet, vr = planet_dist(mercury, 0.0)
 
-    from nexoclom_tpu.ops.integrator import default_lookup_impl
     spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
                       surface_bounce=False, check_outer_edge=True,
                       lookup_impl=default_lookup_impl())
-    from nexoclom_tpu.ops.pltable import compress_uniform
     v0, dv, accel = radpres_table('Ca', aplanet)
     forces = empty_force_table(dtype)._replace(
         gm=jnp.asarray(mercury.gm_rp3, dtype),
@@ -82,14 +98,96 @@ def main():
         checksum += float(jnp.sum(final.frac))
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum)
+    return reps * n_packets * (nsteps - 1) / elapsed
 
-    packet_steps = reps * n_packets * (nsteps - 1)
-    rate = packet_steps / elapsed
+
+def _ca_inputs():
+    from nexoclom_tpu.initial_state import Input
+    return Input(os.path.join(HERE, 'tests', 'data', 'inputfiles',
+                              'mercury_ca_spot.input'))
+
+
+def bench_adaptive():
+    """Accepted packet-steps/s of the adaptive (default-mode) driver."""
+    from nexoclom_tpu.initial_state.sampling import build_initial_state
+    from nexoclom_tpu.initial_state.sections import effective_taa
+    from nexoclom_tpu.ops.integrator import (adaptive_step_driver_baked,
+                                             packet_state_from_dict)
+    from nexoclom_tpu.particle_tracking.output import (
+        build_force_table, build_surface_table, engine_spec_from_inputs)
+    from nexoclom_tpu.solarsystem import planet_dist
+
+    dtype = jnp.float32
+    inp = _ca_inputs()
+    inp.options.endtime = 10800.0
+    inp.options.step_size = 0.0
+    inp.options.resolution = 1e-4
+    radius_km = inp.geometry.planet.radius
+    taa = effective_taa(inp.geometry)
+    r, v_r = planet_dist(inp.geometry.planet, taa)
+    spec = engine_spec_from_inputs(inp)
+    forces = build_force_table(inp, r, v_r / radius_km, radius_km, dtype)
+    surface = build_surface_table(inp, spec, radius_km, dtype)
+
+    n = 1 << 20            # adaptive peaks at ~1M lanes (docs/scaling.md)
+    state0 = packet_state_from_dict(build_initial_state(inp, n, seed=7,
+                                                        dtype=dtype))
+    key = jax.random.PRNGKey(99)
+
+    def run():
+        return adaptive_step_driver_baked(
+            state0, spec, forces, surface, jnp.asarray(1e-4, dtype),
+            jnp.asarray(inp.options.outeredge, dtype),
+            jnp.asarray(radius_km, dtype), key, collect_stats=True,
+            inner_steps=4)
+
+    final, _, stats = run()
+    float(jnp.sum(final.frac))          # compile + barrier
+    t0 = time.perf_counter()
+    final, _, stats = run()
+    # int64 on host: the int32 per-packet counters total past 2^31
+    accepted = int(np.asarray(stats['accepted'], np.int64).sum())
+    elapsed = time.perf_counter() - t0
+    return accepted / elapsed
+
+
+def bench_fused():
+    """Packet-steps/s of the fused image pipeline (200x200, stride 1)."""
+    from nexoclom_tpu.particle_tracking.fused import fused_image_run
+
+    inp = _ca_inputs()
+    inp.options.endtime = 10800.0
+    nsteps = int(inp.options.endtime / inp.options.step_size + 1)
+    params = {'quantity': 'radiance', 'dims': '200,200', 'width': '8,8'}
+    chunk = 1 << 20
+    n = 1 << 22
+
+    warm = fused_image_run(inp, chunk, dict(params), seed=1, chunk=chunk)
+    float(warm.image.sum())             # compile + barrier
+    t0 = time.perf_counter()
+    result = fused_image_run(inp, n, dict(params), seed=1, chunk=chunk)
+    total = float(result.image.sum())   # device sync
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(total) and total > 0
+    return n * (nsteps - 1) / elapsed
+
+
+def main():
+    from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    rate = bench_const_step()
+    adaptive_rate = bench_adaptive()
+    fused_rate = bench_fused()
     print(json.dumps({
         'metric': 'packet-steps/sec/chip (Ca-class full physics, RK5 const-step)',
         'value': rate,
         'unit': 'packet-steps/s',
-        'vs_baseline': rate / 1e8,
+        'vs_baseline': rate / BASELINE,
+        'adaptive_value': adaptive_rate,
+        'adaptive_vs_baseline': adaptive_rate / BASELINE,
+        'fused_value': fused_rate,
+        'fused_vs_baseline': fused_rate / BASELINE,
     }))
 
 

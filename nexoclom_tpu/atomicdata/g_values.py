@@ -6,10 +6,15 @@ Radiation acceleration is a_rad = h g / (m lambda) summed over lines.
 
 Parity notes (vs ``nexoclom/atomicdata/g_values.py``):
 
-* The data table is the same one the reference loads at runtime
+* The default data table is the same one the reference loads at runtime
   (``g-values.pkl``: Killen et al. 2009 rows plus two synthetic test
-  entries — the Killen 2022 CSVs shipped alongside are never read by the
-  reference), vendored as ``nexoclom_tpu/data/gvalues.csv``.
+  entries), vendored as ``nexoclom_tpu/data/gvalues.csv``.
+* The Killen 2022 tables the reference ships but never loads
+  (``data/g-values/{Na,Ca,Mg}.Killen2022.csv``) are vendored as
+  ``gvalues_killen2022.csv`` and selectable with ``version='Killen2022'``
+  (input grammar: ``options.gvalue_version = Killen2022``).  Selection is
+  STRICT — a species/line absent from the chosen dataset is absent, not
+  backfilled from the other one.
 * ``gValue.g`` scales as refpoint^2 / aplanet^2 (`g_values.py:86-87`).
 * ``RadPresConst.accel`` interpolates each line's g onto the union velocity
   grid and sums h g/(m lambda) (`g_values.py:148-156`).
@@ -32,10 +37,27 @@ from nexoclom_tpu.constants import ATOMIC_MASS_UNIT, PLANCK_CONSTANT
 _DATAPATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), 'data')
 
 
-@functools.lru_cache(maxsize=1)
-def _load_gvalue_table():
+GVALUE_VERSIONS = {'killen2009': 'gvalues.csv',
+                   'killen2022': 'gvalues_killen2022.csv'}
+DEFAULT_GVALUE_VERSION = 'Killen2009'
+
+
+def normalize_gvalue_version(version: str | None) -> str:
+    """Canonical capitalization ('Killen2009'/'Killen2022'), case-insensitive
+    input, with a clear error for unknown datasets."""
+    v = (version or DEFAULT_GVALUE_VERSION).casefold()
+    if v not in GVALUE_VERSIONS:
+        raise ValueError(f'unknown g-value dataset {version!r}; available: '
+                         + ', '.join(sorted('Killen' + k[-4:]
+                                            for k in GVALUE_VERSIONS)))
+    return 'Killen' + v[-4:]
+
+
+@functools.lru_cache(maxsize=4)
+def _load_gvalue_table(version: str = DEFAULT_GVALUE_VERSION):
     import pandas as pd
-    return pd.read_csv(os.path.join(_DATAPATH, 'gvalues.csv'))
+    fname = GVALUE_VERSIONS[normalize_gvalue_version(version).casefold()]
+    return pd.read_csv(os.path.join(_DATAPATH, fname))
 
 
 class gValue:
@@ -45,12 +67,14 @@ class gValue:
     ``velocity`` (km/s, sorted), ``g`` (1/s, scaled to ``aplanet``).
     """
 
-    def __init__(self, species: str, wavelength: float, aplanet: float = 1.0):
+    def __init__(self, species: str, wavelength: float, aplanet: float = 1.0,
+                 version: str = DEFAULT_GVALUE_VERSION):
         self.species = species
         self.wavelength = float(wavelength)
         self.aplanet = float(aplanet)
+        self.version = normalize_gvalue_version(version)
 
-        table = _load_gvalue_table()
+        table = _load_gvalue_table(self.version)
         rows = table[(table.species == species) &
                      (table.wavelength == self.wavelength)]
         if len(rows) == 0:
@@ -78,11 +102,13 @@ class RadPresConst:
     ``aplanet`` (AU).
     """
 
-    def __init__(self, species: str, aplanet: float = 1.0):
+    def __init__(self, species: str, aplanet: float = 1.0,
+                 version: str = DEFAULT_GVALUE_VERSION):
         self.species = species
         self.aplanet = float(aplanet)
+        self.version = normalize_gvalue_version(version)
 
-        table = _load_gvalue_table()
+        table = _load_gvalue_table(self.version)
         subset = table[table.species == species]
         if len(subset) == 0:
             self.velocity = np.array([0.0, 1.0])
@@ -97,7 +123,7 @@ class RadPresConst:
         mass_kg = atomicmass(species) * ATOMIC_MASS_UNIT
         accel = np.zeros_like(self.velocity)
         for wave in self.wavelength:
-            gval = gValue(species, wave, aplanet)
+            gval = gValue(species, wave, aplanet, version=self.version)
             g_interp = np.interp(self.velocity, gval.velocity, gval.g)
             # h g / (m lambda): J s * 1/s / (kg * m) = m/s^2 -> km/s^2
             accel += (PLANCK_CONSTANT * g_interp /
@@ -105,7 +131,8 @@ class RadPresConst:
         self.accel = accel
 
 
-def radpres_table(species: str, aplanet: float, npoints: int | None = None):
+def radpres_table(species: str, aplanet: float, npoints: int | None = None,
+                  version: str = DEFAULT_GVALUE_VERSION):
     """Uniform-grid radiation-pressure lookup table for the jitted engine.
 
     Returns ``(v0, dv, accel)`` with velocity in km/s and accel in km/s^2,
@@ -114,7 +141,7 @@ def radpres_table(species: str, aplanet: float, npoints: int | None = None):
     matching ``np.interp`` semantics used by the reference state function
     (``particle_tracking/state.py:35-36``).
     """
-    rp = RadPresConst(species, aplanet)
+    rp = RadPresConst(species, aplanet, version=version)
     v = rp.velocity
     if npoints is None:
         # At least as fine as the densest source table (the Killen grids are
@@ -128,13 +155,15 @@ def radpres_table(species: str, aplanet: float, npoints: int | None = None):
 
 
 def gvalue_table(species: str, wavelengths, aplanet: float,
-                 npoints: int | None = None):
+                 npoints: int | None = None,
+                 version: str = DEFAULT_GVALUE_VERSION):
     """Uniform-grid summed g-value lookup table (for LOS/image weighting).
 
     Sums the g-values of the requested ``wavelengths`` onto one uniform
     velocity grid.  Returns ``(v0, dv, g)`` (km/s, km/s, 1/s).
     """
-    gvals = [gValue(species, w, aplanet) for w in wavelengths]
+    gvals = [gValue(species, w, aplanet, version=version)
+             for w in wavelengths]
     vmin = min(g.velocity[0] for g in gvals)
     vmax = max(g.velocity[-1] for g in gvals)
     if npoints is None:

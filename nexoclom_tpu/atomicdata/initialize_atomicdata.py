@@ -51,13 +51,37 @@ def parse_gvalue_dat(datafile: str, reference='Killen et al. (2009)'
 
 def parse_gvalue_csv(csvfile: str, species: str, wavelength: float,
                      refpoint: float = 0.352,
-                     reference='Killen et al. 2022') -> pd.DataFrame:
+                     reference='Killen et al. (2022)') -> pd.DataFrame:
     table = pd.read_csv(csvfile)
     column = str(int(wavelength))
     return pd.DataFrame(dict(species=species, wavelength=wavelength,
                              velocity=table['velocity'].astype(float),
                              gvalue=table[column].astype(float),
                              refpoint=refpoint, reference=reference))
+
+
+def make_gvalue_table_2022(source_dir: str, outfile: str | None = None
+                           ) -> pd.DataFrame:
+    """Parse the ``<species>.Killen2022.csv`` g-value files into the vendored
+    long-format CSV (``gvalues_killen2022.csv``).
+
+    The reference ships these tables (``data/g-values/{Na,Ca,Mg}.Killen2022.csv``)
+    but its runtime never loads them; here they are a selectable dataset
+    (``options.gvalue_version = Killen2022``).  Each file is
+    ``velocity,<lambda>[,<lambda>...]`` columns; the refpoint is 0.352 AU —
+    the 2022 values at matching velocities are the same scale as the 2009
+    rows quoted at 0.352 (e.g. Na 5891 at -50 km/s: 82.7 vs 80.2/s)."""
+    frames = []
+    for f in sorted(glob.glob(os.path.join(source_dir, '*.Killen2022.csv'))):
+        species = os.path.basename(f).split('.')[0]
+        for column in pd.read_csv(f, nrows=0).columns[1:]:
+            frames.append(parse_gvalue_csv(f, species, float(column)))
+    table = pd.concat(frames, ignore_index=True)
+    table = table.sort_values(['species', 'wavelength', 'velocity'])
+    if outfile is None:
+        outfile = os.path.join(_DATAPATH, 'gvalues_killen2022.csv')
+    table.to_csv(outfile, index=False)
+    return table
 
 
 def make_gvalue_table(source_dir: str, outfile: str | None = None

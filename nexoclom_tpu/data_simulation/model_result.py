@@ -100,8 +100,11 @@ class ModelResult:
             if self.g is None:
                 gg = np.zeros_like(frac)
                 radvel_kms = np.asarray(radvel_model) * self.radius_km
+                version = getattr(self.inputs.options, 'gvalue_version',
+                                  'Killen2009')
                 for wave in self.wavelength:
-                    gval = gValue(self.inputs.options.species, wave, aplanet)
+                    gval = gValue(self.inputs.options.species, wave, aplanet,
+                                  version=version)
                     gg += np.interp(radvel_kms, gval.velocity, gval.g)
             else:
                 gg = float(self.g)

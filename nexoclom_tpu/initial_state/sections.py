@@ -432,6 +432,23 @@ class Options(_Section):
         else:
             raise InputError('Options.__init__', 'options.species not specified.')
 
+        # Selectable g-value dataset (extension): the reference SHIPS the
+        # Killen 2022 CSVs (data/g-values/{Na,Ca,Mg}.Killen2022.csv) but
+        # its runtime never loads them; here `options.gvalue_version =
+        # Killen2022` selects them for radiation pressure and radiance
+        # weighting.  Default stays Killen2009 (parity); the attribute is
+        # set only for non-default choices so the canonical dict (and
+        # catalog matching against earlier runs) is unchanged.
+        if 'gvalue_version' in oparam:
+            from nexoclom_tpu.atomicdata.g_values import (
+                DEFAULT_GVALUE_VERSION, normalize_gvalue_version)
+            try:
+                version = normalize_gvalue_version(oparam['gvalue_version'])
+            except ValueError as exc:
+                raise InputError('Options.__init__', str(exc))
+            if version != DEFAULT_GVALUE_VERSION:
+                self.gvalue_version = version
+
         self.lifetime = float(oparam.get('lifetime', 0))
 
         # Extension (quirk F22): constant electron-impact and charge-

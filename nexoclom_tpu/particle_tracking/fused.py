@@ -214,7 +214,9 @@ def fused_image_run(inputs, npackets, params=None, seed=None, dtype=None,
             waves = [float(w) for w in str(waves).split(',')]
         else:
             waves = DEFAULT_WAVELENGTHS[options.species]
-        g_v0, g_dv, g_tab = gvalue_table(options.species, waves, aplanet)
+        g_v0, g_dv, g_tab = gvalue_table(
+            options.species, waves, aplanet,
+            version=getattr(options, 'gvalue_version', 'Killen2009'))
         g_v0, g_dv = g_v0 / radius_km, g_dv / radius_km
         g_pl = compress_uniform(
             g_v0, g_dv, g_tab, rel_tol=1e-3,

@@ -166,7 +166,9 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
 
     if inputs.forces.radpres:
         from nexoclom_tpu.ops.pltable import compress_uniform
-        v0, dv, accel = radpres_table(options.species, aplanet)
+        v0, dv, accel = radpres_table(
+            options.species, aplanet,
+            version=getattr(options, 'gvalue_version', 'Killen2009'))
         np_dtype = np.float64 if dtype == jnp.float64 else np.float32
         table = table._replace(
             rp_v0=jnp.asarray(v0 / radius_km, dtype),

@@ -14,6 +14,8 @@ Sources (read-only, see SURVEY.md section 2.5):
 Outputs (committed in nexoclom_tpu/data/):
   * planetary_constants.csv
   * gvalues.csv
+  * gvalues_killen2022.csv (shipped by the reference, never loaded by it;
+    selectable here via options.gvalue_version = Killen2022)
   * photorates.csv
 """
 import os
@@ -44,6 +46,17 @@ def convert_gvalues():
     print(f'gvalues.csv: {len(g)} rows, species={sorted(g.species.unique())}')
 
 
+def convert_gvalues_2022():
+    # the reference ships these but never loads them; vendored as a
+    # selectable dataset (options.gvalue_version = Killen2022)
+    from nexoclom_tpu.atomicdata.initialize_atomicdata import (
+        make_gvalue_table_2022)
+    t = make_gvalue_table_2022(os.path.join(REF, 'g-values'),
+                               os.path.join(OUT, 'gvalues_killen2022.csv'))
+    print(f'gvalues_killen2022.csv: {len(t)} rows, '
+          f'species={sorted(t.species.unique())}')
+
+
 def convert_photorates():
     p = pd.read_pickle(os.path.join(REF, 'Loss', 'photorates.pkl'))
     p = p[['species', 'reaction', 'kappa', 'reference', 'best_version']].copy()
@@ -55,4 +68,5 @@ if __name__ == '__main__':
     os.makedirs(OUT, exist_ok=True)
     convert_planetary_constants()
     convert_gvalues()
+    convert_gvalues_2022()
     convert_photorates()
