@@ -936,6 +936,72 @@ def adaptive_step_driver_baked(state0: PacketState, spec: EngineSpec,
     return fn(state0, key, *stepper_args)
 
 
+# Validated adaptive device-batch envelope: 1M- and 2M-lane while_loops are
+# validated on axon v5e; a 4M-lane adaptive run faulted the TPU worker once
+# ("kernel fault", 2026-08 — CLAUDE.md).  Larger batches run as sequential
+# sub-batches instead of handing the chip a single oversized loop.  The
+# reference caps its own per-iteration batch for memory instead
+# (Input.py:215-233); here the cap is a hardware-stability envelope.
+ADAPTIVE_LANE_ENVELOPE = 1 << 21
+
+
+def adaptive_step_driver_chunked(state0: PacketState, spec: EngineSpec,
+                                 forces: ForceTable,
+                                 surface: Optional[SurfaceTable],
+                                 resolution, outeredge, radius_km, key,
+                                 envelope: int = ADAPTIVE_LANE_ENVELOPE,
+                                 **kwargs):
+    """:func:`adaptive_step_driver_baked`, auto-split into sequential
+    sub-batches of at most ``envelope`` lanes.
+
+    Batches within the envelope pass straight through.  Larger batches are
+    sliced; the tail slice is PADDED with dead lanes (all-zero leaves:
+    t = 0, frac = 0, so ``moretogo`` is False from iteration 0) so every
+    sub-batch shares one compiled executable.  Lanes are physically
+    independent — the only cross-lane coupling is the loop's all-done
+    predicate — so per-packet results are identical to a monolithic run
+    except the bounce RNG stream (the key is folded per sub-batch; both
+    streams are equally valid, like the compacting orchestrator's).
+
+    Returns ``(final_state, iterations)`` with ``iterations`` the MAXIMUM
+    over sub-batches (what a monolithic loop would have run).
+    """
+    n = state0.x.shape[0]
+    if n <= envelope:
+        return adaptive_step_driver_baked(
+            state0, spec, forces, surface, resolution, outeredge, radius_km,
+            key, **kwargs)
+    for unsupported in ('collect_stats', 'return_h'):
+        if kwargs.get(unsupported):
+            raise ValueError(f'adaptive_step_driver_chunked does not '
+                             f'support {unsupported} above the envelope '
+                             f'({n} > {envelope} lanes); run sub-batches '
+                             f'explicitly')
+    if np.ndim(kwargs.get('initial_step', 1000.0)) != 0:
+        raise ValueError('adaptive_step_driver_chunked requires a scalar '
+                         'initial_step above the envelope')
+
+    finals = []
+    iterations = 0
+    for i, start in enumerate(range(0, n, envelope)):
+        stop = min(start + envelope, n)
+        pad = envelope - (stop - start)
+        sub = jax.tree.map(
+            lambda leaf: (leaf[start:stop] if pad == 0 else
+                          jnp.concatenate([leaf[start:stop],
+                                           jnp.zeros(pad, leaf.dtype)])),
+            state0)
+        fin, iters = adaptive_step_driver_baked(
+            sub, spec, forces, surface, resolution, outeredge, radius_km,
+            jax.random.fold_in(key, i), **kwargs)
+        if pad:
+            fin = jax.tree.map(lambda leaf: leaf[:stop - start], fin)
+        finals.append(fin)
+        iterations = max(iterations, int(iters))
+    final = jax.tree.map(lambda *leaves: jnp.concatenate(leaves), *finals)
+    return final, jnp.asarray(iterations, jnp.int32)
+
+
 def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,
                             forces: ForceTable,
                             surface: Optional[SurfaceTable],

@@ -37,7 +37,8 @@ from nexoclom_tpu.initial_state.loss_info import LossInfo
 from nexoclom_tpu.initial_state.sections import effective_taa
 from nexoclom_tpu.initial_state.sampling import build_initial_state
 from nexoclom_tpu.ops.integrator import (EngineSpec, ForceTable, PacketState,
-                                         SurfaceTable, adaptive_step_driver_baked,
+                                         SurfaceTable,
+                                         adaptive_step_driver_chunked,
                                          constant_step_driver,
                                          empty_force_table,
                                          packet_state_from_dict)
@@ -379,8 +380,11 @@ class Output:
             # while-loop iterations on axon v5e (ops/integrator.py).
             # inner_steps=4 amortises the per-iteration cond (another
             # +23% measured); trajectories are identical, the loop can
-            # only overrun by up to 3 all-dead iterations
-            final, iterations = adaptive_step_driver_baked(
+            # only overrun by up to 3 all-dead iterations.  The chunked
+            # wrapper splits device batches above the validated lane
+            # envelope (ADAPTIVE_LANE_ENVELOPE: a 4M-lane loop faulted
+            # the TPU worker once) into sequential sub-batches.
+            final, iterations = adaptive_step_driver_chunked(
                 state0, spec, forces, surface,
                 jnp.asarray(options.resolution, dtype),
                 jnp.asarray(options.outeredge, dtype),

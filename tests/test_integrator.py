@@ -402,3 +402,74 @@ def test_baked_adaptive_matches_plain():
     adaptive_step_driver_baked(state0, *other)
     if n_entries < _BAKED_ADAPTIVE_CACHE_MAX:
         assert len(_BAKED_ADAPTIVE_CACHE) == n_entries + 1
+
+
+def test_adaptive_chunked_matches_monolithic():
+    """adaptive_step_driver_chunked splits batches above the lane envelope
+    into sequential sub-batches (tail padded with dead lanes so every
+    sub-batch shares one executable) and reproduces the monolithic result
+    exactly for deterministic physics; within-envelope batches pass
+    straight through."""
+    from nexoclom_tpu.ops.integrator import (ADAPTIVE_LANE_ENVELOPE,
+                                             adaptive_step_driver_chunked)
+    assert ADAPTIVE_LANE_ENVELOPE == 1 << 21   # the validated envelope
+    state0 = make_state(n=100, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, iters_m = adaptive_step_driver(state0, *args)
+    # envelope 32 -> 4 sub-batches, the last padded 100 -> 3x32 + 4(+28 pad)
+    final_c, iters_c = adaptive_step_driver_chunked(state0, *args,
+                                                    envelope=32)
+    for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+        np.testing.assert_allclose(np.asarray(getattr(final_c, f)),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+    # iterations is the max over sub-batches <= the monolithic count
+    # (the monolithic loop runs until ITS slowest lane finishes)
+    assert 0 < int(iters_c) <= int(iters_m)
+    # within-envelope: identical to the baked driver (pass-through)
+    from nexoclom_tpu.ops.integrator import adaptive_step_driver_baked
+    f_pass, it_pass = adaptive_step_driver_chunked(state0, *args,
+                                                   envelope=128)
+    f_baked, it_baked = adaptive_step_driver_baked(state0, *args)
+    assert int(it_pass) == int(it_baked)
+    for leaf_p, leaf_b in zip(f_pass, f_baked):
+        np.testing.assert_array_equal(np.asarray(leaf_p), np.asarray(leaf_b))
+    # unsupported kwargs above the envelope are refused loudly
+    with pytest.raises(ValueError, match='collect_stats'):
+        adaptive_step_driver_chunked(state0, *args, envelope=32,
+                                     collect_stats=True)
+
+
+def test_output_chunks_oversized_adaptive_batch(monkeypatch, tmp_path):
+    """An adaptive Output above the validated lane envelope auto-splits
+    into sequential sub-batches (the 4M-lane chip-fault guard), producing
+    per-packet results identical to the in-envelope run."""
+    import nexoclom_tpu.ops.integrator as integ
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    import os as _os
+    infile = _os.path.join(_os.path.dirname(__file__), 'data', 'inputfiles',
+                           'mercury_gravity.input')
+    inp = Input(infile)
+    inp.options.endtime = 2000.0
+    inp.options.step_size = 0.0
+    inp.options.resolution = 1e-4
+    out_full = Output(inp, 100, seed=5)
+    x_full = out_full.X.sort_values('x').reset_index(drop=True)
+
+    real_chunked = integ.adaptive_step_driver_chunked
+    calls = {}
+
+    def spy(*args, **kwargs):
+        calls['envelope'] = kwargs.setdefault('envelope', 32)
+        return real_chunked(*args, **kwargs)
+
+    import nexoclom_tpu.particle_tracking.output as out_mod
+    monkeypatch.setattr(out_mod, 'adaptive_step_driver_chunked', spy)
+    out_chunked = Output(inp, 100, seed=5)
+    assert calls['envelope'] == 32        # the spy actually forced chunking
+    x_chunked = out_chunked.X.sort_values('x').reset_index(drop=True)
+    for col in ('time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac'):
+        np.testing.assert_allclose(x_chunked[col].to_numpy(),
+                                   x_full[col].to_numpy(),
+                                   rtol=1e-12, atol=1e-12, err_msg=col)
