@@ -1115,6 +1115,157 @@ def adaptive_compacting_run(state0: PacketState, spec: EngineSpec,
     return PacketState(**final_np), total_iters
 
 
+@jax.jit
+def _sort_finished_first(state: PacketState, h, ids, res):
+    """Device-side compaction primitive: stable key-value sort of the whole
+    lane set with finished lanes first (alive = 0/1 ascending key).
+
+    ``jax.lax.sort`` with trailing operands is a single sort HLO — no
+    general gather, which lowers to a scalar loop on this TPU (CLAUDE.md).
+    Returns the sorted ``(state, h, ids)``.
+    """
+    alive = ((state.t > res) & (state.frac > 0.0)).astype(jnp.int32)
+    out = jax.lax.sort((alive,) + tuple(state) + (h, ids),
+                       num_keys=1, is_stable=True)
+    n_fields = len(PacketState._fields)
+    return (PacketState(*out[1:1 + n_fields]), out[1 + n_fields],
+            out[2 + n_fields])
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _refill_block(state_s: PacketState, h_s, ids_s, fresh_block, fresh_ids,
+                  h0):
+    """Swap the first K (finished) lanes for K fresh pool packets.
+
+    ``state_s/h_s/ids_s`` come from :func:`_sort_finished_first`;
+    ``fresh_block`` is a (n_fields, K) stacked leaf array.  Returns
+    ``(new_state, new_h, new_ids, done_block, done_ids)`` where
+    ``done_block`` is the extracted (n_fields, K) finished-lane block —
+    stacked so the host pulls ONE array (plus the int ids) per refill.
+    """
+    k = fresh_block.shape[1]
+    done_block = jnp.stack([leaf[:k] for leaf in state_s])
+    done_ids = ids_s[:k]
+    new_state = PacketState(*[
+        jnp.concatenate([fresh_block[i], leaf[k:]])
+        for i, leaf in enumerate(state_s)])
+    new_h = jnp.concatenate([jnp.full((k,), h0, h_s.dtype), h_s[k:]])
+    new_ids = jnp.concatenate([fresh_ids, ids_s[k:]])
+    return new_state, new_h, new_ids, done_block, done_ids
+
+
+def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
+                      forces: ForceTable, surface: Optional[SurfaceTable],
+                      resolution, outeredge, radius_km, key,
+                      batch: int = 1 << 20, segment: int = 256,
+                      initial_step: float = 1000.0,
+                      max_total_iterations: int = 10 ** 7):
+    """Adaptive integration of a large packet pool through a fixed-width
+    device batch with DEVICE-SIDE compaction and refill.
+
+    The monolithic while_loop wastes lanes on finished packets (measured
+    37% mean occupancy on the Ca case — docs/scaling.md): p50 of packets
+    finish by iteration ~1000 of ~2800 and ride dead to the end.  Host-side
+    compaction was a measured no-go (0.88x: per-leaf device->host pulls
+    every segment through the ~50 ms axon transfer path).  This
+    orchestrator keeps the batch width FIXED (one executable, no per-shape
+    recompiles) and keeps occupancy high by swapping finished lanes for
+    fresh pool packets:
+
+    1. run the baked driver for ``segment`` iterations (per-packet h rides
+       across segments via ``return_h``/``initial_step``);
+    2. ONE scalar transfer: the live-lane count;
+    3. when at least batch/2 lanes are finished and pool packets remain,
+       sort the lanes finished-first ON DEVICE (``lax.sort`` key-value —
+       no gather) and swap the first batch/2 lanes for fresh packets:
+       one (n_fields, batch/2) device->host pull of the finished block,
+       one host->device push of the fresh block — both single transfers
+       of contiguous stacked arrays;
+    4. when the pool is dry, drain the remaining stragglers segment by
+       segment (occupancy decays only over this final tail).
+
+    Lanes are physically independent (the loop's all-done predicate is the
+    only coupling), so per-packet results equal the monolithic driver's
+    for deterministic physics; bounce RNG streams differ per segment
+    (folded key), like :func:`adaptive_compacting_run`.
+
+    Returns ``(final_state, total_iterations)`` with the final state a
+    host-side PacketState in the original packet order.
+    """
+    fields = PacketState._fields
+    n = state0.x.shape[0]
+    res = float(resolution)
+    if n <= batch:
+        final, iters = adaptive_step_driver_baked(
+            state0, spec, forces, surface, resolution, outeredge, radius_km,
+            key, initial_step=initial_step,
+            max_iterations=max_total_iterations)
+        return (PacketState(**{f: np.asarray(getattr(final, f))
+                               for f in fields}), int(iters))
+
+    k_refill = batch // 2
+    np_dtype = np.asarray(state0.x[:1]).dtype
+    pool = np.stack([np.asarray(getattr(state0, f)) for f in fields])
+    final_np = {f: np.zeros(n, np_dtype) for f in fields}
+
+    state = jax.tree.map(lambda leaf: leaf[:batch], state0)
+    ids = jnp.arange(batch, dtype=jnp.int32)
+    h = jnp.full((batch,), initial_step, state0.x.dtype)
+    next_idx = batch
+    total_iters = 0
+    seg_i = 0
+
+    @jax.jit
+    def count_live(st):
+        return jnp.sum((st.t > res) & (st.frac > 0.0))
+
+    def write_back(block, block_ids):
+        valid = block_ids >= 0
+        idx = block_ids[valid]
+        for i, f in enumerate(fields):
+            final_np[f][idx] = block[i][valid]
+
+    while total_iters < max_total_iterations:
+        seg_key = jax.random.fold_in(key, seg_i)
+        seg_i += 1
+        state, iters, h = adaptive_step_driver_baked(
+            state, spec, forces, surface, resolution, outeredge, radius_km,
+            seg_key, initial_step=h, max_iterations=segment, return_h=True)
+        total_iters += int(iters)
+        n_live = int(count_live(state))          # ONE scalar transfer
+        n_done = batch - n_live
+        if n_live == 0 and next_idx >= n:
+            break
+        if n_done >= k_refill and next_idx < n:
+            state, h, ids = _sort_finished_first(state, h, ids,
+                                                 jnp.asarray(res))
+            m = min(k_refill, n - next_idx)
+            fresh = pool[:, next_idx:next_idx + m]
+            fresh_ids = np.arange(next_idx, next_idx + m, dtype=np.int32)
+            if m < k_refill:
+                pad = k_refill - m
+                # filler lanes: all-zero leaves (t = 0, frac = 0 -> dead
+                # from iteration 0), id = -1 (never written back)
+                fresh = np.concatenate(
+                    [fresh, np.zeros((len(fields), pad), np_dtype)], axis=1)
+                fresh_ids = np.concatenate(
+                    [fresh_ids, np.full(pad, -1, np.int32)])
+            next_idx += m
+            state, h, ids, done_block, done_ids = _refill_block(
+                state, h, ids, jnp.asarray(fresh),
+                jnp.asarray(fresh_ids),
+                jnp.asarray(initial_step, state0.x.dtype))
+            # two transfers: the stacked float block and the int ids
+            write_back(np.asarray(done_block), np.asarray(done_ids))
+
+    # final flush: everything still in the batch (finished stragglers,
+    # packets that never hit a refill boundary, or — on iteration-budget
+    # exhaustion — genuinely unfinished lanes returning partial state)
+    block = np.stack([np.asarray(getattr(state, f)) for f in fields])
+    write_back(block, np.asarray(ids))
+    return PacketState(**final_np), total_iters
+
+
 def packet_state_from_dict(x0: dict) -> PacketState:
     """Assemble the engine state from the initial-state column dict."""
     return PacketState(t=x0['time'], x=x0['x'], y=x0['y'], z=x0['z'],

@@ -45,6 +45,15 @@ neglected free eccentricities are < 0.01 and mutual-perturbation terms
 catalog's TAA match window alone is 0.5 deg).  Moons without tabulated
 elements raise ``NotImplementedError`` with the geometry.phi fallback
 spelled out.
+
+Moons beyond the built-in set (Saturn's mid-sized moons and Titan) have
+classical, high-confidence mean MOTIONS vendored (``MOON_MEAN_MOTIONS``)
+but no J2000 epoch phase: nothing inside this image can validate one (the
+Galilean set was pinned by the Laplace resonance, Luna by observed
+syzygies), and shipping an unvalidated phase would be silently wrong
+science.  Instead :func:`register_moon_ephemeris` builds the ephemeris
+from ONE user-observed phase (e.g. a Horizons lookup done elsewhere);
+``geometry.starttime`` then works for that moon like any built-in one.
 """
 from __future__ import annotations
 
@@ -70,6 +79,28 @@ MOON_EPHEMERIDES = {
 # longitude inequalities applied to 'Moon' only.
 _LUNAR_MP = (134.9633964, 13.06499295)
 _LUNAR_D = (297.8501921, 12.19074912)
+
+# Sidereal mean motions (deg/day) for moons whose RATES are classical
+# textbook constants but whose J2000 epoch phases have no validation
+# anchor available in this image (the Galilean set was pinned by the
+# Laplace resonance, Luna by observed syzygies — module docstring).
+# 360 / n reproduces the vendored constants table's orbital periods to
+# its rounding (tested); the parent's sidereal mean motion is subtracted
+# at registration to form the anti-solar-relative rate, matching the
+# MOON_EPHEMERIDES convention.  Epoch phases for these moons are
+# USER-SUPPLIED via :func:`register_moon_ephemeris`.
+MOON_MEAN_MOTIONS = {
+    'Mimas':     381.9945,     # 0.942422 d
+    'Enceladus': 262.7319,     # 1.370218 d
+    'Tethys':    190.6980,     # 1.887802 d
+    'Dione':     131.5349,     # 2.736915 d
+    'Rhea':      79.6900,      # 4.517500 d
+    'Titan':     22.57697,     # 15.945421 d
+}
+
+# The parent's sidereal mean motion comes from the vendored constants
+# table (360 / orbperiod): its 4-digit rounding shifts the relative rate
+# by < 1e-4 deg/day — < 0.04 deg over a decade of extrapolation.
 
 
 def _planet_equation_of_center(time, planet) -> float:
@@ -99,6 +130,56 @@ def _lunar_inequalities(time, planet) -> float:
 LIGHT_SECONDS_PER_AU = 499.004784
 
 
+def register_moon_ephemeris(moon_name: str, phi_at_epoch: float, epoch,
+                            planet=None, udot_deg_per_day: float = None,
+                            apparent: bool = True) -> None:
+    """Register a mean ephemeris for a moon from ONE observed phase.
+
+    No validation anchor for the J2000 epoch phases of moons beyond the
+    Galileans + Luna is available inside this image (module docstring), so
+    their phases are user-supplied: give the engine-convention phase
+    ``phi_at_epoch`` (radians, 0 = superior conjunction/anti-solar,
+    pi/2 = dawn, prograde — e.g. read off a Horizons query run elsewhere)
+    at ``epoch`` (datetime or ISO string, an Earth observation timestamp
+    when ``apparent=True``, matching :func:`moon_phase_at_time`).
+
+    The rate comes from the vendored sidereal mean motions
+    (``MOON_MEAN_MOTIONS`` — classical constants, cross-checked against
+    the constants table's periods) minus the parent planet's, or from an
+    explicit ``udot_deg_per_day``.  Afterwards ``geometry.starttime``
+    works for the moon exactly like the built-in set:
+    ``moon_phase_at_time(t) == phi_at_epoch`` at the epoch (exact, by
+    construction) and advances at the registered rate corrected by the
+    planet's equation of center.
+    """
+    name = moon_name.title()
+    if planet is None:
+        planet = SSObject(SSObject(name).orbits)
+    elif isinstance(planet, str):
+        planet = SSObject(planet)
+    if udot_deg_per_day is None:
+        if name not in MOON_MEAN_MOTIONS:
+            raise NotImplementedError(
+                f'no mean motion tabulated for {moon_name}; pass '
+                f'udot_deg_per_day explicitly (tabulated: '
+                f'{", ".join(sorted(MOON_MEAN_MOTIONS))})')
+        udot = MOON_MEAN_MOTIONS[name] - 360.0 / planet.orbperiod
+    else:
+        udot = float(udot_deg_per_day)
+
+    # solve the (linear-in-u0) epoch phase: with u0 = 0 the model returns
+    # phase0; the registered u0 is the offset that makes the model return
+    # phi_at_epoch exactly at the epoch
+    MOON_EPHEMERIDES[name] = (0.0, udot)
+    try:
+        phase0 = moon_phase_at_time(epoch, planet, name, apparent=apparent)
+    except Exception:
+        del MOON_EPHEMERIDES[name]
+        raise
+    u0 = math.degrees((float(phi_at_epoch) - phase0) % (2.0 * math.pi))
+    MOON_EPHEMERIDES[name] = (u0, udot)
+
+
 def moon_phase_at_time(time, planet, moon_name: str,
                        apparent: bool = True) -> float:
     """Orbital phase ``phi`` (radians, [0, 2pi)) of ``moon_name`` at
@@ -123,8 +204,10 @@ def moon_phase_at_time(time, planet, moon_name: str,
     if name not in MOON_EPHEMERIDES:
         raise NotImplementedError(
             f'no mean ephemeris tabulated for {moon_name}; give the phase '
-            f'explicitly with geometry.phi instead of geometry.starttime '
-            f'(tabulated: {", ".join(sorted(MOON_EPHEMERIDES))})')
+            f'explicitly with geometry.phi instead of geometry.starttime, '
+            f'or supply one observed phase via register_moon_ephemeris '
+            f'(tabulated: {", ".join(sorted(MOON_EPHEMERIDES))}; rates '
+            f'ready for: {", ".join(sorted(MOON_MEAN_MOTIONS))})')
     days = days_since_j2000(time)
     if apparent:
         delay_s = earth_distance_au(time, planet) * LIGHT_SECONDS_PER_AU

@@ -34,6 +34,10 @@ def main():
                     help='adaptive iterations per while-loop cond check')
     ap.add_argument('--compact', action='store_true',
                     help='also time the segmented compacting orchestrator')
+    ap.add_argument('--pool', type=int, default=0,
+                    help='also time adaptive_pool_run over a POOL-packet '
+                         'total through a --packets-wide batch (device-side '
+                         'sort compaction + refill)')
     ap.add_argument('--segment', type=int, default=512)
     args = ap.parse_args()
 
@@ -112,6 +116,38 @@ def main():
     occ_frac = occ.mean(axis=1)
     print(f'  mean lane occupancy over iterations: {occ_frac.mean():.1%} '
           f'(final 10%: {occ_frac[-len(occ_frac) // 10:].mean():.1%})')
+
+    if args.pool:
+        from nexoclom_tpu.ops.integrator import adaptive_pool_run
+        n_pool = args.pool
+        x0_pool = build_initial_state(inp, n_pool, seed=7, dtype=dtype)
+        pool_state = packet_state_from_dict(x0_pool)
+        run_p = lambda: adaptive_pool_run(
+            pool_state, spec, forces, surface,
+            jnp.asarray(args.resolution, dtype),
+            jnp.asarray(inp.options.outeredge, dtype),
+            jnp.asarray(radius_km, dtype), key,
+            batch=n, segment=args.segment)
+        t0 = time.perf_counter()
+        final_p, iters_p = run_p()
+        print(f'pool cold (pool={n_pool}, batch={n}, '
+              f'segment={args.segment}): {time.perf_counter() - t0:.1f} s')
+        t0 = time.perf_counter()
+        final_p, iters_p = run_p()
+        dt_p = time.perf_counter() - t0
+        # useful work = the same accepted-step total the monolithic runs
+        # would do; scale the measured per-packet accepted count
+        accepted_pool = accepted * (n_pool / n)
+        print(f'pool warm: {dt_p:.2f} s, {iters_p} while-iterations -> '
+              f'~{accepted_pool / dt_p:.3e} accepted packet-steps/s '
+              f'({accepted_pool / (n_pool * iters_p * (n / n_pool)):.1%} '
+              f'est occupancy proxy)')
+        # cross-check physics: total surviving frac within MC-identical
+        # bounds of the monolithic run on the same first n packets
+        sel_frac = float(np.asarray(final_p.frac[:n]).sum())
+        mono_frac = float(jnp.sum(final.frac))
+        print(f'pool frac[:batch] total {sel_frac:.4e} vs monolithic '
+              f'{mono_frac:.4e}')
 
     if args.compact:
         from nexoclom_tpu.ops.integrator import adaptive_compacting_run

@@ -473,3 +473,29 @@ def test_output_chunks_oversized_adaptive_batch(monkeypatch, tmp_path):
         np.testing.assert_allclose(x_chunked[col].to_numpy(),
                                    x_full[col].to_numpy(),
                                    rtol=1e-12, atol=1e-12, err_msg=col)
+
+
+def test_adaptive_pool_run_matches_monolithic():
+    """The pool-refill orchestrator (device-side sort compaction + fixed
+    batch width) reproduces the monolithic driver per packet, in original
+    order, across refills, pool exhaustion, filler padding, and the final
+    straggler drain."""
+    from nexoclom_tpu.ops.integrator import adaptive_pool_run
+    state0 = make_state(n=200, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, iters_m = adaptive_step_driver(state0, *args)
+    # batch 64 -> refill chunk 32: the 200-packet pool forces 4+ refills,
+    # a non-multiple tail (200 = 64 + 4x32 + 8 left), and filler lanes
+    final_p, iters_p = adaptive_pool_run(state0, *args, batch=64,
+                                         segment=48)
+    for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+        np.testing.assert_allclose(np.asarray(getattr(final_p, f)),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+    assert iters_p > 0
+    # small pools fall through to the plain baked driver
+    small = jax.tree.map(lambda leaf: leaf[:32], state0)
+    final_s, _ = adaptive_pool_run(small, *args, batch=64)
+    final_sm, _ = adaptive_step_driver(small, *args)
+    for leaf_s, leaf_m in zip(final_s, final_sm):
+        np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_m))

@@ -109,3 +109,84 @@ def test_starttime_fixture_launches_from_ephemeris_phase():
     # orbital speed ~ 17.3 km/s in R_J/s
     v_kms = float(np.linalg.norm(v_orb)) * SSObject('Jupiter').radius
     assert v_kms == pytest.approx(17.3, rel=0.01)
+
+
+@pytest.mark.parametrize('name', sorted(
+    __import__('nexoclom_tpu.solarsystem.moon_ephemeris',
+               fromlist=['MOON_MEAN_MOTIONS']).MOON_MEAN_MOTIONS))
+def test_mean_motions_match_constants_table(name):
+    """The vendored sidereal mean motions reproduce the constants table's
+    orbital periods to its rounding — the same internal cross-check the
+    Galilean rates get."""
+    from nexoclom_tpu.solarsystem.moon_ephemeris import MOON_MEAN_MOTIONS
+    assert 360.0 / MOON_MEAN_MOTIONS[name] == pytest.approx(
+        SSObject(name).orbperiod, rel=5e-3)
+
+
+def test_register_moon_ephemeris(monkeypatch):
+    """One observed phase registers a full mean ephemeris: exact at the
+    epoch by construction, advancing at (n_moon - n_planet) afterwards.
+    There is no validation anchor for Saturn-moon epoch phases inside
+    this image, so the phase is user-supplied — this tests the machinery,
+    not a vendored constant."""
+    import nexoclom_tpu.solarsystem.moon_ephemeris as me
+    from datetime import datetime, timedelta, timezone
+    monkeypatch.setattr(me, 'MOON_EPHEMERIDES', dict(me.MOON_EPHEMERIDES))
+
+    epoch = datetime(2026, 8, 17, tzinfo=timezone.utc)
+    phi0 = 1.2345
+    me.register_moon_ephemeris('Enceladus', phi0, epoch)
+    assert me.moon_phase_at_time(epoch, 'Saturn', 'Enceladus') == \
+        pytest.approx(phi0, abs=1e-9)
+    # rate: over 0.5 day the phase advances by udot/2 (the light-time and
+    # equation-of-center drifts over half a day are < 1e-3 deg)
+    udot = me.MOON_EPHEMERIDES['Enceladus'][1]
+    assert udot == pytest.approx(
+        me.MOON_MEAN_MOTIONS['Enceladus'] -
+        360.0 / SSObject('Saturn').orbperiod)
+    # geometric phases isolate the mean motion (the apparent correction
+    # drifts with the changing Earth-Saturn distance, ~0.01 deg/half-day)
+    p0 = me.moon_phase_at_time(epoch, 'Saturn', 'Enceladus',
+                               apparent=False)
+    p1 = me.moon_phase_at_time(epoch + timedelta(days=0.5), 'Saturn',
+                               'Enceladus', apparent=False)
+    adv = (p1 - p0) % TWO_PI
+    assert adv == pytest.approx(math.radians(udot * 0.5) % TWO_PI,
+                                abs=math.radians(2e-3))
+    # Titan: same machinery, ~22.54 deg/day relative rate
+    me.register_moon_ephemeris('Titan', 0.5, epoch)
+    assert me.MOON_EPHEMERIDES['Titan'][1] == pytest.approx(22.543, abs=2e-3)
+    # moons without a tabulated rate need an explicit one
+    with pytest.raises(NotImplementedError, match='udot_deg_per_day'):
+        me.register_moon_ephemeris('Hyperion', 0.0, epoch)
+    me.register_moon_ephemeris('Hyperion', 0.0, epoch,
+                               udot_deg_per_day=16.88)
+    assert 'Hyperion' in me.MOON_EPHEMERIDES
+
+
+def test_registered_moon_drives_starttime_geometry(monkeypatch, tmp_path):
+    """geometry.starttime works end to end for a REGISTERED moon: an
+    Enceladus satellite input launches packets from the registered
+    ephemeris phase (same chain the built-in Io fixture tests)."""
+    import os
+    import nexoclom_tpu.solarsystem.moon_ephemeris as me
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.initial_state.satellites import satellite_start
+    monkeypatch.setattr(me, 'MOON_EPHEMERIDES', dict(me.MOON_EPHEMERIDES))
+
+    me.register_moon_ephemeris('Enceladus', 2.0, '2026-08-17T00:00:00')
+    src = open(os.path.join(os.path.dirname(__file__), 'data', 'inputfiles',
+                            'jupiter_io_starttime.input')).read()
+    src = (src.replace('Jupiter', 'Saturn').replace('Io', 'Enceladus')
+           .replace('2022-03-08T19:53:21', '2026-08-17T12:00:00'))
+    infile = tmp_path / 'saturn_enceladus_starttime.input'
+    infile.write_text(src)
+    inp = Input(str(infile))
+    phi = me.moon_phase_at_time(inp.geometry.time, 'Saturn', 'Enceladus')
+    center, v_orb, scale = satellite_start(inp.geometry)
+    a_enc = SSObject('Enceladus').a / SSObject('Saturn').radius
+    assert np.hypot(center[0], center[1]) == pytest.approx(a_enc, rel=1e-6)
+    assert math.atan2(-center[0], center[1]) % TWO_PI == pytest.approx(phi)
+    # Enceladus orbital speed ~ 12.6 km/s
+    v_kms = float(np.linalg.norm(v_orb)) * SSObject('Saturn').radius
+    assert v_kms == pytest.approx(12.6, rel=0.02)
