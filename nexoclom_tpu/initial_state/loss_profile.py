@@ -34,6 +34,19 @@ or, for a NON-separable field (quirk F27),
     rho      (n,) and z (m,) grids as above
     rate2d   (n, m) rate at every (rho, z), 1/s
 
+or, for a FULLY COUPLED co-rotating field (quirk F29),
+
+    rho      (n,), phi (p,) over exactly [0, 2 pi], z (m,) grids
+    rate3d   (n, p, m) rate at every (rho, phi, z), 1/s; periodic in
+             phi (rate3d[:, 0, :] == rate3d[:, -1, :]).  CP-decomposed
+             into separable triples sum_k f_k(rho) h_k(phi) g_k(z)
+             (see decompose_cp); phi is System III longitude
+             co-rotating like the F28 factor.  Unlike rate2d + rate_phi
+             (which multiplies the whole meridional plane by one
+             longitude factor), rate3d represents longitude-dependent
+             meridional SHAPE — e.g. a ribbon whose radial peak drifts
+             with longitude.
+
 Either form may add a LONGITUDE-STRUCTURED co-rotating factor (quirk
 F28) — the System III brightness modulation of a real torus:
 
@@ -133,6 +146,50 @@ def load_loss_profile(source):
                              f'{ykey} must be non-negative')
         return x, y
 
+    def axis(key):
+        x = np.asarray(data[key], np.float64).ravel()
+        if len(x) < 2 or not np.all(np.diff(x) > 0):
+            raise InputError('load_loss_profile',
+                             f'{key} must be strictly increasing with '
+                             f'>= 2 points')
+        return x
+
+    if 'rate3d' in data:
+        # fully coupled (rho, phi, z) field (quirk F29): the System III
+        # longitude structure lives IN the tensor, so a separate
+        # rate_phi factor is contradictory
+        for k in ('rate', 'rate_z', 'rate2d', 'rate_phi'):
+            if k in data:
+                raise InputError('load_loss_profile',
+                                 f'give rate3d OR {k}, not both')
+        rho, z = axis('rho'), axis('z')
+        if 'phi' not in data:
+            raise InputError('load_loss_profile',
+                             'rate3d needs a phi azimuth grid')
+        phi = axis('phi')
+        rate3d = np.asarray(data['rate3d'], np.float64)
+        if rate3d.shape != (len(rho), len(phi), len(z)):
+            raise InputError('load_loss_profile',
+                             f'rate3d must be (len(rho), len(phi), '
+                             f'len(z)) = ({len(rho)}, {len(phi)}, '
+                             f'{len(z)}), got {rate3d.shape}')
+        if not np.isfinite(rate3d).all():
+            raise InputError('load_loss_profile',
+                             'rate3d contains non-finite values')
+        if (rate3d < 0).any():
+            raise InputError('load_loss_profile', 'rate3d must be >= 0')
+        if rho[0] < 0:
+            raise InputError('load_loss_profile', 'rho must be >= 0')
+        if abs(phi[0]) > 1e-9 or abs(phi[-1] - 2.0 * np.pi) > 1e-9:
+            raise InputError('load_loss_profile',
+                             'phi must span exactly [0, 2 pi]')
+        peak = max(float(rate3d.max()), 1e-300)
+        if np.abs(rate3d[:, 0, :] - rate3d[:, -1, :]).max() > 1e-9 * peak:
+            raise InputError('load_loss_profile',
+                             'rate3d must be periodic in phi '
+                             '(rate3d[:, 0, :] == rate3d[:, -1, :])')
+        return _cache_result(cache_key, (rho, None, z, rate3d, phi, None))
+
     phi = rate_phi = None
     if 'phi' in data or 'rate_phi' in data:
         # longitude-structured factor (quirk F28)
@@ -161,13 +218,6 @@ def load_loss_profile(source):
 
     if 'rate2d' in data:
         # non-separable field (quirk F27)
-        def axis(key):
-            x = np.asarray(data[key], np.float64).ravel()
-            if len(x) < 2 or not np.all(np.diff(x) > 0):
-                raise InputError('load_loss_profile',
-                                 f'{key} must be strictly increasing with '
-                                 f'>= 2 points')
-            return x
         rho, z = axis('rho'), axis('z')
         rate2d = np.asarray(data['rate2d'], np.float64)
         if rate2d.shape != (len(rho), len(z)):
@@ -240,18 +290,122 @@ def decompose_rank(rho, z, rate2d, rel_tol_2d: float = 1e-2,
     return terms
 
 
+def decompose_cp(rate3d, rel_tol_3d: float = 1e-2, max_rank: int = 12,
+                 n_iter: int = 200):
+    """CP (canonical polyadic) decomposition of a 3-D rate tensor.
+
+    Returns ``(A, B, C)`` — factor matrices over the rho / phi / z axes,
+    each ``(len(axis), K)`` — with the smallest K such that
+    ``max|rate3d - sum_k outer(A_k, B_k, C_k)|`` is at most
+    ``rel_tol_3d * max(rate3d)``.  Unlike the 2-D case (quirk F27) there
+    is no SVD that minimises the rank directly; this uses HOSVD-initialised
+    alternating least squares — deterministic (no random init), monotone
+    in the fit residual, and for the smooth physical fields this targets
+    (torus radial x vertical structure with a longitude modulation)
+    converging in a few dozen sweeps.  Raises if ``max_rank`` terms cannot
+    meet the tolerance (refine the grid or loosen the tolerance).
+
+    Closes the field-structure family F23/F25/F27/F28 left open in
+    docs/QUIRKS.md: rate2d + phi-factor covers only longitude structure
+    that multiplies the WHOLE meridional plane; a CP sum represents
+    longitude-dependent meridional SHAPE changes (e.g. a ribbon whose
+    radial peak drifts with System III longitude) while staying
+    gather-free on device.
+    """
+    t_tensor = np.asarray(rate3d, np.float64)
+    peak = float(t_tensor.max()) or 1.0
+    tol = rel_tol_3d * peak
+    dims = t_tensor.shape
+
+    def unfold(mode):
+        return np.moveaxis(t_tensor, mode, 0).reshape(dims[mode], -1)
+
+    def khatri_rao(x_mat, y_mat):
+        # columnwise Kronecker: (nx*ny, k)
+        return (x_mat[:, None, :] * y_mat[None, :, :]).reshape(
+            -1, x_mat.shape[1])
+
+    svd = [np.linalg.svd(unfold(m), full_matrices=False) for m in range(3)]
+    rng = np.random.default_rng(0)      # fixed seed: deterministic output
+
+    def init(mode, k):
+        # HOSVD columns where the unfolding has signal; a physically
+        # separable axis (e.g. an exactly separable z-dependence) has
+        # unfolding rank 1, and its zero columns would make the gram
+        # singular and freeze ALS at an effectively rank-1 fit — back-fill
+        # those with (seeded) random unit vectors instead
+        u_mat, svals, _ = svd[mode]
+        cols = []
+        for i in range(k):
+            if i < len(svals) and svals[i] > 1e-8 * svals[0]:
+                cols.append(u_mat[:, i])
+            else:
+                v = rng.standard_normal(dims[mode])
+                cols.append(v / np.linalg.norm(v))
+        return np.stack(cols, axis=1)
+
+    limit = min(max_rank, *dims)
+    err = np.inf
+    for k in range(1, limit + 1):
+        mats = [init(m, k) for m in range(3)]
+        prev = np.inf
+        for _ in range(n_iter):
+            for mode in range(3):
+                other = [mats[m] for m in range(3) if m != mode]
+                kr = khatri_rao(other[0], other[1])
+                gram = ((other[0].T @ other[0]) *
+                        (other[1].T @ other[1]))
+                # ridge keeps near-degenerate directions solvable without
+                # pinv's hard truncation (which stalls the sweep)
+                ridge = 1e-10 * (np.trace(gram) / k + 1e-300)
+                mats[mode] = np.linalg.solve(
+                    gram + ridge * np.eye(k),
+                    (unfold(mode) @ kr).T).T
+            approx = np.einsum('ik,jk,lk->ijl', *mats)
+            err = float(np.abs(t_tensor - approx).max())
+            if err <= tol:
+                break
+            if abs(prev - err) <= 1e-6 * max(err, tol):
+                break                   # converged short of tol: next rank
+            prev = err
+        if err <= tol:
+            return tuple(mats)
+    raise InputError(
+        'decompose_cp',
+        f'rate3d needs more than {max_rank} CP terms to reach '
+        f'{rel_tol_3d:.0e} of max (residual {err / peak:.1e}); smooth '
+        f'the field or loosen the tolerance')
+
+
 def profile_tables(source, dtype=np.float64, rel_tol: float = 1e-3,
                    rel_tol_2d: float = 1e-2):
     """Compressed device tables for the engine.
 
-    Separable profiles return ``(rho_pl, z_pl, (), phi_pl)`` with
+    Separable profiles return ``(rho_pl, z_pl, (), phi_pl, ())`` with
     ``z_pl`` None for radial-only (g == 1).  Non-separable ``rate2d``
-    profiles return ``(None, None, terms, phi_pl)`` with ``terms`` a
+    profiles return ``(None, None, terms, phi_pl, ())`` with ``terms`` a
     tuple of ``(f_pl, g_pl)`` relu-table pairs (quirk F27).  ``phi_pl``
     is the periodic longitude factor h(phi) over [0, 2 pi] (quirk F28)
-    or None."""
+    or None.  Fully coupled ``rate3d`` profiles (quirk F29) return
+    ``(None, None, (), None, cp_terms)`` with ``cp_terms`` a tuple of
+    ``(f_pl, h_pl, g_pl)`` relu-table triples over rho / phi / z from the
+    CP decomposition (:func:`decompose_cp`; ``rel_tol_2d`` doubles as its
+    tensor tolerance)."""
     from nexoclom_tpu.ops.pltable import compress_points
     rho, rate, z, rate_z, phi, rate_phi = load_loss_profile(source)
+    if rate is None and rate_z is not None and rate_z.ndim == 3:
+        # quirk F29: CP-decomposed fully coupled field
+        cp_a, cp_b, cp_c = decompose_cp(rate_z, rel_tol_3d=rel_tol_2d)
+        triples = []
+        for i in range(cp_a.shape[1]):
+            triples.append((
+                compress_points(rho, cp_a[:, i], rel_tol=rel_tol,
+                                dtype=dtype),
+                compress_points(phi, cp_b[:, i], rel_tol=rel_tol,
+                                dtype=dtype),
+                compress_points(z, cp_c[:, i], rel_tol=rel_tol,
+                                dtype=dtype)))
+        return None, None, (), None, tuple(triples)
     phi_pl = (compress_points(phi, rate_phi, rel_tol=rel_tol, dtype=dtype)
               if phi is not None else None)
     if rate is None:
@@ -262,8 +416,8 @@ def profile_tables(source, dtype=np.float64, rel_tol: float = 1e-3,
                                           dtype=dtype),
                           compress_points(z, g_k, rel_tol=rel_tol,
                                           dtype=dtype)))
-        return None, None, tuple(pairs), phi_pl
+        return None, None, tuple(pairs), phi_pl, ()
     rho_pl = compress_points(rho, rate, rel_tol=rel_tol, dtype=dtype)
     z_pl = (compress_points(z, rate_z, rel_tol=rel_tol, dtype=dtype)
             if z is not None else None)
-    return rho_pl, z_pl, (), phi_pl
+    return rho_pl, z_pl, (), phi_pl, ()

@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nexoclom_tpu.ops.pltable import PLTable, empty_pltable, pl_lookup
+from nexoclom_tpu.ops.pltable import (PLTable, empty_pltable, pl_lookup,
+                                      pl_lookup_with_slope)
 
 # Dormand-Prince RK5(4) tableau (identical coefficients to rk5.py:5-18)
 _DP_C = np.array([0.0, 0.2, 0.3, 0.8, 8.0 / 9.0, 1.0, 1.0])
@@ -140,7 +141,16 @@ class EngineSpec:
     # reused across stages (shadow masking stays per-stage).  The error is
     # O(a'(v) dv_step) with dv_step ~ 0.01 km/s vs table features >=0.25
     # km/s -- negligible; cuts the dominant TPU cost ~6x.
-    radpres_per_stage: bool = True
+    # 'tangent': per-stage values via ONE shared knot walk — f and f' at
+    # the pre-step velocity (pl_lookup_with_slope), each stage
+    # reconstructed as f(v1) + f'(v1) (clip(v_i) - clip(v1)).  EXACT
+    # per-stage interpolation whenever the stage velocities stay inside
+    # v1's knot segment (spreads are O(h a) ~ 1e-3 km/s vs compressed
+    # knot spacing >~ 0.25 km/s); error at a knot crossing is bounded by
+    # max|dslope| * |v_i - v1| — measured ~1e-7 of table max on the Ca/Na
+    # tables, 1000x below the 1e-3 compression envelope.  Needs a
+    # compressed rp_pl (falls back to exact per-stage without one).
+    radpres_per_stage: object = True
 
 
 class ForceTable(NamedTuple):
@@ -172,6 +182,10 @@ class ForceTable(NamedTuple):
     # rate = max(0, sum_k f_k(rho) g_k(z)) as (f_pl, g_pl) pairs; takes
     # precedence over the single separable pair when non-empty
     eimp_pl_terms: tuple = ()
+    # fully coupled co-rotating field (quirk F29): CP decomposition
+    # rate = max(0, sum_k f_k(rho) h_k(phi_sys) g_k(z)) as
+    # (f_pl, h_pl, g_pl) triples; takes precedence over both 2-D forms
+    eimp_cp_terms: tuple = ()
     # tilted co-rotating torus axis (quirk F25): the profile's symmetry
     # axis leans eimp_tilt from +z toward the azimuth (orbit_state
     # convention) eimp_tilt_phase - eimp_tilt_omega * t
@@ -349,10 +363,17 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
             out_of_shadow = out_of_shadow & ~in_moon_shadow
 
     if spec.radpres:
-        if arad_frozen is not None:
-            arad = arad_frozen
-        else:
+        if arad_frozen is None:
             arad = radpres_lookup(spec, forces, vy + forces.vrplanet)
+        elif type(arad_frozen) is tuple:
+            # tangent mode: (f(v1), f'(v1), clip(v1)) from one shared knot
+            # walk in rk5_step; reconstruct this stage's value
+            a1, s1, v1c = arad_frozen
+            vc = jnp.clip(vy + forces.vrplanet, forces.rp_pl.knots[0],
+                          forces.rp_pl.base[1])
+            arad = a1 + s1 * (vc - v1c)
+        else:
+            arad = arad_frozen
         ay = ay + arad * out_of_shadow
 
     if spec.constant_rate:
@@ -384,7 +405,24 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
         else:
             rho_cyl = jnp.sqrt(x * x + y * y)
             z_c = z
-        if forces.eimp_pl_terms:
+        if spec.eimp_phi:
+            # quirk F28/F29: System III longitude of the packet — azimuth
+            # about the SPIN axis (orbit_state convention: phi =
+            # atan2(-x, y)) relative to the co-rotating longitude origin
+            # at azimuth phase - omega*t, wrapped to [0, 2 pi)
+            phi_sys = (jnp.arctan2(-x, y)
+                       - (forces.eimp_phi_phase
+                          - forces.eimp_rot_omega * t))
+            two_pi = 2.0 * jnp.pi
+            phi_sys = phi_sys - two_pi * jnp.floor(phi_sys / two_pi)
+        if forces.eimp_cp_terms:
+            # quirk F29: fully coupled (rho, phi, z) field as a CP sum of
+            # separable triples; clamp at 0 (CP truncation can undershoot)
+            rate = sum(pl_lookup(f_pl, rho_cyl) * pl_lookup(h_pl, phi_sys)
+                       * pl_lookup(g_pl, z_c)
+                       for f_pl, h_pl, g_pl in forces.eimp_cp_terms)
+            rate = jnp.maximum(rate, 0.0)
+        elif forces.eimp_pl_terms:
             # quirk F27: non-separable field as a sum of separable terms;
             # clamp at 0 (SVD truncation can undershoot slightly)
             rate = sum(pl_lookup(f_pl, rho_cyl) * pl_lookup(g_pl, z_c)
@@ -394,17 +432,9 @@ def state_eval(x, y, z, vy, spec: EngineSpec, forces: ForceTable,
             rate = pl_lookup(forces.eimp_rho_pl, rho_cyl)
             if forces.eimp_z_pl is not None:
                 rate = rate * pl_lookup(forces.eimp_z_pl, z_c)
-        if spec.eimp_phi:
-            # quirk F28: System III longitude of the packet — azimuth
-            # about the SPIN axis (orbit_state convention: phi =
-            # atan2(-x, y)) relative to the co-rotating longitude origin
-            # at azimuth phase - omega*t; the factor h is a periodic
-            # relu table over [0, 2 pi)
-            phi_sys = (jnp.arctan2(-x, y)
-                       - (forces.eimp_phi_phase
-                          - forces.eimp_rot_omega * t))
-            two_pi = 2.0 * jnp.pi
-            phi_sys = phi_sys - two_pi * jnp.floor(phi_sys / two_pi)
+        if spec.eimp_phi and forces.eimp_phi_pl is not None:
+            # quirk F28: multiplicative longitude factor h(phi_sys) (the
+            # CP form carries its longitude structure in the triples)
             rate = rate * pl_lookup(forces.eimp_phi_pl, phi_sys)
         ion = ion + rate
 
@@ -424,11 +454,15 @@ def rk5_step(state: PacketState, h, spec: EngineSpec, forces: ForceTable,
     bd = _DP_BD.tolist()
     logf0 = jnp.log(jnp.maximum(state.frac, _TINY))
 
-    if spec.radpres and not spec.radpres_per_stage:
-        arad_frozen = radpres_lookup(spec, forces,
-                                     state.vy + forces.vrplanet)
-    else:
-        arad_frozen = None
+    arad_frozen = None
+    if spec.radpres:
+        if not spec.radpres_per_stage:
+            arad_frozen = radpres_lookup(spec, forces,
+                                         state.vy + forces.vrplanet)
+        elif (spec.radpres_per_stage == 'tangent'
+              and forces.rp_pl.knots.shape[0] > 1):
+            arad_frozen = pl_lookup_with_slope(
+                forces.rp_pl, state.vy + forces.vrplanet)
 
     # stage values
     xs = [state.x]
@@ -1132,26 +1166,48 @@ def _sort_finished_first(state: PacketState, h, ids, res):
             out[2 + n_fields])
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _refill_block(state_s: PacketState, h_s, ids_s, fresh_block, fresh_ids,
-                  h0):
-    """Swap the first K (finished) lanes for K fresh pool packets.
+@partial(jax.jit, static_argnames=('k',), donate_argnums=(0, 1, 2, 4, 5))
+def _pool_swap(state: PacketState, h, ids, pool: PacketState,
+               out_state: PacketState, out_ids, next_idx, out_pos, res, h0,
+               *, k: int):
+    """Device-side lane swap: retire the k most-finished lanes into the
+    output buffer and replace them with the next k pool packets.
 
-    ``state_s/h_s/ids_s`` come from :func:`_sort_finished_first`;
-    ``fresh_block`` is a (n_fields, K) stacked leaf array.  Returns
-    ``(new_state, new_h, new_ids, done_block, done_ids)`` where
-    ``done_block`` is the extracted (n_fields, K) finished-lane block —
-    stacked so the host pulls ONE array (plus the int ids) per refill.
+    Everything stays in HBM: the finished block goes into ``out_state``
+    at ``out_pos`` via ``dynamic_update_slice`` (contiguous — original
+    packet order is restored from ``out_ids`` on the host at the END),
+    and fresh packets come from ``pool`` at ``next_idx`` via
+    ``dynamic_slice``.  No gather/scatter (both lower to scalar loops on
+    this TPU — CLAUDE.md) and no host transfer; the caller's only
+    per-segment sync is one live-lane count.
     """
-    k = fresh_block.shape[1]
-    done_block = jnp.stack([leaf[:k] for leaf in state_s])
-    done_ids = ids_s[:k]
-    new_state = PacketState(*[
-        jnp.concatenate([fresh_block[i], leaf[k:]])
-        for i, leaf in enumerate(state_s)])
+    state_s, h_s, ids_s = _sort_finished_first(state, h, ids, res)
+    done = jax.tree.map(lambda leaf: leaf[:k], state_s)
+    out_state = jax.tree.map(
+        lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+            buf, blk, out_pos, 0), out_state, done)
+    out_ids = jax.lax.dynamic_update_slice_in_dim(out_ids, ids_s[:k],
+                                                  out_pos, 0)
+    fresh = jax.tree.map(
+        lambda leaf: jax.lax.dynamic_slice_in_dim(leaf, next_idx, k), pool)
+    new_state = jax.tree.map(
+        lambda fr, leaf: jnp.concatenate([fr, leaf[k:]]), fresh, state_s)
     new_h = jnp.concatenate([jnp.full((k,), h0, h_s.dtype), h_s[k:]])
-    new_ids = jnp.concatenate([fresh_ids, ids_s[k:]])
-    return new_state, new_h, new_ids, done_block, done_ids
+    new_ids = jnp.concatenate(
+        [next_idx + jnp.arange(k, dtype=jnp.int32), ids_s[k:]])
+    return new_state, new_h, new_ids, out_state, out_ids
+
+
+@partial(jax.jit, donate_argnums=(0, 2))
+def _pool_flush(out_state: PacketState, state: PacketState, out_ids, ids,
+                out_pos):
+    """Write the final batch (stragglers + never-swapped lanes) into the
+    output buffer; one device op, then the caller pulls the buffer once."""
+    out_state = jax.tree.map(
+        lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+            buf, blk, out_pos, 0), out_state, state)
+    out_ids = jax.lax.dynamic_update_slice_in_dim(out_ids, ids, out_pos, 0)
+    return out_state, out_ids
 
 
 def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
@@ -1159,111 +1215,119 @@ def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
                       resolution, outeredge, radius_km, key,
                       batch: int = 1 << 20, segment: int = 256,
                       initial_step: float = 1000.0,
-                      max_total_iterations: int = 10 ** 7):
+                      max_total_iterations: int = 10 ** 7,
+                      inner_steps: int = 1):
     """Adaptive integration of a large packet pool through a fixed-width
-    device batch with DEVICE-SIDE compaction and refill.
+    device batch with FULLY DEVICE-RESIDENT compaction and refill.
 
     The monolithic while_loop wastes lanes on finished packets (measured
-    37% mean occupancy on the Ca case — docs/scaling.md): p50 of packets
-    finish by iteration ~1000 of ~2800 and ride dead to the end.  Host-side
-    compaction was a measured no-go (0.88x: per-leaf device->host pulls
-    every segment through the ~50 ms axon transfer path).  This
-    orchestrator keeps the batch width FIXED (one executable, no per-shape
-    recompiles) and keeps occupancy high by swapping finished lanes for
-    fresh pool packets:
+    36% mean occupancy on the Ca case — docs/scaling.md): p50 of packets
+    finish by iteration ~1000 of ~2800 and ride dead to the end.  Two
+    orchestrations were measured before this one (docs/scaling.md):
+    host-side compaction (0.88x — per-leaf device->host pulls through the
+    ~50 ms axon transfer path) and a host-mediated pool (0.66x — 36 MB of
+    finished/fresh blocks crossing the tunnel per refill).  The lesson is
+    that NOTHING bulk may cross the host boundary mid-run, so here every
+    byte stays in HBM:
 
-    1. run the baked driver for ``segment`` iterations (per-packet h rides
-       across segments via ``return_h``/``initial_step``);
-    2. ONE scalar transfer: the live-lane count;
-    3. when at least batch/2 lanes are finished and pool packets remain,
-       sort the lanes finished-first ON DEVICE (``lax.sort`` key-value —
-       no gather) and swap the first batch/2 lanes for fresh packets:
-       one (n_fields, batch/2) device->host pull of the finished block,
-       one host->device push of the fresh block — both single transfers
-       of contiguous stacked arrays;
-    4. when the pool is dry, drain the remaining stragglers segment by
-       segment (occupancy decays only over this final tail).
+    1. the whole pool is pushed to the device ONCE (padded with dead
+       filler lanes to a refill multiple); an (n_pad,) output buffer and
+       id ring live beside it;
+    2. the baked driver runs ``segment`` iterations on the fixed-width
+       batch (per-packet h rides across segments via ``return_h``);
+    3. ONE scalar transfer per segment: the live-lane count;
+    4. when at least batch/2 lanes are finished, :func:`_pool_swap` sorts
+       the lanes finished-first ON DEVICE (``lax.sort`` key-value — no
+       gather), retires the first batch/2 into the output buffer at the
+       next contiguous offset (``dynamic_update_slice``) and refills from
+       the pool (``dynamic_slice``) — zero host bytes;
+    5. when the pool is dry, the remaining stragglers drain segment by
+       segment (occupancy decays only over this final tail), the batch is
+       flushed into the buffer, and the host pulls buffer + ids once,
+       restoring original packet order by numpy indexing.
 
-    Lanes are physically independent (the loop's all-done predicate is the
-    only coupling), so per-packet results equal the monolithic driver's
-    for deterministic physics; bounce RNG streams differ per segment
-    (folded key), like :func:`adaptive_compacting_run`.
+    Lanes are physically independent (the loop's all-done predicate is
+    the only coupling), so per-packet results equal the monolithic
+    driver's for deterministic physics; bounce RNG streams differ per
+    segment (folded key), like :func:`adaptive_compacting_run`.
 
     Returns ``(final_state, total_iterations)`` with the final state a
     host-side PacketState in the original packet order.
     """
     fields = PacketState._fields
     n = state0.x.shape[0]
+    dtype = state0.x.dtype
     res = float(resolution)
     if n <= batch:
         final, iters = adaptive_step_driver_baked(
             state0, spec, forces, surface, resolution, outeredge, radius_km,
             key, initial_step=initial_step,
-            max_iterations=max_total_iterations)
+            max_iterations=max_total_iterations, inner_steps=inner_steps)
         return (PacketState(**{f: np.asarray(getattr(final, f))
                                for f in fields}), int(iters))
 
     k_refill = batch // 2
-    np_dtype = np.asarray(state0.x[:1]).dtype
-    pool = np.stack([np.asarray(getattr(state0, f)) for f in fields])
-    final_np = {f: np.zeros(n, np_dtype) for f in fields}
+    # pad the pool so every refill slices a full k_refill block; filler
+    # lanes are all-zero (t = 0, frac = 0 -> dead from iteration 0) and
+    # their ids (>= n) are dropped at the host reorder
+    n_pad = batch + -(-(n - batch) // k_refill) * k_refill
+    pool = jax.tree.map(
+        lambda leaf: jnp.concatenate(
+            [leaf, jnp.zeros((n_pad - n,), leaf.dtype)]), state0)
+    out_state = jax.tree.map(lambda leaf: jnp.zeros((n_pad,), leaf.dtype),
+                             state0)
+    out_ids = jnp.full((n_pad,), -1, jnp.int32)
 
-    state = jax.tree.map(lambda leaf: leaf[:batch], state0)
+    state = jax.tree.map(lambda leaf: leaf[:batch], pool)
     ids = jnp.arange(batch, dtype=jnp.int32)
-    h = jnp.full((batch,), initial_step, state0.x.dtype)
+    h = jnp.full((batch,), initial_step, dtype)
+    h0 = jnp.asarray(initial_step, dtype)
+    res_dev = jnp.asarray(res, dtype)
     next_idx = batch
+    out_pos = 0
     total_iters = 0
     seg_i = 0
-
-    @jax.jit
-    def count_live(st):
-        return jnp.sum((st.t > res) & (st.frac > 0.0))
-
-    def write_back(block, block_ids):
-        valid = block_ids >= 0
-        idx = block_ids[valid]
-        for i, f in enumerate(fields):
-            final_np[f][idx] = block[i][valid]
 
     while total_iters < max_total_iterations:
         seg_key = jax.random.fold_in(key, seg_i)
         seg_i += 1
         state, iters, h = adaptive_step_driver_baked(
             state, spec, forces, surface, resolution, outeredge, radius_km,
-            seg_key, initial_step=h, max_iterations=segment, return_h=True)
+            seg_key, initial_step=h, max_iterations=segment, return_h=True,
+            inner_steps=inner_steps)
         total_iters += int(iters)
-        n_live = int(count_live(state))          # ONE scalar transfer
+        n_live = int(_count_live(state, res_dev))   # the ONLY sync
         n_done = batch - n_live
-        if n_live == 0 and next_idx >= n:
+        if n_live == 0 and next_idx >= n_pad:
             break
-        if n_done >= k_refill and next_idx < n:
-            state, h, ids = _sort_finished_first(state, h, ids,
-                                                 jnp.asarray(res))
-            m = min(k_refill, n - next_idx)
-            fresh = pool[:, next_idx:next_idx + m]
-            fresh_ids = np.arange(next_idx, next_idx + m, dtype=np.int32)
-            if m < k_refill:
-                pad = k_refill - m
-                # filler lanes: all-zero leaves (t = 0, frac = 0 -> dead
-                # from iteration 0), id = -1 (never written back)
-                fresh = np.concatenate(
-                    [fresh, np.zeros((len(fields), pad), np_dtype)], axis=1)
-                fresh_ids = np.concatenate(
-                    [fresh_ids, np.full(pad, -1, np.int32)])
-            next_idx += m
-            state, h, ids, done_block, done_ids = _refill_block(
-                state, h, ids, jnp.asarray(fresh),
-                jnp.asarray(fresh_ids),
-                jnp.asarray(initial_step, state0.x.dtype))
-            # two transfers: the stacked float block and the int ids
-            write_back(np.asarray(done_block), np.asarray(done_ids))
+        if n_done >= k_refill and next_idx < n_pad:
+            state, h, ids, out_state, out_ids = _pool_swap(
+                state, h, ids, pool, out_state, out_ids,
+                jnp.asarray(next_idx, jnp.int32),
+                jnp.asarray(out_pos, jnp.int32), res_dev, h0, k=k_refill)
+            next_idx += k_refill
+            out_pos += k_refill
 
-    # final flush: everything still in the batch (finished stragglers,
-    # packets that never hit a refill boundary, or — on iteration-budget
-    # exhaustion — genuinely unfinished lanes returning partial state)
-    block = np.stack([np.asarray(getattr(state, f)) for f in fields])
-    write_back(block, np.asarray(ids))
+    # flush the final batch (finished stragglers, never-swapped lanes, or
+    # — on iteration-budget exhaustion — genuinely unfinished lanes
+    # returning partial state), then ONE bulk pull of the whole buffer
+    out_state, out_ids = _pool_flush(out_state, state, out_ids, ids,
+                                     jnp.asarray(out_pos, jnp.int32))
+    ids_np = np.asarray(out_ids)
+    valid = (ids_np >= 0) & (ids_np < n)
+    idx = ids_np[valid]
+    np_dtype = np.asarray(state0.x[:1]).dtype
+    final_np = {}
+    for f in fields:
+        col = np.zeros(n, np_dtype)
+        col[idx] = np.asarray(getattr(out_state, f))[valid]
+        final_np[f] = col
     return PacketState(**final_np), total_iters
+
+
+@jax.jit
+def _count_live(st: PacketState, res):
+    return jnp.sum((st.t > res) & (st.frac > 0.0))
 
 
 def packet_state_from_dict(x0: dict) -> PacketState:

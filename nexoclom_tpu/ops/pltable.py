@@ -104,6 +104,35 @@ def empty_pltable(dtype=jnp.float64) -> PLTable:
                    base=jnp.asarray(np.array([0.0, 1.0]), dtype))
 
 
+def pl_lookup_with_slope(pl: PLTable, value):
+    """Evaluate ``(f(v), f'(v), clip(v))`` in ONE shared loop over the knots.
+
+    The slope is the right-derivative of the piecewise-linear interpolant at
+    the *clamped* argument (0 below the first knot, the last segment's slope
+    at/above the clamp ceiling).  Cost is ~2 extra vector ops per knot over
+    :func:`pl_lookup` — cheap compared to re-walking the knots once per RK
+    stage, which is the point: the 6-stage Dormand-Prince step can evaluate
+    the table once at the pre-step velocity and reconstruct every stage's
+    value as ``f(v1) + f'(v1) * (clip(v_i) - clip(v1))`` — *exact* whenever
+    the stage velocities stay inside the knot segment of v1 (stage spreads
+    are O(h*a), far below the compressed knot spacing) and bounded by
+    ``max|dslope| * |v_i - v1|`` when a stage straddles a knot.  See
+    ``ops/integrator.rk5_step`` (radpres_per_stage='tangent').
+    """
+    y0 = pl.base[0]
+    vmax = pl.base[1]
+    v = jnp.clip(value, pl.knots[0], vmax)
+    m = pl.knots.shape[0]
+    acc = jnp.zeros_like(v)
+    slope = jnp.zeros_like(v)
+    zero = jnp.zeros((), v.dtype)
+    for j in range(m):
+        d = v - pl.knots[j]
+        acc = acc + pl.dslope[j] * jnp.maximum(d, zero)
+        slope = slope + jnp.where(d > 0, pl.dslope[j], zero)
+    return y0 + acc, slope, v
+
+
 def pl_lookup(pl: PLTable, value, block: int = 8192):
     """Evaluate the compressed table at ``value``; identical semantics to
     np.interp on the compressed knots with end clamping.

@@ -199,19 +199,21 @@ def build_force_table(inputs, aplanet: float, vrplanet_model: float,
         # units (planet radii, 1/s) so no conversion
         from nexoclom_tpu.initial_state.loss_profile import profile_tables
         np_dtype = np.float64 if dtype == jnp.float64 else np.float32
-        rho_pl, z_pl, terms, phi_pl = profile_tables(profile,
-                                                     dtype=np_dtype,
-                                                     rel_tol=pl_tol)
+        rho_pl, z_pl, terms, phi_pl, cp_terms = profile_tables(
+            profile, dtype=np_dtype, rel_tol=pl_tol)
         table = table._replace(eimp_rho_pl=rho_pl, eimp_z_pl=z_pl,
-                               eimp_pl_terms=terms)
-        # co-rotation rate shared by the F25 tilt and the F28 longitude
-        # factor: options.eimp_tilt_period or the planet's sidereal spin
+                               eimp_pl_terms=terms,
+                               eimp_cp_terms=cp_terms)
+        # co-rotation rate shared by the F25 tilt and the F28/F29
+        # longitude structure: options.eimp_tilt_period or the planet's
+        # sidereal spin
         import math
         period_hr = getattr(options, 'eimp_tilt_period',
                             inputs.geometry.planet.rotperiod)
         rot_omega = 2.0 * math.pi / (period_hr * 3600.0)
-        if phi_pl is not None:
-            # quirk F28: longitude-structured co-rotating factor
+        if phi_pl is not None or cp_terms:
+            # quirk F28: longitude-structured co-rotating factor;
+            # quirk F29: the CP triples carry h_k(phi) directly
             table = table._replace(
                 eimp_phi_pl=phi_pl,
                 eimp_phi_phase=jnp.asarray(

@@ -127,7 +127,8 @@ def main():
             jnp.asarray(args.resolution, dtype),
             jnp.asarray(inp.options.outeredge, dtype),
             jnp.asarray(radius_km, dtype), key,
-            batch=n, segment=args.segment)
+            batch=n, segment=args.segment,
+            inner_steps=args.inner_steps)
         t0 = time.perf_counter()
         final_p, iters_p = run_p()
         print(f'pool cold (pool={n_pool}, batch={n}, '

@@ -387,8 +387,9 @@ def test_nonseparable_rate2d_decomposition():
         load_loss_profile({'rho': rho, 'z': z, 'rate2d': rate2d[:-1]})
     with pytest.raises(InputError):
         load_loss_profile({'rho': rho, 'z': z, 'rate2d': -rate2d})
-    rho_pl, z_pl, pairs, phi_pl = profile_tables(
+    rho_pl, z_pl, pairs, phi_pl, cp = profile_tables(
         {'rho': rho, 'z': z, 'rate2d': rate2d}, rel_tol=0)
+    assert cp == ()
     assert phi_pl is None
     assert rho_pl is None and z_pl is None and len(pairs) == len(terms)
 
@@ -404,9 +405,9 @@ def test_nonseparable_rate2d_engine_decay():
     blob = lambda r0, z0: (np.exp(-0.5 * ((rho[:, None] - r0) / 1.0) ** 2)
                            * np.exp(-0.5 * ((z[None, :] - z0) / 0.8) ** 2))
     rate2d = 3e-4 * blob(5.9, 1.0) + 1e-4 * blob(3.0, -1.5)
-    _, _, pairs, _ = profile_tables({'rho': rho, 'z': z,
-                                     'rate2d': rate2d},
-                                    rel_tol=0, rel_tol_2d=1e-3)
+    _, _, pairs, _, _ = profile_tables({'rho': rho, 'z': z,
+                                        'rate2d': rate2d},
+                                       rel_tol=0, rel_tol_2d=1e-3)
     spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
                       surface_bounce=False, check_outer_edge=False,
                       eimp_profile=True)
@@ -476,7 +477,7 @@ def test_longitude_factor_loader_validation():
     good = {**base, 'phi': phi, 'rate_phi': 1 + 0.3 * np.cos(phi)}
     out = load_loss_profile(good)
     assert out[4] is not None and len(out) == 6
-    _, _, _, phi_pl = profile_tables(good, rel_tol=0)
+    _, _, _, phi_pl, _ = profile_tables(good, rel_tol=0)
     assert phi_pl is not None
     with pytest.raises(InputError):      # only one of the pair
         load_loss_profile({**base, 'phi': phi})
@@ -642,3 +643,192 @@ def test_adaptive_driver_with_full_field_stack(tmp_path):
     frac = out.X.frac.to_numpy()
     assert np.all(np.isfinite(frac)) and np.all((frac >= 0) & (frac <= 1))
     assert frac.max() < 1.0              # the torus drained something
+
+
+def test_cp_rate3d_decomposition_and_loader():
+    """Quirk F29: a fully coupled rate3d (a ribbon whose radial peak
+    drifts with System III longitude) CP-decomposes into few separable
+    triples matching the tensor within tolerance; a separable field
+    recovers one term; the loader rejects malformed tensors."""
+    from nexoclom_tpu.initial_state.loss_profile import (decompose_cp,
+                                                         load_loss_profile,
+                                                         profile_tables)
+    rho = np.linspace(0.0, 10.0, 41)
+    phi = np.linspace(0, 2 * np.pi, 49)
+    z = np.linspace(-3.0, 3.0, 31)
+    r0 = 5.9 + 0.6 * np.cos(phi)
+    rate3d = (3e-4
+              * np.exp(-0.5 * ((rho[:, None, None]
+                                - r0[None, :, None]) / 1.0) ** 2)
+              * np.exp(-0.5 * (z[None, None, :] / 0.9) ** 2)
+              * (1 + 0.25 * np.sin(2 * phi))[None, :, None])
+    a_mat, b_mat, c_mat = decompose_cp(rate3d, rel_tol_3d=1e-2)
+    assert 2 <= a_mat.shape[1] <= 6
+    approx = np.einsum('ik,jk,lk->ijl', a_mat, b_mat, c_mat)
+    assert np.abs(rate3d - approx).max() <= 1e-2 * rate3d.max()
+
+    # separable input -> a single triple
+    sep = 2e-4 * np.einsum('i,j,l->ijl', np.exp(-0.5 * ((rho - 5) / 2) ** 2),
+                           np.ones_like(phi), np.exp(-0.5 * z ** 2))
+    assert decompose_cp(sep, rel_tol_3d=1e-2)[0].shape[1] == 1
+
+    good = {'rho': rho, 'phi': phi, 'z': z, 'rate3d': rate3d}
+    out = load_loss_profile(good)
+    assert out[1] is None and out[3].ndim == 3 and out[5] is None
+    r_pl, z_pl, pairs, phi_pl, cp = profile_tables(good, rel_tol=1e-4)
+    assert r_pl is None and z_pl is None and pairs == () and phi_pl is None
+    assert len(cp) >= 2 and all(len(t) == 3 for t in cp)
+
+    with pytest.raises(InputError):     # wrong tensor shape
+        load_loss_profile({**good, 'rate3d': rate3d[:-1]})
+    with pytest.raises(InputError):     # negative rates
+        load_loss_profile({**good, 'rate3d': -rate3d})
+    with pytest.raises(InputError):     # phi span
+        load_loss_profile({**good, 'phi': phi / 2,
+                           'rate3d': rate3d})
+    with pytest.raises(InputError):     # not periodic in phi
+        bad = rate3d.copy()
+        bad[:, 0, :] *= 2.0
+        load_loss_profile({**good, 'rate3d': bad})
+    with pytest.raises(InputError):     # rate3d + rate_phi contradictory
+        load_loss_profile({**good, 'rate_phi': np.ones_like(phi)})
+    with pytest.raises(InputError):     # rate3d + rate2d contradictory
+        load_loss_profile({**good, 'rate2d': rate3d[:, 0, :]})
+
+
+def test_cp_rate3d_engine_decay_static():
+    """Engine decay under a static CP field matches exp(-rate T) with
+    rate from trilinear interpolation of the tensor."""
+    from scipy.interpolate import RegularGridInterpolator
+    from nexoclom_tpu.initial_state.loss_profile import profile_tables
+    rho = np.linspace(0.0, 10.0, 41)
+    phi = np.linspace(0, 2 * np.pi, 49)
+    z = np.linspace(-3.0, 3.0, 31)
+    r0 = 5.9 + 0.6 * np.cos(phi)
+    rate3d = (3e-4
+              * np.exp(-0.5 * ((rho[:, None, None]
+                                - r0[None, :, None]) / 1.0) ** 2)
+              * np.exp(-0.5 * (z[None, None, :] / 0.9) ** 2))
+    _, _, _, _, cp = profile_tables({'rho': rho, 'phi': phi, 'z': z,
+                                     'rate3d': rate3d},
+                                    rel_tol=1e-5, rel_tol_2d=1e-3)
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True, eimp_phi=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0), eimp_cp_terms=cp,
+        eimp_phi_phase=jnp.asarray(0.0), eimp_rot_omega=jnp.asarray(0.0))
+    positions = np.array([[0.0, -6.5, 0.5],    # azimuth pi: peak at 5.3
+                          [-5.9, 0.0, 0.0],    # azimuth pi/2
+                          [4.0, 4.34, -1.0],   # mixed azimuth, below plane
+                          [0.0, 9.9, 2.9]])    # near-zero corner
+    state0 = PacketState(
+        t=jnp.full(4, 1e9), x=jnp.asarray(positions[:, 0]),
+        y=jnp.asarray(positions[:, 1]), z=jnp.asarray(positions[:, 2]),
+        vx=jnp.zeros(4), vy=jnp.zeros(4), vz=jnp.zeros(4),
+        frac=jnp.ones(4), lossfrac=jnp.zeros(4))
+    hstep, nsteps = 50.0, 21
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(hstep), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    T = hstep * (nsteps - 1)
+    interp = RegularGridInterpolator((rho, phi, z), rate3d)
+    for i, pos in enumerate(positions):
+        az = math.atan2(-pos[0], pos[1]) % (2 * math.pi)
+        rho_c = math.hypot(pos[0], pos[1])
+        expected = float(interp([rho_c, az, pos[2]]))
+        assert float(final.frac[i]) == pytest.approx(
+            math.exp(-expected * T), rel=5e-3), i
+
+
+def test_cp_rate3d_corotating():
+    """A co-rotating CP field sweeps its longitude structure past a fixed
+    packet; the RK-integrated decay matches quad() of the analytic
+    rate(t) from trilinear interpolation."""
+    from scipy.integrate import quad
+    from scipy.interpolate import RegularGridInterpolator
+    from nexoclom_tpu.initial_state.loss_profile import profile_tables
+    rho = np.linspace(0.0, 10.0, 41)
+    phi = np.linspace(0, 2 * np.pi, 49)
+    z = np.linspace(-3.0, 3.0, 31)
+    r0 = 5.9 + 0.6 * np.cos(phi)
+    rate3d = (3e-4
+              * np.exp(-0.5 * ((rho[:, None, None]
+                                - r0[None, :, None]) / 1.0) ** 2)
+              * np.exp(-0.5 * (z[None, None, :] / 0.9) ** 2))
+    _, _, _, _, cp = profile_tables({'rho': rho, 'phi': phi, 'z': z,
+                                     'rate3d': rate3d},
+                                    rel_tol=1e-5, rel_tol_2d=1e-3)
+    omega = 2.0 * math.pi / (9.925 * 3600.0)
+    phase0 = 0.7
+    spec = EngineSpec(gravity=False, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=False,
+                      eimp_profile=True, eimp_phi=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        ion_rate=jnp.asarray(0.0), eimp_cp_terms=cp,
+        eimp_phi_phase=jnp.asarray(phase0),
+        eimp_rot_omega=jnp.asarray(omega))
+    pos = np.array([3.0, -4.8, 0.4])
+    hstep, nsteps = 30.0, 241
+    T = hstep * (nsteps - 1)
+    state0 = PacketState(
+        t=jnp.asarray([T]), x=jnp.asarray([pos[0]]),
+        y=jnp.asarray([pos[1]]), z=jnp.asarray([pos[2]]),
+        vx=jnp.zeros(1), vy=jnp.zeros(1), vz=jnp.zeros(1),
+        frac=jnp.ones(1), lossfrac=jnp.zeros(1))
+    final, _ = constant_step_driver(
+        state0, spec, forces, None, jnp.asarray(hstep), jnp.asarray(1e30),
+        jnp.asarray(71492.0), jax.random.PRNGKey(0), nsteps=nsteps,
+        save_history=False)
+    az = math.atan2(-pos[0], pos[1])
+    rho_c = math.hypot(pos[0], pos[1])
+    interp = RegularGridInterpolator((rho, phi, z), rate3d)
+
+    def rate_at(t):
+        phi_sys = (az - (phase0 - omega * t)) % (2 * math.pi)
+        return float(interp([rho_c, phi_sys, pos[2]]))
+
+    integral = quad(rate_at, 0.0, T, limit=400)[0]
+    assert float(final.frac[0]) == pytest.approx(math.exp(-integral),
+                                                 rel=5e-3)
+
+
+def test_cp_rate3d_end_to_end(tmp_path):
+    """F29 through Input -> Output, composed with the tilt (F25): a fully
+    coupled co-rotating torus runs and differs from its
+    longitude-averaged 2-D counterpart."""
+    import pickle
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking import Output
+    rho = np.linspace(0.0, 12.0, 25)
+    phi = np.linspace(0, 2 * np.pi, 25)
+    z = np.linspace(-3.0, 3.0, 13)
+    r0 = 5.9 + 0.8 * np.cos(phi)
+    rate3d = (5e-4
+              * np.exp(-0.5 * ((rho[:, None, None]
+                                - r0[None, :, None]) / 1.0) ** 2)
+              * np.exp(-0.5 * (z[None, None, :] / 1.0) ** 2))
+    path3d = str(tmp_path / 'torus3d.pkl')
+    with open(path3d, 'wb') as f:
+        pickle.dump({'rho': rho, 'phi': phi, 'z': z, 'rate3d': rate3d}, f)
+    path2d = str(tmp_path / 'torus2d.pkl')
+    with open(path2d, 'wb') as f:
+        pickle.dump({'rho': rho, 'z': z,
+                     'rate2d': rate3d.mean(axis=1)}, f)
+
+    def run(profile_path, extra):
+        inp = Input(os.path.join(INPUTFILES, 'jupiter_io_satellite.input'))
+        inp.options.endtime = 3600.0
+        inp.options.step_size = 30.0
+        inp.options.lifetime = -1e30
+        inp.options.eimp_profile = profile_path
+        for key, value in extra.items():
+            setattr(inp.options, key, value)
+        out = Output(inp, 128, seed=17, compress=False)
+        return out.X.groupby('Index').tail(1).frac.mean()
+
+    flat = run(path2d, {})
+    full = run(path3d, {'eimp_phi_phase': 90.0, 'eimp_tilt': 6.4})
+    assert 0 < full != flat
+    assert 0 < flat < 1

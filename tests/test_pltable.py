@@ -58,6 +58,77 @@ def test_end_clamping_matches_np_interp():
     np.testing.assert_allclose(got, [2.0, 2.0, 7.0, 7.0], atol=1e-12)
 
 
+def test_lookup_with_slope_value_and_derivative():
+    """pl_lookup_with_slope returns the same values as pl_lookup and the
+    exact right-derivative of the piecewise-linear interpolant (segment
+    slope; 0 below the first knot, last-segment slope at the clamp top)."""
+    from nexoclom_tpu.ops.pltable import pl_lookup_with_slope
+    rng = np.random.default_rng(7)
+    values = rng.normal(size=41)
+    v0, dv = -3.0, 0.5
+    pl = compress_uniform(v0, dv, values, rel_tol=0.0)
+    # probe strictly inside segments (off-knot): slope = segment slope
+    v = rng.uniform(v0 - 2, v0 + dv * 44, 20000)
+    f, s, vc = pl_lookup_with_slope(pl, jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(f),
+                               np.asarray(pl_lookup(pl, jnp.asarray(v))),
+                               rtol=0, atol=1e-12)
+    grid = _grid(v0, dv, 41)
+    seg_slopes = np.diff(values) / dv
+    vcn = np.asarray(vc)
+    idx = np.clip(np.floor((vcn - v0) / dv).astype(int), 0, 39)
+    expect_s = seg_slopes[idx]
+    # below the first knot the interpolant is clamped flat
+    expect_s[v <= v0] = 0.0
+    on_knot = np.isclose((vcn - v0) / dv, np.round((vcn - v0) / dv))
+    np.testing.assert_allclose(np.asarray(s)[~on_knot], expect_s[~on_knot],
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_tangent_stage_mode_inside_compression_envelope():
+    """Engine driver with radpres_per_stage='tangent' (one shared knot walk
+    + per-stage first-order reconstruction) stays far inside the accepted
+    relu-compression envelope on the real Ca problem: stage-velocity
+    spreads are O(h a), well below the compressed knot spacing, so the
+    reconstruction is exact except at knot crossings."""
+    import jax
+    from nexoclom_tpu.ops.integrator import (EngineSpec, empty_force_table,
+                                             constant_step_driver)
+    from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
+
+    radius_km = 2440.53
+    v0, dv, accel = radpres_table('Ca', 0.352)
+    pl = compress_uniform(v0 / radius_km, dv / radius_km, accel / radius_km,
+                          rel_tol=1e-3)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(-1.516e-6), vrplanet=jnp.asarray(0.0),
+        rp_v0=jnp.asarray(v0 / radius_km), rp_dv=jnp.asarray(dv / radius_km),
+        rp_accel=jnp.asarray(accel / radius_km), rp_pl=pl,
+        ion_rate=jnp.asarray(1e-4))
+    state0 = sample_uniform_flat_source(
+        jax.random.PRNGKey(11), 4096, vprob=2.5 / radius_km,
+        delv=1.5 / radius_km, endtime=7200.0, dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+    outs = {}
+    for mode in (True, 'tangent'):
+        spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                          surface_bounce=False, check_outer_edge=True,
+                          lookup_impl='relu', radpres_per_stage=mode)
+        outs[mode], _ = constant_step_driver(
+            state0, spec, forces, None, jnp.asarray(30.0, jnp.float64),
+            jnp.asarray(15.0, jnp.float64), jnp.asarray(radius_km),
+            key, nsteps=241, save_history=False)
+    d = np.sqrt(sum(np.asarray(getattr(outs['tangent'], c) -
+                               getattr(outs[True], c)) ** 2
+                    for c in ('x', 'y', 'z')))
+    # measured on this problem: p99 ~ 2e-4 R_p vs compression-envelope
+    # p99 ~ 3.5e-2 R_p (200x margin); total frac to 1e-4 relative
+    assert np.percentile(d, 99) < 3e-3
+    tot_e = float(np.sum(np.asarray(outs[True].frac)))
+    tot_t = float(np.sum(np.asarray(outs['tangent'].frac)))
+    assert abs(tot_t - tot_e) / tot_e < 1e-4
+
+
 def test_relu_lookup_matches_gather_in_engine():
     """A full RK5 step with lookup_impl='relu' (tol-compressed table) tracks
     the exact-gather step to within the compression tolerance."""
