@@ -449,6 +449,23 @@ class Options(_Section):
             if version != DEFAULT_GVALUE_VERSION:
                 self.gvalue_version = version
 
+        # Radiation-pressure stage-evaluation mode (extension): 'stage'
+        # (parity default — a(v) interpolated at every RK stage like
+        # state.py:38-52), 'tangent' (one shared knot walk per step
+        # returning a and da/dv, stages reconstructed first-order —
+        # deviation ~200x inside the relu-compression envelope, measured
+        # docs/scaling.md), or 'step' (frozen pre-step lookup,
+        # radpres_per_stage=False).  Attribute set only for non-default
+        # choices so the canonical dict is unchanged.
+        if 'radpres_mode' in oparam:
+            mode = oparam['radpres_mode'].strip().lower()
+            if mode not in ('stage', 'tangent', 'step'):
+                raise InputError('Options.__init__',
+                                 "options.radpres_mode must be 'stage', "
+                                 "'tangent', or 'step'")
+            if mode != 'stage':
+                self.radpres_mode = mode
+
         self.lifetime = float(oparam.get('lifetime', 0))
 
         # Extension (quirk F22): constant electron-impact and charge-

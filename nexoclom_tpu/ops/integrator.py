@@ -1216,7 +1216,8 @@ def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
                       batch: int = 1 << 20, segment: int = 256,
                       initial_step: float = 1000.0,
                       max_total_iterations: int = 10 ** 7,
-                      inner_steps: int = 1):
+                      inner_steps: int = 1,
+                      refill_fraction: float = 0.5):
     """Adaptive integration of a large packet pool through a fixed-width
     device batch with FULLY DEVICE-RESIDENT compaction and refill.
 
@@ -1266,7 +1267,10 @@ def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
         return (PacketState(**{f: np.asarray(getattr(final, f))
                                for f in fields}), int(iters))
 
-    k_refill = batch // 2
+    # refill quantum: lane occupancy rides in [1 - refill_fraction, 1]
+    # between swaps, so a smaller fraction trades more sort passes for a
+    # higher occupancy floor
+    k_refill = max(1, int(batch * refill_fraction))
     # pad the pool so every refill slices a full k_refill block; filler
     # lanes are all-zero (t = 0, frac = 0 -> dead from iteration 0) and
     # their ids (>= n) are dropped at the host reorder

@@ -97,6 +97,9 @@ def engine_spec_from_inputs(inputs) -> EngineSpec:
         eimp_tilt=bool(getattr(inputs.options, 'eimp_tilt', 0.0)),
         check_outer_edge=inputs.options.outeredge < 1e29,
         lookup_impl=default_lookup_impl(),
+        # 'stage' (default) -> True; 'tangent' -> 'tangent'; 'step' -> False
+        radpres_per_stage={'tangent': 'tangent', 'step': False}.get(
+            getattr(inputs.options, 'radpres_mode', 'stage'), True),
     )
 
 

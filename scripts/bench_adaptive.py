@@ -39,6 +39,8 @@ def main():
                          'total through a --packets-wide batch (device-side '
                          'sort compaction + refill)')
     ap.add_argument('--segment', type=int, default=512)
+    ap.add_argument('--refill-frac', type=float, default=0.5,
+                    help='pool refill quantum as a fraction of the batch')
     args = ap.parse_args()
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
@@ -128,7 +130,8 @@ def main():
             jnp.asarray(inp.options.outeredge, dtype),
             jnp.asarray(radius_km, dtype), key,
             batch=n, segment=args.segment,
-            inner_steps=args.inner_steps)
+            inner_steps=args.inner_steps,
+            refill_fraction=args.refill_frac)
         t0 = time.perf_counter()
         final_p, iters_p = run_p()
         print(f'pool cold (pool={n_pool}, batch={n}, '

@@ -153,3 +153,37 @@ def test_surfaceinteraction_accom_required():
     si = SurfaceInteraction({'sticktype': 'Temperature Dependent',
                              'accomfactor': '1'})
     assert si.A == (1.57014, -0.006262, 0.1614157)
+
+
+def test_options_radpres_mode():
+    """Extension knob: options.radpres_mode selects the RK stage-evaluation
+    strategy ('stage' default / 'tangent' / 'step'); only non-default
+    choices reach the canonical dict, and the engine spec maps them to
+    EngineSpec.radpres_per_stage."""
+    from nexoclom_tpu.initial_state.sections import Options
+    from nexoclom_tpu.utilities.exceptions import InputError
+    base = {'endtime': '3600', 'species': 'Ca'}
+    default = Options(dict(base))
+    assert not hasattr(default, 'radpres_mode')
+    stage = Options({**base, 'radpres_mode': 'stage'})
+    assert stage.to_dict() == default.to_dict()
+    tangent = Options({**base, 'radpres_mode': 'Tangent'})
+    assert tangent.radpres_mode == 'tangent'
+    step = Options({**base, 'radpres_mode': 'step'})
+    assert step.radpres_mode == 'step'
+    try:
+        Options({**base, 'radpres_mode': 'per-stage'})
+        raise AssertionError('expected InputError')
+    except InputError:
+        pass
+
+    import os
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking.output import engine_spec_from_inputs
+    here = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+    inp = Input(os.path.join(here, 'mercury_ca_spot.input'))
+    assert engine_spec_from_inputs(inp).radpres_per_stage is True
+    inp.options.radpres_mode = 'tangent'
+    assert engine_spec_from_inputs(inp).radpres_per_stage == 'tangent'
+    inp.options.radpres_mode = 'step'
+    assert engine_spec_from_inputs(inp).radpres_per_stage is False
