@@ -740,43 +740,17 @@ def constant_step_driver(state0: PacketState, spec: EngineSpec,
 # Adaptive-step driver
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('spec', 'max_iterations',
-                                   'collect_stats', 'inner_steps',
-                                   'return_h'))
-def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
-                         forces: ForceTable, surface: Optional[SurfaceTable],
-                         resolution, outeredge, radius_km, key,
-                         initial_step=1000.0, max_iterations: int = 100000,
-                         collect_stats: bool = False,
-                         inner_steps: int = 1, return_h: bool = False):
-    """Adaptive integration as one ``lax.while_loop`` with per-packet step
-    sizes and lockstep predication.
-
-    Prefer :func:`adaptive_step_driver_baked` on TPU: with the tables
-    passed as ARGUMENTS this loop runs 4x slower per iteration on axon
-    v5e than with them baked as compile-time constants (8.45 vs 2.15
-    ms/iter at 1M lanes, 2026-08; the constant-step scan shows no such
-    gap).
-
-    Error-control parity with ``Output.py:221-346``; see module docstring.
-    Returns ``(final_state, iterations)``, or with
-    ``collect_stats=True`` ``(final_state, iterations, stats)`` where
-    ``stats`` is a dict of per-packet arrays — ``accepted`` (good steps),
-    ``attempted`` (iterations spent active), ``done_at`` (iteration at
-    which the packet finished; max_iterations if it never did) — for
-    lockstep-divergence analysis (docs/scaling.md).
-
-    ``inner_steps``: adaptive iterations per while-loop cond evaluation
-    (an unrolled ``fori_loop`` inside the body).  Identical trajectories —
-    finished packets stay predicated — but the loop can overrun by up to
-    inner_steps-1 all-dead iterations at the end.  Measured no effect on
-    v5e (the body, not the cond, is the cost).
-
-    ``return_h`` appends the per-packet step sizes to the return tuple, and
-    ``initial_step`` may be a per-packet array — together these let a host
-    orchestrator run the loop in segments (``max_iterations``), compact the
-    live packets between segments, and resume without re-ramping h."""
-    dtype = state0.x.dtype
+def _adaptive_machinery(spec: EngineSpec, forces: ForceTable,
+                        surface: Optional[SurfaceTable], resolution,
+                        outeredge, radius_km, key, dtype,
+                        collect_stats: bool = False):
+    """The single-iteration core of the adaptive driver: returns
+    ``(moretogo, body)`` where ``body`` advances a ``(state, h, it[,
+    stats...])`` carry by ONE step-control iteration (trial step, error
+    test, accept/reject, kills, h update — Output.py:221-346 parity; see
+    :func:`adaptive_step_driver`).  Shared by the monolithic while_loop
+    driver and the in-loop pool-refill driver (:func:`adaptive_pool_loop`)
+    so step-control behavior cannot drift between them."""
     res = jnp.asarray(resolution, dtype)
     resx = res
     resv = 0.1 * res
@@ -784,10 +758,6 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
 
     def moretogo(st):
         return (st.t > res) & (st.frac > 0.0)
-
-    def cond(carry):
-        st, h, it = carry[:3]
-        return jnp.any(moretogo(st)) & (it < max_iterations)
 
     def body(carry):
         st, h, it = carry[:3]
@@ -847,6 +817,54 @@ def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
         finished = active & ~moretogo(new_state)
         done_at = jnp.where(finished, it + 1, done_at)
         return new_state, new_h, it + 1, accepted, attempted, done_at
+
+    return moretogo, body
+
+
+@partial(jax.jit, static_argnames=('spec', 'max_iterations',
+                                   'collect_stats', 'inner_steps',
+                                   'return_h'))
+def adaptive_step_driver(state0: PacketState, spec: EngineSpec,
+                         forces: ForceTable, surface: Optional[SurfaceTable],
+                         resolution, outeredge, radius_km, key,
+                         initial_step=1000.0, max_iterations: int = 100000,
+                         collect_stats: bool = False,
+                         inner_steps: int = 1, return_h: bool = False):
+    """Adaptive integration as one ``lax.while_loop`` with per-packet step
+    sizes and lockstep predication.
+
+    Prefer :func:`adaptive_step_driver_baked` on TPU: with the tables
+    passed as ARGUMENTS this loop runs 4x slower per iteration on axon
+    v5e than with them baked as compile-time constants (8.45 vs 2.15
+    ms/iter at 1M lanes, 2026-08; the constant-step scan shows no such
+    gap).
+
+    Error-control parity with ``Output.py:221-346``; see module docstring.
+    Returns ``(final_state, iterations)``, or with
+    ``collect_stats=True`` ``(final_state, iterations, stats)`` where
+    ``stats`` is a dict of per-packet arrays — ``accepted`` (good steps),
+    ``attempted`` (iterations spent active), ``done_at`` (iteration at
+    which the packet finished; max_iterations if it never did) — for
+    lockstep-divergence analysis (docs/scaling.md).
+
+    ``inner_steps``: adaptive iterations per while-loop cond evaluation
+    (an unrolled ``fori_loop`` inside the body).  Identical trajectories —
+    finished packets stay predicated — but the loop can overrun by up to
+    inner_steps-1 all-dead iterations at the end.  Measured no effect on
+    v5e (the body, not the cond, is the cost).
+
+    ``return_h`` appends the per-packet step sizes to the return tuple, and
+    ``initial_step`` may be a per-packet array — together these let a host
+    orchestrator run the loop in segments (``max_iterations``), compact the
+    live packets between segments, and resume without re-ramping h."""
+    dtype = state0.x.dtype
+    moretogo, body = _adaptive_machinery(spec, forces, surface, resolution,
+                                         outeredge, radius_km, key, dtype,
+                                         collect_stats)
+
+    def cond(carry):
+        st, h, it = carry[:3]
+        return jnp.any(moretogo(st)) & (it < max_iterations)
 
     if inner_steps > 1:
         single = body
@@ -1299,8 +1317,12 @@ def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
             state, spec, forces, surface, resolution, outeredge, radius_km,
             seg_key, initial_step=h, max_iterations=segment, return_h=True,
             inner_steps=inner_steps)
-        total_iters += int(iters)
-        n_live = int(_count_live(state, res_dev))   # the ONLY sync
+        # the ONLY sync per segment: one fetch for both control scalars
+        # (separate int() pulls pay the ~50 ms axon round trip twice)
+        iters_n, n_live = jax.device_get(
+            (iters, _count_live(state, res_dev)))
+        total_iters += int(iters_n)
+        n_live = int(n_live)
         n_done = batch - n_live
         if n_live == 0 and next_idx >= n_pad:
             break
@@ -1332,6 +1354,164 @@ def adaptive_pool_run(state0: PacketState, spec: EngineSpec,
 @jax.jit
 def _count_live(st: PacketState, res):
     return jnp.sum((st.t > res) & (st.frac > 0.0))
+
+
+_POOL_LOOP_CACHE: dict = {}
+_POOL_LOOP_CACHE_MAX = 8
+
+
+def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
+                       forces: ForceTable, surface: Optional[SurfaceTable],
+                       resolution, outeredge, radius_km, key,
+                       batch: int = 1 << 20, swap_every: int = 64,
+                       refill_fraction: float = 0.5,
+                       initial_step: float = 1000.0,
+                       max_total_iterations: int = 10 ** 7,
+                       inner_steps: int = 1):
+    """Adaptive pool integration as ONE ``lax.while_loop`` — the refill
+    itself lives inside the loop, so the host never intervenes.
+
+    :func:`adaptive_pool_run` still pays per-segment costs that cap it
+    near the monolithic rate (measured 2.2e8 at a 16M pool): a ~50 ms
+    control-scalar round trip plus dispatch per segment, and refills
+    quantized to the segment boundary.  Here the whole orchestration is
+    device-side data flow: every ``swap_every`` iterations a ``lax.cond``
+    checks (on device) whether ``refill_fraction * batch`` lanes have
+    finished and, if so, sorts finished-first and swaps them for the next
+    pool block (:func:`_sort_finished_first` + slice/update — no gather).
+    The pool, output buffer, and id ring ride in the while-loop carry, so
+    XLA aliases them in place in HBM; physics tables and control scalars
+    are baked as compile-time constants (the 4x while-loop
+    argument-pathology, docs/scaling.md).  The host sees ONE dispatch and
+    pulls the output buffer once at the end.
+
+    Same per-packet results as the monolithic driver for deterministic
+    physics; the bounce RNG stream is IDENTICAL too (keys fold on the
+    global iteration counter, unlike the per-segment folding of
+    ``adaptive_pool_run``).  ``swap_every`` must be a multiple of
+    ``inner_steps``.  Returns ``(final_state, total_iterations)`` with the
+    final state host-side in original packet order.
+    """
+    fields = PacketState._fields
+    n = state0.x.shape[0]
+    dtype = state0.x.dtype
+    if n <= batch:
+        final, iters = adaptive_step_driver_baked(
+            state0, spec, forces, surface, resolution, outeredge, radius_km,
+            key, initial_step=initial_step,
+            max_iterations=max_total_iterations, inner_steps=inner_steps)
+        return (PacketState(**{f: np.asarray(getattr(final, f))
+                               for f in fields}), int(iters))
+    if swap_every % max(inner_steps, 1):
+        raise ValueError('swap_every must be a multiple of inner_steps')
+
+    k_refill = max(1, int(batch * refill_fraction))
+    n_pad = batch + -(-(n - batch) // k_refill) * k_refill
+    pool = jax.tree.map(
+        lambda leaf: jnp.concatenate(
+            [leaf, jnp.zeros((n_pad - n,), leaf.dtype)]), state0)
+
+    cache_key = (spec, _content_key(forces), _content_key(surface),
+                 float(resolution), float(outeredge), float(radius_km),
+                 float(initial_step), batch, n_pad, swap_every, k_refill,
+                 max_total_iterations, inner_steps, str(dtype))
+    fn = _POOL_LOOP_CACHE.get(cache_key)
+    if fn is None:
+        if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
+            _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
+
+        res_c = jnp.asarray(float(resolution), dtype)
+        h0_c = jnp.asarray(float(initial_step), dtype)
+
+        def run(pool_a, key_a):
+            moretogo, body = _adaptive_machinery(
+                spec, forces, surface, resolution, outeredge, radius_km,
+                key_a, dtype)
+
+            def do_swap(c):
+                st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
+                st, h, ids = _sort_finished_first(st, h, ids, res_c)
+                done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
+                out_s = jax.tree.map(
+                    lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+                        buf, blk, out_pos, 0), out_s, done)
+                out_i = jax.lax.dynamic_update_slice_in_dim(
+                    out_i, ids[:k_refill], out_pos, 0)
+                fresh = jax.tree.map(
+                    lambda leaf: jax.lax.dynamic_slice_in_dim(
+                        leaf, next_idx, k_refill), pool_c)
+                st = jax.tree.map(
+                    lambda fr, leaf: jnp.concatenate([fr, leaf[k_refill:]]),
+                    fresh, st)
+                h = jnp.concatenate(
+                    [jnp.full((k_refill,), h0_c, h.dtype), h[k_refill:]])
+                ids = jnp.concatenate(
+                    [next_idx + jnp.arange(k_refill, dtype=jnp.int32),
+                     ids[k_refill:]])
+                return (st, h, it, ids, next_idx + k_refill,
+                        out_pos + k_refill, pool_c, out_s, out_i)
+
+            def maybe_swap(c):
+                st = c[0]
+                next_idx = c[4]
+                n_done = batch - jnp.sum(moretogo(st))
+                pred = (n_done >= k_refill) & (next_idx + k_refill <= n_pad)
+                return jax.lax.cond(pred, do_swap, lambda x: x, c)
+
+            def cond(c):
+                st, _, it = c[0], c[1], c[2]
+                next_idx = c[4]
+                return ((jnp.any(moretogo(st)) | (next_idx < n_pad))
+                        & (it < max_total_iterations))
+
+            def body_fused(c):
+                st, h, it = c[0], c[1], c[2]
+                if inner_steps > 1:
+                    st, h, it = jax.lax.fori_loop(
+                        0, inner_steps, lambda _, sc: body(sc), (st, h, it),
+                        unroll=True)
+                else:
+                    st, h, it = body((st, h, it))
+                c = (st, h, it) + c[3:]
+                boundary = (it % swap_every) == 0
+                return jax.lax.cond(boundary, maybe_swap, lambda x: x, c)
+
+            state = jax.tree.map(lambda leaf: leaf[:batch], pool_a)
+            carry0 = (state,
+                      jnp.full((batch,), h0_c, dtype),
+                      jnp.asarray(0, jnp.int32),
+                      jnp.arange(batch, dtype=jnp.int32),
+                      jnp.asarray(batch, jnp.int32),
+                      jnp.asarray(0, jnp.int32),
+                      pool_a,
+                      jax.tree.map(
+                          lambda leaf: jnp.zeros((n_pad,), leaf.dtype),
+                          pool_a),
+                      jnp.full((n_pad,), -1, jnp.int32))
+            out = jax.lax.while_loop(cond, body_fused, carry0)
+            st, _, it, ids, _, out_pos = out[:6]
+            out_s, out_i = out[7], out[8]
+            out_s = jax.tree.map(
+                lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+                    buf, blk, out_pos, 0), out_s, st)
+            out_i = jax.lax.dynamic_update_slice_in_dim(out_i, ids,
+                                                        out_pos, 0)
+            return out_s, out_i, it
+
+        fn = jax.jit(run, donate_argnums=(0,))
+        _POOL_LOOP_CACHE[cache_key] = fn
+
+    out_state, out_ids, it = fn(pool, key)
+    ids_np = np.asarray(out_ids)
+    valid = (ids_np >= 0) & (ids_np < n)
+    idx = ids_np[valid]
+    np_dtype = np.asarray(state0.x[:1]).dtype
+    final_np = {}
+    for f in fields:
+        col = np.zeros(n, np_dtype)
+        col[idx] = np.asarray(getattr(out_state, f))[valid]
+        final_np[f] = col
+    return PacketState(**final_np), int(it)
 
 
 def packet_state_from_dict(x0: dict) -> PacketState:

@@ -41,6 +41,10 @@ def main():
     ap.add_argument('--segment', type=int, default=512)
     ap.add_argument('--refill-frac', type=float, default=0.5,
                     help='pool refill quantum as a fraction of the batch')
+    ap.add_argument('--pool-loop', action='store_true',
+                    help='with --pool: also time adaptive_pool_loop (the '
+                         'in-loop lax.cond refill, one dispatch total)')
+    ap.add_argument('--swap-every', type=int, default=64)
     args = ap.parse_args()
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
@@ -152,6 +156,30 @@ def main():
         mono_frac = float(jnp.sum(final.frac))
         print(f'pool frac[:batch] total {sel_frac:.4e} vs monolithic '
               f'{mono_frac:.4e}')
+
+    if args.pool and args.pool_loop:
+        from nexoclom_tpu.ops.integrator import adaptive_pool_loop
+        run_l = lambda: adaptive_pool_loop(
+            pool_state, spec, forces, surface,
+            jnp.asarray(args.resolution, dtype),
+            jnp.asarray(inp.options.outeredge, dtype),
+            jnp.asarray(radius_km, dtype), key,
+            batch=n, swap_every=args.swap_every,
+            refill_fraction=args.refill_frac,
+            inner_steps=args.inner_steps)
+        t0 = time.perf_counter()
+        final_l, iters_l = run_l()
+        print(f'pool-loop cold (swap_every={args.swap_every}, '
+              f'refill={args.refill_frac}): {time.perf_counter() - t0:.1f} s')
+        t0 = time.perf_counter()
+        final_l, iters_l = run_l()
+        dt_l = time.perf_counter() - t0
+        accepted_pool = accepted * (args.pool / n)
+        print(f'pool-loop warm: {dt_l:.2f} s, {iters_l} while-iterations -> '
+              f'~{accepted_pool / dt_l:.3e} accepted packet-steps/s')
+        sel = float(np.asarray(final_l.frac[:n]).sum())
+        print(f'pool-loop frac[:batch] total {sel:.4e} vs monolithic '
+              f'{float(jnp.sum(final.frac)):.4e}')
 
     if args.compact:
         from nexoclom_tpu.ops.integrator import adaptive_compacting_run

@@ -499,3 +499,36 @@ def test_adaptive_pool_run_matches_monolithic():
     final_sm, _ = adaptive_step_driver(small, *args)
     for leaf_s, leaf_m in zip(final_s, final_sm):
         np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_m))
+
+
+def test_adaptive_pool_loop_matches_monolithic():
+    """The in-loop pool-refill driver (refill via lax.cond INSIDE the
+    while_loop — one dispatch, zero host orchestration) reproduces the
+    monolithic driver per packet in original order, including the bounce
+    RNG stream (keys fold on the global iteration counter)."""
+    from nexoclom_tpu.ops.integrator import adaptive_pool_loop
+    state0 = make_state(n=200, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, iters_m = adaptive_step_driver(state0, *args)
+    for inner in (1, 4):
+        final_p, iters_p = adaptive_pool_loop(state0, *args, batch=64,
+                                              swap_every=16,
+                                              inner_steps=inner)
+        for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+            np.testing.assert_allclose(np.asarray(getattr(final_p, f)),
+                                       np.asarray(getattr(final_m, f)),
+                                       rtol=1e-12, atol=1e-12, err_msg=f)
+        assert iters_p > 0
+    # quarter-batch refill quantum exercises multiple swaps + fillers
+    final_q, _ = adaptive_pool_loop(state0, *args, batch=64, swap_every=16,
+                                    refill_fraction=0.25)
+    for f in ('x', 'frac'):
+        np.testing.assert_allclose(np.asarray(getattr(final_q, f)),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+    # small pools fall through to the plain baked driver
+    small = jax.tree.map(lambda leaf: leaf[:32], state0)
+    final_s, _ = adaptive_pool_loop(small, *args, batch=64)
+    final_sm, _ = adaptive_step_driver(small, *args)
+    for leaf_s, leaf_m in zip(final_s, final_sm):
+        np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_m))
