@@ -1430,7 +1430,22 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
 
             def do_swap(c):
                 st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
-                st, h, ids = _sort_finished_first(st, h, ids, res_c)
+                # per-leaf stable sorts sharing ONE key: identical
+                # permutation (stable + equal keys), but each sort op's
+                # working set is ~8 MB instead of the 11-operand form's
+                # 130 MB — which trips XLA's alternate-memory assignment
+                # CHECK inside a while/cond context on this platform
+                # (SIGABRT in memory-space assignment, 2026-08)
+                alive_key = ((st.t > res_c) & (st.frac > 0.0)).astype(
+                    jnp.int32)
+
+                def sort1(leaf):
+                    return jax.lax.sort((alive_key, leaf), num_keys=1,
+                                        is_stable=True)[1]
+
+                st = jax.tree.map(sort1, st)
+                h = sort1(h)
+                ids = sort1(ids)
                 done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
                 out_s = jax.tree.map(
                     lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
