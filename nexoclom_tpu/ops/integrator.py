@@ -1386,11 +1386,14 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
     pulls the output buffer once at the end.
 
     Same per-packet results as the monolithic driver for deterministic
-    physics; the bounce RNG stream is IDENTICAL too (keys fold on the
-    global iteration counter, unlike the per-segment folding of
-    ``adaptive_pool_run``).  ``swap_every`` must be a multiple of
-    ``inner_steps``.  Returns ``(final_state, total_iterations)`` with the
-    final state host-side in original packet order.
+    physics (bit-exact, tested).  Bounce draws differ once a swap has
+    reshuffled lane positions — the per-iteration key matches the
+    monolithic stream (global iteration counter), but bounce randomness
+    is consumed per lane POSITION; both streams are equally valid, the
+    same caveat as every segmented orchestrator.  ``swap_every`` must be
+    a multiple of ``inner_steps``.  Returns ``(final_state,
+    total_iterations)`` with the final state host-side in original packet
+    order.
     """
     fields = PacketState._fields
     n = state0.x.shape[0]

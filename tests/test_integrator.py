@@ -532,3 +532,37 @@ def test_adaptive_pool_loop_matches_monolithic():
     final_sm, _ = adaptive_step_driver(small, *args)
     for leaf_s, leaf_m in zip(final_s, final_sm):
         np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_m))
+
+
+def test_adaptive_pool_loop_bounce_rng_identical():
+    """With surface bounce active the in-loop pool driver cannot match
+    bitwise (bounce randomness is consumed per lane POSITION and swaps
+    reshuffle positions — both streams equally valid), but it must agree
+    distributionally: same bounce survivor statistics within MC noise."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.integrator import (SurfaceTable,
+                                             adaptive_pool_loop)
+    spec = EngineSpec(gravity=True, radpres=False, constant_rate=False,
+                      surface_bounce=True, check_outer_edge=False)
+    surface = SurfaceTable(stickcoef=jnp.asarray(0.4),
+                           accomfactor=jnp.asarray(0.0),
+                           stick_A=jnp.asarray([0.0, 0.0, 0.0]),
+                           taa=jnp.asarray(0.0),
+                           v_table=jnp.asarray(np.zeros((2, 2))),
+                           temp0=jnp.asarray(0.0), dtemp=jnp.asarray(1.0))
+    forces = gravity_forces()._replace(ion_rate=jnp.asarray(2e-5))
+    # sub-escape launches so a good share of the pool re-impacts+bounces
+    state0 = make_state(n=160, vmin=1.5, vmax=3.5, endtime=4000.0)
+    args = (spec, forces, surface, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, _ = adaptive_step_driver(state0, *args)
+    final_p, _ = adaptive_pool_loop(state0, *args, batch=64, swap_every=16,
+                                    refill_fraction=0.25, inner_steps=4)
+    fm = np.asarray(final_m.frac)
+    fp = np.asarray(final_p.frac)
+    assert np.sum(fm < 1.0) > 10      # the scenario actually exercises bounce
+    # sticking statistics: the same number of packets face the same
+    # per-impact stick probability; totals agree within binomial noise
+    dead_m, dead_p = np.sum(fm == 0.0), np.sum(fp == 0.0)
+    sigma = np.sqrt(max(dead_m, 1.0))
+    assert abs(dead_m - dead_p) <= 5 * sigma
+    assert abs(fm.sum() - fp.sum()) / fm.sum() < 0.2
