@@ -579,5 +579,27 @@ class Options(_Section):
         else:
             self.resolution = None
 
+        # Adaptive orchestration (extension): how large adaptive batches
+        # are scheduled onto the chip — 'auto' (default: the in-loop
+        # pool refill above its measured amortisation point, sequential
+        # chunking below), 'chunked', or 'pool' (force either;
+        # ops/integrator.adaptive_production_run).  Physics-identical
+        # for deterministic specs; bounce RNG streams differ between
+        # orchestrations (both valid samples).  Attribute set only for
+        # non-default choices so the canonical dict (and catalog
+        # matching) is unchanged.
+        if 'adaptive_orchestrator' in oparam:
+            orch = oparam['adaptive_orchestrator'].strip().lower()
+            if orch not in ('auto', 'chunked', 'pool'):
+                raise InputError('Options.__init__',
+                                 "options.adaptive_orchestrator must be "
+                                 "'auto', 'chunked', or 'pool'")
+            if self.step_size != 0:
+                raise InputError('Options.__init__',
+                                 'options.adaptive_orchestrator requires '
+                                 'adaptive stepping (step_size = 0)')
+            if orch != 'auto':
+                self.adaptive_orchestrator = orch
+
         self.fitted = (oparam.get('fitted', 'false').casefold() ==
                        'true'.casefold())

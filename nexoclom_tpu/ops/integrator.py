@@ -1548,6 +1548,81 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
     return PacketState(**final_np), int(it)
 
 
+# Production pool-loop configuration (measured, docs/scaling.md): the
+# while-loop width where the adaptive driver peaks, the pool size below
+# which swap overhead outweighs the occupancy win over plain chunking,
+# and the pool cap above which sequential pool-loops keep the pool +
+# output carry (72 B/packet) comfortably inside v5e's 16 GB HBM.
+POOL_LOOP_BATCH = 1 << 20
+POOL_LOOP_MIN = 4 * POOL_LOOP_BATCH
+POOL_LOOP_CHUNK = 1 << 25
+
+
+def adaptive_production_run(state0: PacketState, spec: EngineSpec,
+                            forces: ForceTable,
+                            surface: Optional[SurfaceTable],
+                            resolution, outeredge, radius_km, key,
+                            orchestrator: str = 'auto',
+                            inner_steps: int = 4,
+                            batch: int = POOL_LOOP_BATCH,
+                            swap_every: int = 64,
+                            refill_fraction: float = 0.25,
+                            pool_min: int = POOL_LOOP_MIN,
+                            pool_chunk: int = POOL_LOOP_CHUNK):
+    """Route an adaptive batch to its best measured orchestration.
+
+    ``orchestrator``:
+
+    * ``'chunked'`` — :func:`adaptive_step_driver_chunked` (sequential
+      monolithic sub-batches inside the validated lane envelope).
+    * ``'pool'`` — :func:`adaptive_pool_loop` (device-resident pool with
+      the refill inside the while loop: ONE dispatch, ~77% lane
+      occupancy vs the monolithic 36%, and immunity to tunnel health —
+      measured 1.10x over chunking at a 16M pool, docs/scaling.md).
+      Pools above ``pool_chunk`` run as sequential pool-loops so the
+      pool + output carry stays bounded in HBM.
+    * ``'auto'`` — ``'pool'`` when the batch is large enough to amortise
+      the swap sorts (``n >= pool_min``), else ``'chunked'``.
+
+    Physics is identical either way (bit-exact for deterministic specs,
+    tested); with surface bounce the RNG *streams* differ between
+    orchestrations — both are valid samples, the standing caveat of
+    every segmented orchestrator.  Returns ``(final_state,
+    iterations)``; the pool path returns a host-side numpy PacketState
+    in original packet order, the chunked path device arrays.
+    """
+    if orchestrator not in ('auto', 'chunked', 'pool'):
+        raise ValueError(f'unknown adaptive orchestrator {orchestrator!r}')
+    n = state0.x.shape[0]
+    if orchestrator == 'auto':
+        orchestrator = 'pool' if n >= pool_min else 'chunked'
+    if orchestrator == 'chunked':
+        return adaptive_step_driver_chunked(
+            state0, spec, forces, surface, resolution, outeredge,
+            radius_km, key, inner_steps=inner_steps)
+
+    if n <= pool_chunk:
+        return adaptive_pool_loop(
+            state0, spec, forces, surface, resolution, outeredge,
+            radius_km, key, batch=batch, swap_every=swap_every,
+            refill_fraction=refill_fraction, inner_steps=inner_steps)
+    finals = []
+    iterations = 0
+    for i, start in enumerate(range(0, n, pool_chunk)):
+        sub = jax.tree.map(lambda leaf: leaf[start:start + pool_chunk],
+                           state0)
+        fin, iters = adaptive_pool_loop(
+            sub, spec, forces, surface, resolution, outeredge, radius_km,
+            jax.random.fold_in(key, i), batch=batch, swap_every=swap_every,
+            refill_fraction=refill_fraction, inner_steps=inner_steps)
+        finals.append(fin)
+        iterations = max(iterations, int(iters))
+    final = PacketState(**{
+        f: np.concatenate([np.asarray(getattr(fin, f)) for fin in finals])
+        for f in PacketState._fields})
+    return final, iterations
+
+
 def packet_state_from_dict(x0: dict) -> PacketState:
     """Assemble the engine state from the initial-state column dict."""
     return PacketState(t=x0['time'], x=x0['x'], y=x0['y'], z=x0['z'],

@@ -38,7 +38,7 @@ from nexoclom_tpu.initial_state.sections import effective_taa
 from nexoclom_tpu.initial_state.sampling import build_initial_state
 from nexoclom_tpu.ops.integrator import (EngineSpec, ForceTable, PacketState,
                                          SurfaceTable,
-                                         adaptive_step_driver_chunked,
+                                         adaptive_production_run,
                                          constant_step_driver,
                                          empty_force_table,
                                          packet_state_from_dict)
@@ -385,15 +385,21 @@ class Output:
             # while-loop iterations on axon v5e (ops/integrator.py).
             # inner_steps=4 amortises the per-iteration cond (another
             # +23% measured); trajectories are identical, the loop can
-            # only overrun by up to 3 all-dead iterations.  The chunked
-            # wrapper splits device batches above the validated lane
-            # envelope (ADAPTIVE_LANE_ENVELOPE: a 4M-lane loop faulted
-            # the TPU worker once) into sequential sub-batches.
-            final, iterations = adaptive_step_driver_chunked(
+            # only overrun by up to 3 all-dead iterations.  The router
+            # picks the measured-best orchestration: sequential
+            # sub-batches inside the validated lane envelope
+            # (ADAPTIVE_LANE_ENVELOPE: a 4M-lane loop faulted the TPU
+            # worker once), or the device-resident in-loop pool refill
+            # for large batches (ONE dispatch, ~2x lane occupancy —
+            # docs/scaling.md); options.adaptive_orchestrator overrides.
+            final, iterations = adaptive_production_run(
                 state0, spec, forces, surface,
                 jnp.asarray(options.resolution, dtype),
                 jnp.asarray(options.outeredge, dtype),
-                jnp.asarray(radius_km, dtype), run_key, inner_steps=4)
+                jnp.asarray(radius_km, dtype), run_key,
+                orchestrator=getattr(options, 'adaptive_orchestrator',
+                                     'auto'),
+                inner_steps=4)
             self.X = self._assemble_final(final)
 
         self.save()

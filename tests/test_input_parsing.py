@@ -187,3 +187,25 @@ def test_options_radpres_mode():
     assert engine_spec_from_inputs(inp).radpres_per_stage == 'tangent'
     inp.options.radpres_mode = 'step'
     assert engine_spec_from_inputs(inp).radpres_per_stage is False
+
+
+def test_options_adaptive_orchestrator():
+    """Extension knob: options.adaptive_orchestrator picks the adaptive
+    scheduling strategy ('auto' default / 'chunked' / 'pool'); 'auto'
+    leaves the canonical dict unchanged, and the knob requires adaptive
+    stepping (step_size = 0)."""
+    base = {'endtime': '3600', 'species': 'Ca'}
+    default = Options(dict(base))
+    assert not hasattr(default, 'adaptive_orchestrator')
+    auto = Options({**base, 'adaptive_orchestrator': 'Auto'})
+    assert not hasattr(auto, 'adaptive_orchestrator')
+    assert auto.to_dict() == default.to_dict()
+    pool = Options({**base, 'adaptive_orchestrator': 'POOL'})
+    assert pool.adaptive_orchestrator == 'pool'
+    chunked = Options({**base, 'adaptive_orchestrator': 'chunked'})
+    assert chunked.adaptive_orchestrator == 'chunked'
+    with pytest.raises(InputError):
+        Options({**base, 'adaptive_orchestrator': 'segmented'})
+    with pytest.raises(InputError):
+        Options({**base, 'step_size': '30',
+                 'adaptive_orchestrator': 'pool'})

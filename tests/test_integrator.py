@@ -457,15 +457,18 @@ def test_output_chunks_oversized_adaptive_batch(monkeypatch, tmp_path):
     out_full = Output(inp, 100, seed=5)
     x_full = out_full.X.sort_values('x').reset_index(drop=True)
 
-    real_chunked = integ.adaptive_step_driver_chunked
     calls = {}
 
-    def spy(*args, **kwargs):
-        calls['envelope'] = kwargs.setdefault('envelope', 32)
-        return real_chunked(*args, **kwargs)
+    def spy(state0, spec, forces, surface, *args, orchestrator='auto',
+            inner_steps=4, **kwargs):
+        calls['envelope'] = 32
+        calls['orchestrator'] = orchestrator
+        return integ.adaptive_step_driver_chunked(
+            state0, spec, forces, surface, *args, envelope=32,
+            inner_steps=inner_steps)
 
     import nexoclom_tpu.particle_tracking.output as out_mod
-    monkeypatch.setattr(out_mod, 'adaptive_step_driver_chunked', spy)
+    monkeypatch.setattr(out_mod, 'adaptive_production_run', spy)
     out_chunked = Output(inp, 100, seed=5)
     assert calls['envelope'] == 32        # the spy actually forced chunking
     x_chunked = out_chunked.X.sort_values('x').reset_index(drop=True)
@@ -532,6 +535,48 @@ def test_adaptive_pool_loop_matches_monolithic():
     final_sm, _ = adaptive_step_driver(small, *args)
     for leaf_s, leaf_m in zip(final_s, final_sm):
         np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_m))
+
+
+def test_adaptive_production_run_routing():
+    """The production router picks chunked below the pool amortisation
+    point and the in-loop pool above it (or on request), with identical
+    physics either way (deterministic spec)."""
+    from nexoclom_tpu.ops.integrator import adaptive_production_run
+    state0 = make_state(n=200, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, _ = adaptive_step_driver(state0, *args)
+
+    # auto, n far below pool_min -> chunked path (device arrays)
+    final_a, _ = adaptive_production_run(state0, *args)
+    for f in ('t', 'x', 'frac', 'lossfrac'):
+        np.testing.assert_allclose(np.asarray(getattr(final_a, f)),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+
+    # forced pool with small knobs -> numpy state in original order
+    final_p, _ = adaptive_production_run(state0, *args, orchestrator='pool',
+                                         batch=64, swap_every=16,
+                                         inner_steps=1)
+    assert isinstance(final_p.x, np.ndarray)
+    for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+        np.testing.assert_allclose(getattr(final_p, f),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+
+    # auto above a lowered pool_min routes to the pool; a lowered
+    # pool_chunk exercises the sequential multi-pool path
+    final_c, _ = adaptive_production_run(state0, *args, orchestrator='auto',
+                                         pool_min=128, pool_chunk=96,
+                                         batch=64, swap_every=16,
+                                         inner_steps=1)
+    assert isinstance(final_c.x, np.ndarray)
+    for f in ('t', 'x', 'frac'):
+        np.testing.assert_allclose(getattr(final_c, f),
+                                   np.asarray(getattr(final_m, f)),
+                                   rtol=1e-12, atol=1e-12, err_msg=f)
+
+    with pytest.raises(ValueError, match='orchestrator'):
+        adaptive_production_run(state0, *args, orchestrator='segmented')
 
 
 def test_adaptive_pool_loop_bounce_rng_identical():
