@@ -15,10 +15,18 @@ One JSON line with three driver-visible metrics (round-over-round record):
 * ``fused_value`` — packet-steps/s of the fused-observable image pipeline
   (200x200 radiance, stride 1) streaming 2^22 packets through the chunked
   scan.
+* ``pool_value`` — accepted packet-steps/s of the PRODUCTION adaptive
+  path for large batches: ``adaptive_production_run`` routing a 2^24
+  pool through the in-loop device-resident refill (``adaptive_pool_loop``
+  — one dispatch, ~77% lane occupancy vs the monolithic 36%;
+  docs/scaling.md occupancy ladder).  The accepted-step total is the
+  monolithic run's count scaled by pool/batch (identical physics and
+  seed; the pool driver does not carry per-lane counters).
+  Set ``NEXOCLOM_BENCH_SKIP_POOL=1`` to skip this stage.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
 "adaptive_value", "adaptive_vs_baseline", "fused_value",
-"fused_vs_baseline"}.
+"fused_vs_baseline", "pool_value", "pool_vs_baseline"}.
 """
 import json
 import math
@@ -107,17 +115,13 @@ def _ca_inputs():
                               'mercury_ca_spot.input'))
 
 
-def bench_adaptive():
-    """Accepted packet-steps/s of the adaptive (default-mode) driver."""
-    from nexoclom_tpu.initial_state.sampling import build_initial_state
+def _adaptive_problem(dtype=jnp.float32):
+    """Shared Ca adaptive workload: (inp, spec, forces, surface, args)."""
     from nexoclom_tpu.initial_state.sections import effective_taa
-    from nexoclom_tpu.ops.integrator import (adaptive_step_driver_baked,
-                                             packet_state_from_dict)
     from nexoclom_tpu.particle_tracking.output import (
         build_force_table, build_surface_table, engine_spec_from_inputs)
     from nexoclom_tpu.solarsystem import planet_dist
 
-    dtype = jnp.float32
     inp = _ca_inputs()
     inp.options.endtime = 10800.0
     inp.options.step_size = 0.0
@@ -128,17 +132,31 @@ def bench_adaptive():
     spec = engine_spec_from_inputs(inp)
     forces = build_force_table(inp, r, v_r / radius_km, radius_km, dtype)
     surface = build_surface_table(inp, spec, radius_km, dtype)
+    args = (jnp.asarray(1e-4, dtype), jnp.asarray(inp.options.outeredge,
+                                                  dtype),
+            jnp.asarray(radius_km, dtype), jax.random.PRNGKey(99))
+    return inp, spec, forces, surface, args
+
+
+def bench_adaptive():
+    """Accepted packet-steps/s of the adaptive (default-mode) driver.
+
+    Returns ``(rate, accepted, n)`` so the pool stage can scale the
+    accepted-step total to its pool size."""
+    from nexoclom_tpu.initial_state.sampling import build_initial_state
+    from nexoclom_tpu.ops.integrator import (adaptive_step_driver_baked,
+                                             packet_state_from_dict)
+
+    dtype = jnp.float32
+    inp, spec, forces, surface, args = _adaptive_problem(dtype)
 
     n = 1 << 20            # adaptive peaks at ~1M lanes (docs/scaling.md)
     state0 = packet_state_from_dict(build_initial_state(inp, n, seed=7,
                                                         dtype=dtype))
-    key = jax.random.PRNGKey(99)
 
     def run():
         return adaptive_step_driver_baked(
-            state0, spec, forces, surface, jnp.asarray(1e-4, dtype),
-            jnp.asarray(inp.options.outeredge, dtype),
-            jnp.asarray(radius_km, dtype), key, collect_stats=True,
+            state0, spec, forces, surface, *args, collect_stats=True,
             inner_steps=4)
 
     final, _, stats = run()
@@ -148,6 +166,38 @@ def bench_adaptive():
     # int64 on host: the int32 per-packet counters total past 2^31
     accepted = int(np.asarray(stats['accepted'], np.int64).sum())
     elapsed = time.perf_counter() - t0
+    return accepted / elapsed, accepted, n
+
+
+def bench_pool(accepted_mono, n_mono):
+    """Accepted ps/s of the production large-batch path (in-loop pool).
+
+    One cold (compile+run) then one warm timing of
+    ``adaptive_production_run`` on a 2^24 pool — the measured production
+    configuration (docs/scaling.md).  The 21k-iteration single dispatch
+    makes one warm rep low-variance.  Accepted steps are the monolithic
+    count scaled by pool/batch (same physics, same seed)."""
+    from nexoclom_tpu.initial_state.sampling import build_initial_state
+    from nexoclom_tpu.ops.integrator import (adaptive_production_run,
+                                             packet_state_from_dict)
+
+    dtype = jnp.float32
+    inp, spec, forces, surface, args = _adaptive_problem(dtype)
+
+    n_pool = 1 << 24
+    state0 = packet_state_from_dict(build_initial_state(inp, n_pool, seed=7,
+                                                        dtype=dtype))
+
+    def run():
+        return adaptive_production_run(state0, spec, forces, surface, *args,
+                                       orchestrator='pool', inner_steps=4)
+
+    final, _ = run()                    # compile + warm the pool program
+    assert np.isfinite(final.frac).all()
+    t0 = time.perf_counter()
+    final, _ = run()                    # host numpy return: its own barrier
+    elapsed = time.perf_counter() - t0
+    accepted = accepted_mono * (n_pool / n_mono)
     return accepted / elapsed
 
 
@@ -177,9 +227,9 @@ def main():
     enable_compilation_cache()
 
     rate = bench_const_step()
-    adaptive_rate = bench_adaptive()
+    adaptive_rate, accepted, n_mono = bench_adaptive()
     fused_rate = bench_fused()
-    print(json.dumps({
+    record = {
         'metric': 'packet-steps/sec/chip (Ca-class full physics, RK5 const-step)',
         'value': rate,
         'unit': 'packet-steps/s',
@@ -188,7 +238,12 @@ def main():
         'adaptive_vs_baseline': adaptive_rate / BASELINE,
         'fused_value': fused_rate,
         'fused_vs_baseline': fused_rate / BASELINE,
-    }))
+    }
+    if not os.environ.get('NEXOCLOM_BENCH_SKIP_POOL'):
+        pool_rate = bench_pool(accepted, n_mono)
+        record['pool_value'] = pool_rate
+        record['pool_vs_baseline'] = pool_rate / BASELINE
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

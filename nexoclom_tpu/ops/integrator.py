@@ -1422,116 +1422,10 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
     if fn is None:
         if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
             _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
-
-        res_c = jnp.asarray(float(resolution), dtype)
-        h0_c = jnp.asarray(float(initial_step), dtype)
-
-        def run(pool_a, key_a):
-            moretogo, body = _adaptive_machinery(
-                spec, forces, surface, resolution, outeredge, radius_km,
-                key_a, dtype)
-
-            def do_swap(c):
-                st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
-                # per-leaf stable sorts sharing ONE key: identical
-                # permutation (stable + equal keys), but each sort op's
-                # working set is ~8 MB instead of the 11-operand form's
-                # 130 MB — which trips XLA's alternate-memory assignment
-                # CHECK inside a while/cond context on this platform
-                # (SIGABRT in memory-space assignment, 2026-08)
-                alive_key = ((st.t > res_c) & (st.frac > 0.0)).astype(
-                    jnp.int32)
-
-                def sort1(leaf):
-                    return jax.lax.sort((alive_key, leaf), num_keys=1,
-                                        is_stable=True)[1]
-
-                st = jax.tree.map(sort1, st)
-                h = sort1(h)
-                ids = sort1(ids)
-                done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
-                out_s = jax.tree.map(
-                    lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
-                        buf, blk, out_pos, 0), out_s, done)
-                out_i = jax.lax.dynamic_update_slice_in_dim(
-                    out_i, ids[:k_refill], out_pos, 0)
-                fresh = jax.tree.map(
-                    lambda leaf: jax.lax.dynamic_slice_in_dim(
-                        leaf, next_idx, k_refill), pool_c)
-                st = jax.tree.map(
-                    lambda fr, leaf: jnp.concatenate([fr, leaf[k_refill:]]),
-                    fresh, st)
-                h = jnp.concatenate(
-                    [jnp.full((k_refill,), h0_c, h.dtype), h[k_refill:]])
-                ids = jnp.concatenate(
-                    [next_idx + jnp.arange(k_refill, dtype=jnp.int32),
-                     ids[k_refill:]])
-                return (st, h, it, ids, next_idx + k_refill,
-                        out_pos + k_refill, pool_c, out_s, out_i)
-
-            def maybe_swap(c):
-                st = c[0]
-                next_idx = c[4]
-                n_done = batch - jnp.sum(moretogo(st))
-                pred = (n_done >= k_refill) & (next_idx + k_refill <= n_pad)
-                return jax.lax.cond(pred, do_swap, lambda x: x, c)
-
-            def cond(c):
-                st, _, it = c[0], c[1], c[2]
-                next_idx = c[4]
-                return ((jnp.any(moretogo(st)) | (next_idx < n_pad))
-                        & (it < max_total_iterations))
-
-            if inner_steps > 1:
-                single = body
-
-                def body(sc):
-                    return jax.lax.fori_loop(0, inner_steps,
-                                             lambda _, c: single(c), sc,
-                                             unroll=True)
-
-            def body_fused(c):
-                # NESTED loop structure: the inner while_loop carries ONLY
-                # (state, h, it) — the first fused form threaded the 64 MB
-                # pool/output buffers through a per-iteration lax.cond,
-                # which broke XLA's carry aliasing and doubled the
-                # iteration cost (4.43 vs 2.15 ms measured); here the
-                # buffers cross a loop boundary once per swap_every
-                # iterations, and the hot body is graph-identical to the
-                # monolithic driver's
-                st, h, it = c[0], c[1], c[2]
-                limit = it + swap_every
-
-                def icond(ic):
-                    st_, _, it_ = ic
-                    return (jnp.any(moretogo(st_)) & (it_ < limit)
-                            & (it_ < max_total_iterations))
-
-                st, h, it = jax.lax.while_loop(icond, body, (st, h, it))
-                return maybe_swap((st, h, it) + c[3:])
-
-            state = jax.tree.map(lambda leaf: leaf[:batch], pool_a)
-            carry0 = (state,
-                      jnp.full((batch,), h0_c, dtype),
-                      jnp.asarray(0, jnp.int32),
-                      jnp.arange(batch, dtype=jnp.int32),
-                      jnp.asarray(batch, jnp.int32),
-                      jnp.asarray(0, jnp.int32),
-                      pool_a,
-                      jax.tree.map(
-                          lambda leaf: jnp.zeros((n_pad,), leaf.dtype),
-                          pool_a),
-                      jnp.full((n_pad,), -1, jnp.int32))
-            out = jax.lax.while_loop(cond, body_fused, carry0)
-            st, _, it, ids, _, out_pos = out[:6]
-            out_s, out_i = out[7], out[8]
-            out_s = jax.tree.map(
-                lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
-                    buf, blk, out_pos, 0), out_s, st)
-            out_i = jax.lax.dynamic_update_slice_in_dim(out_i, ids,
-                                                        out_pos, 0)
-            return out_s, out_i, it
-
+        run = _build_pool_loop_fn(
+            spec, forces, surface, resolution, outeredge, radius_km, dtype,
+            batch, n_pad, k_refill, swap_every, max_total_iterations,
+            inner_steps, initial_step)
         fn = jax.jit(run, donate_argnums=(0,))
         _POOL_LOOP_CACHE[cache_key] = fn
 
@@ -1546,6 +1440,227 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
         col[idx] = np.asarray(getattr(out_state, f))[valid]
         final_np[f] = col
     return PacketState(**final_np), int(it)
+
+
+def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
+                        radius_km, dtype, batch, n_pad, k_refill,
+                        swap_every, max_total_iterations, inner_steps,
+                        initial_step):
+    """Build the in-loop-refill pool program ``run(pool, key) ->
+    (out_state, out_ids, iterations)`` for one device's pool of
+    ``n_pad`` packets (:func:`adaptive_pool_loop` for the structure;
+    :func:`adaptive_pool_loop_sharded` maps it per mesh shard)."""
+    res_c = jnp.asarray(float(resolution), dtype)
+    h0_c = jnp.asarray(float(initial_step), dtype)
+
+    def run(pool_a, key_a):
+        moretogo, body = _adaptive_machinery(
+            spec, forces, surface, resolution, outeredge, radius_km,
+            key_a, dtype)
+
+        def do_swap(c):
+            st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
+            # per-leaf stable sorts sharing ONE key: identical
+            # permutation (stable + equal keys), but each sort op's
+            # working set is ~8 MB instead of the 11-operand form's
+            # 130 MB — which trips XLA's alternate-memory assignment
+            # CHECK inside a while/cond context on this platform
+            # (SIGABRT in memory-space assignment, 2026-08)
+            alive_key = ((st.t > res_c) & (st.frac > 0.0)).astype(
+                jnp.int32)
+
+            def sort1(leaf):
+                return jax.lax.sort((alive_key, leaf), num_keys=1,
+                                    is_stable=True)[1]
+
+            st = jax.tree.map(sort1, st)
+            h = sort1(h)
+            ids = sort1(ids)
+            done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
+            out_s = jax.tree.map(
+                lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+                    buf, blk, out_pos, 0), out_s, done)
+            out_i = jax.lax.dynamic_update_slice_in_dim(
+                out_i, ids[:k_refill], out_pos, 0)
+            fresh = jax.tree.map(
+                lambda leaf: jax.lax.dynamic_slice_in_dim(
+                    leaf, next_idx, k_refill), pool_c)
+            st = jax.tree.map(
+                lambda fr, leaf: jnp.concatenate([fr, leaf[k_refill:]]),
+                fresh, st)
+            h = jnp.concatenate(
+                [jnp.full((k_refill,), h0_c, h.dtype), h[k_refill:]])
+            ids = jnp.concatenate(
+                [next_idx + jnp.arange(k_refill, dtype=jnp.int32),
+                 ids[k_refill:]])
+            return (st, h, it, ids, next_idx + k_refill,
+                    out_pos + k_refill, pool_c, out_s, out_i)
+
+        def maybe_swap(c):
+            st = c[0]
+            next_idx = c[4]
+            n_done = batch - jnp.sum(moretogo(st))
+            pred = (n_done >= k_refill) & (next_idx + k_refill <= n_pad)
+            return jax.lax.cond(pred, do_swap, lambda x: x, c)
+
+        def cond(c):
+            st, _, it = c[0], c[1], c[2]
+            next_idx = c[4]
+            return ((jnp.any(moretogo(st)) | (next_idx < n_pad))
+                    & (it < max_total_iterations))
+
+        if inner_steps > 1:
+            single = body
+
+            def body(sc):
+                return jax.lax.fori_loop(0, inner_steps,
+                                         lambda _, c: single(c), sc,
+                                         unroll=True)
+
+        def body_fused(c):
+            # NESTED loop structure: the inner while_loop carries ONLY
+            # (state, h, it) — the first fused form threaded the 64 MB
+            # pool/output buffers through a per-iteration lax.cond,
+            # which broke XLA's carry aliasing and doubled the
+            # iteration cost (4.43 vs 2.15 ms measured); here the
+            # buffers cross a loop boundary once per swap_every
+            # iterations, and the hot body is graph-identical to the
+            # monolithic driver's
+            st, h, it = c[0], c[1], c[2]
+            limit = it + swap_every
+
+            def icond(ic):
+                st_, _, it_ = ic
+                return (jnp.any(moretogo(st_)) & (it_ < limit)
+                        & (it_ < max_total_iterations))
+
+            st, h, it = jax.lax.while_loop(icond, body, (st, h, it))
+            return maybe_swap((st, h, it) + c[3:])
+
+        state = jax.tree.map(lambda leaf: leaf[:batch], pool_a)
+        carry0 = (state,
+                  jnp.full((batch,), h0_c, dtype),
+                  jnp.asarray(0, jnp.int32),
+                  jnp.arange(batch, dtype=jnp.int32),
+                  jnp.asarray(batch, jnp.int32),
+                  jnp.asarray(0, jnp.int32),
+                  pool_a,
+                  jax.tree.map(
+                      lambda leaf: jnp.zeros((n_pad,), leaf.dtype),
+                      pool_a),
+                  jnp.full((n_pad,), -1, jnp.int32))
+        out = jax.lax.while_loop(cond, body_fused, carry0)
+        st, _, it, ids, _, out_pos = out[:6]
+        out_s, out_i = out[7], out[8]
+        out_s = jax.tree.map(
+            lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+                buf, blk, out_pos, 0), out_s, st)
+        out_i = jax.lax.dynamic_update_slice_in_dim(out_i, ids,
+                                                    out_pos, 0)
+        return out_s, out_i, it
+
+    return run
+
+
+def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
+                               forces: ForceTable,
+                               surface: Optional[SurfaceTable],
+                               resolution, outeredge, radius_km, key, mesh,
+                               axis: str = 'packets',
+                               batch: int = 1 << 20, swap_every: int = 64,
+                               refill_fraction: float = 0.5,
+                               initial_step: float = 1000.0,
+                               max_total_iterations: int = 10 ** 7,
+                               inner_steps: int = 1):
+    """Multi-chip :func:`adaptive_pool_loop`: one INDEPENDENT pool loop
+    per mesh shard via ``jax.shard_map`` — zero collectives.
+
+    The sharded *monolithic* driver (plain ``jax.sharding`` on the
+    packet axis) pays a cross-device all-done reduction every cond
+    check, and every chip spins until the globally slowest lane
+    finishes.  Here each device owns a contiguous block of the pool and
+    drains it with its own in-loop refill: the while-loop trip count
+    differs per device (no collectives in cond or body, so SPMD
+    divergence is safe), occupancy is per-chip, and the only
+    synchronisation is the final output pull.  This is the production
+    multi-chip form of the reference's default adaptive mode
+    (``input_classes.py:1085-1092``).
+
+    Per-shard bounce RNG streams derive from ``fold_in(key,
+    shard_index)`` — independent per shard, the standing segmented-
+    orchestrator caveat; deterministic physics is bit-exact vs the
+    monolithic driver (tested).  Returns host-side numpy state in
+    original packet order plus the max per-shard iteration count.
+    """
+    fields = PacketState._fields
+    n = state0.x.shape[0]
+    dtype = state0.x.dtype
+    n_shards = int(mesh.shape[axis])
+    if n_shards == 1 or n <= batch:
+        return adaptive_pool_loop(
+            state0, spec, forces, surface, resolution, outeredge, radius_km,
+            key, batch=batch, swap_every=swap_every,
+            refill_fraction=refill_fraction, initial_step=initial_step,
+            max_total_iterations=max_total_iterations,
+            inner_steps=inner_steps)
+    if swap_every % max(inner_steps, 1):
+        raise ValueError('swap_every must be a multiple of inner_steps')
+
+    k_refill = max(1, int(batch * refill_fraction))
+    per_shard = -(-n // n_shards)
+    extra = max(0, per_shard - batch)
+    n_pad_local = batch + -(-extra // k_refill) * k_refill
+    n_pad = n_shards * n_pad_local
+    # zero-padding packets have t=0, frac=0 -> immediately finished; they
+    # cycle out through the refill and are dropped by the id mask below
+    pool = jax.tree.map(
+        lambda leaf: jnp.concatenate(
+            [leaf, jnp.zeros((n_pad - n,), leaf.dtype)]), state0)
+
+    cache_key = (spec, _content_key(forces), _content_key(surface),
+                 float(resolution), float(outeredge), float(radius_km),
+                 float(initial_step), batch, n_pad_local, swap_every,
+                 k_refill, max_total_iterations, inner_steps, str(dtype),
+                 mesh, axis)
+    fn = _POOL_LOOP_CACHE.get(cache_key)
+    if fn is None:
+        if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
+            _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
+        run = _build_pool_loop_fn(
+            spec, forces, surface, resolution, outeredge, radius_km, dtype,
+            batch, n_pad_local, k_refill, swap_every, max_total_iterations,
+            inner_steps, initial_step)
+
+        def shard_body(pool_local, key_a):
+            shard = jax.lax.axis_index(axis)
+            out_s, out_i, it = run(pool_local,
+                                   jax.random.fold_in(key_a, shard))
+            return out_s, out_i, it[None]
+
+        p_packets = jax.sharding.PartitionSpec(axis)
+        fn = jax.jit(
+            jax.shard_map(shard_body, mesh=mesh,
+                          in_specs=(p_packets,
+                                    jax.sharding.PartitionSpec()),
+                          out_specs=(p_packets, p_packets, p_packets),
+                          check_vma=False),
+            donate_argnums=(0,))
+        _POOL_LOOP_CACHE[cache_key] = fn
+
+    out_state, out_ids, its = fn(pool, key)
+    # shard s's local ids live in block [s*n_pad_local, (s+1)*n_pad_local)
+    ids_np = np.asarray(out_ids).reshape(n_shards, n_pad_local)
+    offsets = np.arange(n_shards, dtype=ids_np.dtype)[:, None] * n_pad_local
+    ids_np = np.where(ids_np >= 0, ids_np + offsets, -1).ravel()
+    valid = (ids_np >= 0) & (ids_np < n)
+    idx = ids_np[valid]
+    np_dtype = np.asarray(state0.x[:1]).dtype
+    final_np = {}
+    for f in fields:
+        col = np.zeros(n, np_dtype)
+        col[idx] = np.asarray(getattr(out_state, f))[valid]
+        final_np[f] = col
+    return PacketState(**final_np), int(np.asarray(its).max())
 
 
 # Production pool-loop configuration (measured, docs/scaling.md): the
@@ -1568,7 +1683,8 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
                             swap_every: int = 64,
                             refill_fraction: float = 0.25,
                             pool_min: int = POOL_LOOP_MIN,
-                            pool_chunk: int = POOL_LOOP_CHUNK):
+                            pool_chunk: int = POOL_LOOP_CHUNK,
+                            mesh=None, shard_axis: str = 'packets'):
     """Route an adaptive batch to its best measured orchestration.
 
     ``orchestrator``:
@@ -1584,6 +1700,12 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
     * ``'auto'`` — ``'pool'`` when the batch is large enough to amortise
       the swap sorts (``n >= pool_min``), else ``'chunked'``.
 
+    With a ``mesh`` whose ``shard_axis`` has more than one device, the
+    pool path becomes :func:`adaptive_pool_loop_sharded` — one
+    independent pool loop per chip, zero collectives — and the
+    ``auto``/``pool_chunk`` thresholds scale by the shard count (each
+    shard must amortise its own swaps; HBM is per chip).
+
     Physics is identical either way (bit-exact for deterministic specs,
     tested); with surface bounce the RNG *streams* differ between
     orchestrations — both are valid samples, the standing caveat of
@@ -1594,27 +1716,35 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
     if orchestrator not in ('auto', 'chunked', 'pool'):
         raise ValueError(f'unknown adaptive orchestrator {orchestrator!r}')
     n = state0.x.shape[0]
+    n_shards = int(mesh.shape[shard_axis]) if mesh is not None else 1
     if orchestrator == 'auto':
-        orchestrator = 'pool' if n >= pool_min else 'chunked'
+        orchestrator = 'pool' if n >= pool_min * n_shards else 'chunked'
     if orchestrator == 'chunked':
         return adaptive_step_driver_chunked(
             state0, spec, forces, surface, resolution, outeredge,
             radius_km, key, inner_steps=inner_steps)
 
-    if n <= pool_chunk:
+    def pool_run(sub, sub_key):
+        if n_shards > 1:
+            return adaptive_pool_loop_sharded(
+                sub, spec, forces, surface, resolution, outeredge,
+                radius_km, sub_key, mesh, axis=shard_axis, batch=batch,
+                swap_every=swap_every, refill_fraction=refill_fraction,
+                inner_steps=inner_steps)
         return adaptive_pool_loop(
-            state0, spec, forces, surface, resolution, outeredge,
-            radius_km, key, batch=batch, swap_every=swap_every,
+            sub, spec, forces, surface, resolution, outeredge,
+            radius_km, sub_key, batch=batch, swap_every=swap_every,
             refill_fraction=refill_fraction, inner_steps=inner_steps)
+
+    pool_chunk = pool_chunk * n_shards
+    if n <= pool_chunk:
+        return pool_run(state0, key)
     finals = []
     iterations = 0
     for i, start in enumerate(range(0, n, pool_chunk)):
         sub = jax.tree.map(lambda leaf: leaf[start:start + pool_chunk],
                            state0)
-        fin, iters = adaptive_pool_loop(
-            sub, spec, forces, surface, resolution, outeredge, radius_km,
-            jax.random.fold_in(key, i), batch=batch, swap_every=swap_every,
-            refill_fraction=refill_fraction, inner_steps=inner_steps)
+        fin, iters = pool_run(sub, jax.random.fold_in(key, i))
         finals.append(fin)
         iterations = max(iterations, int(iters))
     final = PacketState(**{

@@ -134,6 +134,58 @@ def test_adaptive_sharded_matches_unsharded():
     assert bool(jnp.all((final_ref.t <= 1e-4) | (final_ref.frac == 0.0)))
 
 
+def test_pool_loop_sharded_matches_monolithic():
+    """The multi-chip production adaptive path: one independent in-loop
+    pool refill per shard (shard_map, zero collectives — per-device
+    while-loop trip counts diverge freely).  Deterministic physics must
+    be bit-exact vs the single-device monolithic driver."""
+    from nexoclom_tpu.ops.integrator import (adaptive_pool_loop_sharded,
+                                             adaptive_production_run,
+                                             adaptive_step_driver)
+    from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
+
+    spec = EngineSpec(gravity=True, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM), ion_rate=jnp.asarray(1e-4))
+    key = jax.random.PRNGKey(3)
+    state0 = sample_uniform_flat_source(
+        key, 512, vprob=3.0 / RADIUS_KM, delv=2.0 / RADIUS_KM,
+        endtime=3600.0, dtype=jnp.float64)
+    args = (spec, forces, None, 1e-4, 30.0, RADIUS_KM, key)
+
+    final_m, _ = adaptive_step_driver(state0, *args, max_iterations=5000)
+
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    final_s, iters = adaptive_pool_loop_sharded(
+        state0, *args, mesh, batch=32, swap_every=16, refill_fraction=0.25)
+    assert isinstance(final_s.x, np.ndarray)     # host, original order
+    assert iters < 5000
+    for f in final_m._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(final_s, f)),
+                                      np.asarray(getattr(final_m, f)),
+                                      err_msg=f)
+
+    # the production router takes the same path when handed a mesh, and
+    # scales its auto threshold by the shard count
+    final_r, _ = adaptive_production_run(
+        state0, *args, orchestrator='pool', mesh=mesh, batch=32,
+        swap_every=16, refill_fraction=0.25, inner_steps=1)
+    for f in ('t', 'x', 'frac', 'lossfrac'):
+        np.testing.assert_array_equal(getattr(final_r, f),
+                                      np.asarray(getattr(final_m, f)),
+                                      err_msg=f)
+    # n=512 >= pool_min(=128) * 1 unsharded but < 128 * 8 sharded: auto
+    # must fall back to chunking rather than hand each shard a sub-
+    # amortisation pool
+    final_a, _ = adaptive_production_run(
+        state0, *args, orchestrator='auto', mesh=mesh, batch=32,
+        swap_every=16, refill_fraction=0.25, pool_min=128, inner_steps=1)
+    assert not isinstance(final_a.x, np.ndarray)  # chunked: device arrays
+    np.testing.assert_allclose(np.asarray(final_a.x),
+                               np.asarray(final_m.x), rtol=1e-12)
+
+
 def test_los_reduce_sharded_matches_unsharded():
     """The O(S x N) LOS cone reduction with the packet axis sharded: the
     per-spectrum weight sums cross shards (psum) — radiance, counts, and
