@@ -177,6 +177,10 @@ class Input:
 
         Runs are chunked (``packs_per_it`` per Output) and each chunk is
         cataloged, so interrupted sweeps resume where they left off.
+        ``sharded=True`` spreads each chunk's packet axis over every
+        local device (or pass a ``jax.sharding.Mesh``) — identical
+        physics, one chip's worth of packets per device
+        (docs/scaling.md Multi-chip).
         """
         from nexoclom_tpu.particle_tracking.output import Output
 

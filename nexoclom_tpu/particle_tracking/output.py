@@ -369,6 +369,21 @@ class Output:
         import jax
         run_key = jax.random.PRNGKey(seed ^ 0x5EED)
 
+        # sharded=True spreads the packet axis over every local device
+        # (sharded=<Mesh> uses the caller's mesh): the elementwise physics
+        # needs no collectives, so XLA runs each shard on its own chip —
+        # the constant-step loop as plain GSPMD sharding, the adaptive
+        # path through adaptive_production_run(mesh=...) (per-shard pool
+        # loops for large batches, a sharded while_loop otherwise).
+        # Identical physics either way (tests/test_parallel.py).
+        mesh = None
+        if sharded:
+            from nexoclom_tpu.parallel.mesh import make_mesh, shard_state
+            mesh = (sharded if hasattr(sharded, 'devices')
+                    else make_mesh(n_ensemble=1,
+                                   n_packet_shards=len(jax.devices())))
+            state0 = shard_state(state0, mesh)
+
         if options.step_size != 0:
             self.nsteps = int(np.ceil(options.endtime /
                                       options.step_size) + 1)
@@ -399,7 +414,7 @@ class Output:
                 jnp.asarray(radius_km, dtype), run_key,
                 orchestrator=getattr(options, 'adaptive_orchestrator',
                                      'auto'),
-                inner_steps=4)
+                inner_steps=4, mesh=mesh)
             self.X = self._assemble_final(final)
 
         self.save()

@@ -186,6 +186,37 @@ def test_pool_loop_sharded_matches_monolithic():
                                np.asarray(final_m.x), rtol=1e-12)
 
 
+def test_output_sharded_matches_unsharded():
+    """The user-facing multi-chip switch: Output(..., sharded=True)
+    shards the packet axis over all local devices with identical physics
+    in both driver modes (Input.run forwards the flag per chunk)."""
+    import os
+    import pandas as pd
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.particle_tracking.output import Output
+
+    here = os.path.join(os.path.dirname(__file__), 'data', 'inputfiles')
+
+    def frames(out):
+        return out.X.sort_values('x').reset_index(drop=True)
+
+    # adaptive (the reference's default mode; routes through the
+    # production router with the mesh)
+    inp = Input(os.path.join(here, 'mercury_uniform_flat.input'))
+    inp.options.endtime = 1000.0
+    ref = Output(inp, 160, seed=9)
+    sh = Output(inp, 160, seed=9, sharded=True)
+    pd.testing.assert_frame_equal(frames(ref), frames(sh))
+
+    # constant-step (history mode) under an explicit caller mesh
+    inp2 = Input(os.path.join(here, 'mercury_gravity.input'))
+    inp2.options.endtime = 300.0
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    ref2 = Output(inp2, 160, seed=9)
+    sh2 = Output(inp2, 160, seed=9, sharded=mesh)
+    pd.testing.assert_frame_equal(frames(ref2), frames(sh2))
+
+
 def test_los_reduce_sharded_matches_unsharded():
     """The O(S x N) LOS cone reduction with the packet axis sharded: the
     per-spectrum weight sums cross shards (psum) — radiance, counts, and
