@@ -1367,7 +1367,7 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
                        refill_fraction: float = 0.5,
                        initial_step: float = 1000.0,
                        max_total_iterations: int = 10 ** 7,
-                       inner_steps: int = 1):
+                       inner_steps: int = 1, sort_group: int = 1):
     """Adaptive pool integration as ONE ``lax.while_loop`` — the refill
     itself lives inside the loop, so the host never intervenes.
 
@@ -1417,7 +1417,8 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
     cache_key = (spec, _content_key(forces), _content_key(surface),
                  float(resolution), float(outeredge), float(radius_km),
                  float(initial_step), batch, n_pad, swap_every, k_refill,
-                 max_total_iterations, inner_steps, str(dtype))
+                 max_total_iterations, inner_steps, sort_group,
+                 str(dtype))
     fn = _POOL_LOOP_CACHE.get(cache_key)
     if fn is None:
         if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
@@ -1425,7 +1426,7 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
         run = _build_pool_loop_fn(
             spec, forces, surface, resolution, outeredge, radius_km, dtype,
             batch, n_pad, k_refill, swap_every, max_total_iterations,
-            inner_steps, initial_step)
+            inner_steps, initial_step, sort_group=sort_group)
         fn = jax.jit(run, donate_argnums=(0,))
         _POOL_LOOP_CACHE[cache_key] = fn
 
@@ -1445,13 +1446,22 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
 def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
                         radius_km, dtype, batch, n_pad, k_refill,
                         swap_every, max_total_iterations, inner_steps,
-                        initial_step):
+                        initial_step, sort_group=1):
     """Build the in-loop-refill pool program ``run(pool, key) ->
     (out_state, out_ids, iterations)`` for one device's pool of
     ``n_pad`` packets (:func:`adaptive_pool_loop` for the structure;
-    :func:`adaptive_pool_loop_sharded` maps it per mesh shard)."""
+    :func:`adaptive_pool_loop_sharded` maps it per mesh shard).
+
+    ``sort_group`` payload arrays share each stable sort op: every sort
+    re-runs the key-compare network, so fewer/wider sorts trade compare
+    passes against per-op working set (the 11-operand form's 130 MB
+    trips XLA's alternate-memory assignment CHECK inside a while/cond
+    context on this platform — SIGABRT in memory-space assignment,
+    2026-08; groups of ≤4 stay under ~50 MB).  Identical permutation
+    for any grouping (stable + shared key)."""
     res_c = jnp.asarray(float(resolution), dtype)
     h0_c = jnp.asarray(float(initial_step), dtype)
+    fields = PacketState._fields
 
     def run(pool_a, key_a):
         moretogo, body = _adaptive_machinery(
@@ -1460,22 +1470,18 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
 
         def do_swap(c):
             st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
-            # per-leaf stable sorts sharing ONE key: identical
-            # permutation (stable + equal keys), but each sort op's
-            # working set is ~8 MB instead of the 11-operand form's
-            # 130 MB — which trips XLA's alternate-memory assignment
-            # CHECK inside a while/cond context on this platform
-            # (SIGABRT in memory-space assignment, 2026-08)
             alive_key = ((st.t > res_c) & (st.frac > 0.0)).astype(
                 jnp.int32)
 
-            def sort1(leaf):
-                return jax.lax.sort((alive_key, leaf), num_keys=1,
-                                    is_stable=True)[1]
-
-            st = jax.tree.map(sort1, st)
-            h = sort1(h)
-            ids = sort1(ids)
+            leaves = [getattr(st, f) for f in fields] + [h, ids]
+            sorted_leaves = []
+            for i in range(0, len(leaves), sort_group):
+                grp = leaves[i:i + sort_group]
+                sorted_leaves.extend(
+                    jax.lax.sort((alive_key, *grp), num_keys=1,
+                                 is_stable=True)[1:])
+            st = PacketState(*sorted_leaves[:len(fields)])
+            h, ids = sorted_leaves[-2], sorted_leaves[-1]
             done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
             out_s = jax.tree.map(
                 lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
@@ -1571,7 +1577,7 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
                                refill_fraction: float = 0.5,
                                initial_step: float = 1000.0,
                                max_total_iterations: int = 10 ** 7,
-                               inner_steps: int = 1):
+                               inner_steps: int = 1, sort_group: int = 1):
     """Multi-chip :func:`adaptive_pool_loop`: one INDEPENDENT pool loop
     per mesh shard via ``jax.shard_map`` — zero collectives.
 
@@ -1602,7 +1608,7 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
             key, batch=batch, swap_every=swap_every,
             refill_fraction=refill_fraction, initial_step=initial_step,
             max_total_iterations=max_total_iterations,
-            inner_steps=inner_steps)
+            inner_steps=inner_steps, sort_group=sort_group)
     if swap_every % max(inner_steps, 1):
         raise ValueError('swap_every must be a multiple of inner_steps')
 
@@ -1620,16 +1626,17 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
     cache_key = (spec, _content_key(forces), _content_key(surface),
                  float(resolution), float(outeredge), float(radius_km),
                  float(initial_step), batch, n_pad_local, swap_every,
-                 k_refill, max_total_iterations, inner_steps, str(dtype),
-                 mesh, axis)
+                 k_refill, max_total_iterations, inner_steps,
+                 sort_group, str(dtype), mesh, axis)
     fn = _POOL_LOOP_CACHE.get(cache_key)
     if fn is None:
         if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
             _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
         run = _build_pool_loop_fn(
             spec, forces, surface, resolution, outeredge, radius_km, dtype,
-            batch, n_pad_local, k_refill, swap_every, max_total_iterations,
-            inner_steps, initial_step)
+            batch, n_pad_local, k_refill, swap_every,
+            max_total_iterations, inner_steps, initial_step,
+            sort_group=sort_group)
 
         def shard_body(pool_local, key_a):
             shard = jax.lax.axis_index(axis)
@@ -1684,6 +1691,7 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
                             refill_fraction: float = 0.25,
                             pool_min: int = POOL_LOOP_MIN,
                             pool_chunk: int = POOL_LOOP_CHUNK,
+                            sort_group: int = 1,
                             mesh=None, shard_axis: str = 'packets'):
     """Route an adaptive batch to its best measured orchestration.
 
@@ -1730,11 +1738,12 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
                 sub, spec, forces, surface, resolution, outeredge,
                 radius_km, sub_key, mesh, axis=shard_axis, batch=batch,
                 swap_every=swap_every, refill_fraction=refill_fraction,
-                inner_steps=inner_steps)
+                inner_steps=inner_steps, sort_group=sort_group)
         return adaptive_pool_loop(
             sub, spec, forces, surface, resolution, outeredge,
             radius_km, sub_key, batch=batch, swap_every=swap_every,
-            refill_fraction=refill_fraction, inner_steps=inner_steps)
+            refill_fraction=refill_fraction, inner_steps=inner_steps,
+            sort_group=sort_group)
 
     pool_chunk = pool_chunk * n_shards
     if n <= pool_chunk:

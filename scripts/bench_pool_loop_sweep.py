@@ -91,19 +91,21 @@ def main():
     accepted_pool = accepted * (n_pool / n)
 
     for tok in args.configs.split(','):
-        se, rf, ins = tok.split(':')
-        se, rf, ins = int(se), float(rf), int(ins)
+        parts = tok.split(':')
+        se, rf, ins = int(parts[0]), float(parts[1]), int(parts[2])
+        grp = int(parts[3]) if len(parts) > 3 else 1   # sort payloads/op
         run = lambda: adaptive_pool_loop(
             pool_state, spec, forces, surface, res, edge, rkm, key,
-            batch=n, swap_every=se, refill_fraction=rf, inner_steps=ins)
+            batch=n, swap_every=se, refill_fraction=rf, inner_steps=ins,
+            sort_group=grp)
         t0 = time.perf_counter()
         final_l, iters_l = run()
-        print(f'[{se}:{rf}:{ins}] cold: {time.perf_counter() - t0:.1f} s')
+        print(f'[{tok}] cold: {time.perf_counter() - t0:.1f} s')
         t0 = time.perf_counter()
         final_l, iters_l = run()
         dt_l = time.perf_counter() - t0
         sel = float(np.asarray(final_l.frac[:n]).sum())
-        print(f'[{se}:{rf}:{ins}] warm: {dt_l:.2f} s, {iters_l} iters -> '
+        print(f'[{tok}] warm: {dt_l:.2f} s, {iters_l} iters -> '
               f'~{accepted_pool / dt_l:.3e} accepted ps/s '
               f'({dt_l / iters_l * 1e3:.2f} ms/iter); frac[:batch] '
               f'{sel:.4e} vs monolithic {mono_frac:.4e}')

@@ -529,6 +529,17 @@ def test_adaptive_pool_loop_matches_monolithic():
         np.testing.assert_allclose(np.asarray(getattr(final_q, f)),
                                    np.asarray(getattr(final_m, f)),
                                    rtol=1e-12, atol=1e-12, err_msg=f)
+    # grouped swap sorts (several payloads per sort op, shared stable
+    # key): identical permutation, bit-identical results — 11 leaves
+    # with group 4 exercises a ragged final group
+    for grp in (3, 4):
+        final_g, _ = adaptive_pool_loop(state0, *args, batch=64,
+                                        swap_every=16, refill_fraction=0.25,
+                                        sort_group=grp)
+        for f in ('t', 'x', 'frac', 'lossfrac'):
+            np.testing.assert_array_equal(np.asarray(getattr(final_g, f)),
+                                          np.asarray(getattr(final_q, f)),
+                                          err_msg=f'group {grp} {f}')
     # small pools fall through to the plain baked driver
     small = jax.tree.map(lambda leaf: leaf[:32], state0)
     final_s, _ = adaptive_pool_loop(small, *args, batch=64)
