@@ -1597,6 +1597,12 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
     orchestrator caveat; deterministic physics is bit-exact vs the
     monolithic driver (tested).  Returns host-side numpy state in
     original packet order plus the max per-shard iteration count.
+
+    Single-process meshes only: the final host assembly reads every
+    shard, so all mesh devices must be addressable.  On multi-host pods
+    run one pool per process instead (``utilities/sweep`` /
+    ``worker.py`` — each host drains its own packets and the file-locked
+    catalog joins them), which is also the zero-DCN layout.
     """
     fields = PacketState._fields
     n = state0.x.shape[0]
@@ -1611,6 +1617,13 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
             inner_steps=inner_steps, sort_group=sort_group)
     if swap_every % max(inner_steps, 1):
         raise ValueError('swap_every must be a multiple of inner_steps')
+    if any(d.process_index != jax.process_index()
+           for d in np.asarray(mesh.devices).flat):
+        raise ValueError(
+            'adaptive_pool_loop_sharded needs an addressable '
+            '(single-process) mesh: the host assembly reads every shard. '
+            'On multi-host pods run one pool per process '
+            '(utilities/sweep or python -m nexoclom_tpu.worker).')
 
     k_refill = max(1, int(batch * refill_fraction))
     per_shard = -(-n // n_shards)
@@ -1725,8 +1738,14 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
         raise ValueError(f'unknown adaptive orchestrator {orchestrator!r}')
     n = state0.x.shape[0]
     n_shards = int(mesh.shape[shard_axis]) if mesh is not None else 1
+    multiprocess = mesh is not None and any(
+        d.process_index != jax.process_index()
+        for d in np.asarray(mesh.devices).flat)
     if orchestrator == 'auto':
-        orchestrator = 'pool' if n >= pool_min * n_shards else 'chunked'
+        # multi-process meshes chunk (plain GSPMD sharding works across
+        # hosts; the pool's host assembly needs addressable shards)
+        orchestrator = ('pool' if n >= pool_min * n_shards
+                        and not multiprocess else 'chunked')
     if orchestrator == 'chunked':
         return adaptive_step_driver_chunked(
             state0, spec, forces, surface, resolution, outeredge,

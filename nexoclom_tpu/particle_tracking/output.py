@@ -377,11 +377,21 @@ class Output:
         # loops for large batches, a sharded while_loop otherwise).
         # Identical physics either way (tests/test_parallel.py).
         mesh = None
+        self._shard_pad = 0
         if sharded:
             from nexoclom_tpu.parallel.mesh import make_mesh, shard_state
             mesh = (sharded if hasattr(sharded, 'devices')
                     else make_mesh(n_ensemble=1,
                                    n_packet_shards=len(jax.devices())))
+            # NamedSharding needs the packet axis divisible by the shard
+            # count: pad with dead packets (t=0, frac=0 — both drivers
+            # treat them as finished lanes) and drop them at assembly
+            self._shard_pad = (-int(npackets)) % int(mesh.shape['packets'])
+            if self._shard_pad:
+                state0 = jax.tree.map(
+                    lambda leaf: jnp.concatenate(
+                        [leaf, jnp.zeros((self._shard_pad,), leaf.dtype)]),
+                    state0)
             state0 = shard_state(state0, mesh)
 
         if options.step_size != 0:
@@ -394,6 +404,9 @@ class Output:
                 jnp.asarray(radius_km, dtype),
                 run_key, nsteps=self.nsteps, save_history=True)
             self.totalsource *= self.nsteps
+            if self._shard_pad:
+                history = jax.tree.map(lambda leaf: leaf[:, :self.npackets],
+                                       history)
             self.X = self._assemble_history(state0, history)
         else:
             # baked variant: tables as compile-time constants — 4x faster
@@ -415,6 +428,9 @@ class Output:
                 orchestrator=getattr(options, 'adaptive_orchestrator',
                                      'auto'),
                 inner_steps=4, mesh=mesh)
+            if self._shard_pad:
+                final = jax.tree.map(lambda leaf: leaf[:self.npackets],
+                                     final)
             self.X = self._assemble_final(final)
 
         self.save()

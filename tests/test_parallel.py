@@ -186,6 +186,36 @@ def test_pool_loop_sharded_matches_monolithic():
                                np.asarray(final_m.x), rtol=1e-12)
 
 
+def test_pool_sharded_rejects_multiprocess_mesh(monkeypatch):
+    """The sharded pool's host assembly reads every shard, so a mesh
+    with non-addressable devices must be rejected with guidance (and
+    the router's auto mode must fall back to chunking)."""
+    from nexoclom_tpu.ops.integrator import (adaptive_pool_loop_sharded,
+                                             adaptive_production_run)
+    from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
+
+    spec = EngineSpec(gravity=True, radpres=False, constant_rate=False,
+                      surface_bounce=False, check_outer_edge=True)
+    forces = empty_force_table(jnp.float64)._replace(
+        gm=jnp.asarray(GM), ion_rate=jnp.asarray(1e-4))
+    key = jax.random.PRNGKey(3)
+    state0 = sample_uniform_flat_source(
+        key, 512, vprob=3.0 / RADIUS_KM, delv=2.0 / RADIUS_KM,
+        endtime=600.0, dtype=jnp.float64)
+    args = (spec, forces, None, 1e-4, 30.0, RADIUS_KM, key)
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+
+    # every local device looks non-addressable once process_index lies
+    monkeypatch.setattr(jax, 'process_index', lambda: 99)
+    with pytest.raises(ValueError, match='addressable'):
+        adaptive_pool_loop_sharded(state0, *args, mesh, batch=32,
+                                   swap_every=16)
+    final, _ = adaptive_production_run(state0, *args, orchestrator='auto',
+                                       mesh=mesh, batch=32, swap_every=16,
+                                       pool_min=1, inner_steps=1)
+    assert not isinstance(final.x, np.ndarray)   # chunked fallback
+
+
 def test_output_sharded_matches_unsharded():
     """The user-facing multi-chip switch: Output(..., sharded=True)
     shards the packet axis over all local devices with identical physics
@@ -201,19 +231,21 @@ def test_output_sharded_matches_unsharded():
         return out.X.sort_values('x').reset_index(drop=True)
 
     # adaptive (the reference's default mode; routes through the
-    # production router with the mesh)
+    # production router with the mesh); 150 % 8 != 0 exercises the
+    # dead-packet padding the NamedSharding divisibility rule needs
     inp = Input(os.path.join(here, 'mercury_uniform_flat.input'))
     inp.options.endtime = 1000.0
-    ref = Output(inp, 160, seed=9)
-    sh = Output(inp, 160, seed=9, sharded=True)
+    ref = Output(inp, 150, seed=9)
+    sh = Output(inp, 150, seed=9, sharded=True)
     pd.testing.assert_frame_equal(frames(ref), frames(sh))
 
-    # constant-step (history mode) under an explicit caller mesh
+    # constant-step (history mode) under an explicit caller mesh,
+    # non-divisible packet count again
     inp2 = Input(os.path.join(here, 'mercury_gravity.input'))
     inp2.options.endtime = 300.0
     mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
-    ref2 = Output(inp2, 160, seed=9)
-    sh2 = Output(inp2, 160, seed=9, sharded=mesh)
+    ref2 = Output(inp2, 150, seed=9)
+    sh2 = Output(inp2, 150, seed=9, sharded=mesh)
     pd.testing.assert_frame_equal(frames(ref2), frames(sh2))
 
 
