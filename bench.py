@@ -239,7 +239,7 @@ def main():
         'fused_value': fused_rate,
         'fused_vs_baseline': fused_rate / BASELINE,
     }
-    if not os.environ.get('NEXOCLOM_BENCH_SKIP_POOL'):
+    if os.environ.get('NEXOCLOM_BENCH_SKIP_POOL', '') in ('', '0'):
         pool_rate = bench_pool(accepted, n_mono)
         record['pool_value'] = pool_rate
         record['pool_vs_baseline'] = pool_rate / BASELINE

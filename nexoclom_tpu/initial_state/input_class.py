@@ -205,7 +205,18 @@ class Input:
         it = nexisting
         while ntodo > 0:
             if chunk is None and self.options.step_size == 0:
-                chunk = 1_000_000
+                # large adaptive chunks engage the in-loop pool refill
+                # (2.5e8 vs 2.0e8 accepted ps/s measured, docs/scaling.md):
+                # 2^24 per chip — the measured pool configuration, 72
+                # B/packet of device carry — capped at 2^26 so the host
+                # X0/X frames stay a few GB
+                n_chips = 1
+                if sharded:
+                    import jax as _jax
+                    n_chips = (int(sharded.shape['packets'])
+                               if hasattr(sharded, 'shape')
+                               else len(_jax.devices()))
+                chunk = min(1 << 26, (1 << 24) * n_chips)
             elif chunk is None:
                 # 1-GiB float64 trajectory-array budget per chunk, matching
                 # the reference's cap (Input.py:219-222)

@@ -1398,6 +1398,7 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
     fields = PacketState._fields
     n = state0.x.shape[0]
     dtype = state0.x.dtype
+    _check_pool_knobs(swap_every, inner_steps, refill_fraction)
     if n <= batch:
         final, iters = adaptive_step_driver_baked(
             state0, spec, forces, surface, resolution, outeredge, radius_km,
@@ -1405,8 +1406,6 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
             max_iterations=max_total_iterations, inner_steps=inner_steps)
         return (PacketState(**{f: np.asarray(getattr(final, f))
                                for f in fields}), int(iters))
-    if swap_every % max(inner_steps, 1):
-        raise ValueError('swap_every must be a multiple of inner_steps')
 
     k_refill = max(1, int(batch * refill_fraction))
     n_pad = batch + -(-(n - batch) // k_refill) * k_refill
@@ -1419,16 +1418,12 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
                  float(initial_step), batch, n_pad, swap_every, k_refill,
                  max_total_iterations, inner_steps, sort_group,
                  str(dtype))
-    fn = _POOL_LOOP_CACHE.get(cache_key)
-    if fn is None:
-        if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
-            _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
-        run = _build_pool_loop_fn(
+    fn = _pool_loop_cached(cache_key, lambda: jax.jit(
+        _build_pool_loop_fn(
             spec, forces, surface, resolution, outeredge, radius_km, dtype,
             batch, n_pad, k_refill, swap_every, max_total_iterations,
-            inner_steps, initial_step, sort_group=sort_group)
-        fn = jax.jit(run, donate_argnums=(0,))
-        _POOL_LOOP_CACHE[cache_key] = fn
+            inner_steps, initial_step, sort_group=sort_group),
+        donate_argnums=(0,)))
 
     out_state, out_ids, it = fn(pool, key)
     ids_np = np.asarray(out_ids)
@@ -1441,6 +1436,28 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
         col[idx] = np.asarray(getattr(out_state, f))[valid]
         final_np[f] = col
     return PacketState(**final_np), int(it)
+
+
+def _check_pool_knobs(swap_every, inner_steps, refill_fraction):
+    if swap_every % max(inner_steps, 1):
+        raise ValueError('swap_every must be a multiple of inner_steps')
+    # k_refill > batch would make the swap predicate (n_done >= k_refill)
+    # unsatisfiable: the dispatch would spin with no live lane to advance
+    # the iteration counter, so not even max_total_iterations could stop it
+    if not 0.0 < refill_fraction <= 1.0:
+        raise ValueError('refill_fraction must be in (0, 1], got '
+                         f'{refill_fraction!r}')
+
+
+def _pool_loop_cached(cache_key, build):
+    """Shared compiled-program cache for the pool-loop variants."""
+    fn = _POOL_LOOP_CACHE.get(cache_key)
+    if fn is None:
+        if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
+            _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
+        fn = build()
+        _POOL_LOOP_CACHE[cache_key] = fn
+    return fn
 
 
 def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
@@ -1608,6 +1625,17 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
     n = state0.x.shape[0]
     dtype = state0.x.dtype
     n_shards = int(mesh.shape[axis])
+    _check_pool_knobs(swap_every, inner_steps, refill_fraction)
+    # the addressable check must precede every fallback: a sharded state
+    # on a multi-host mesh would otherwise die later in np.asarray with
+    # an obscure non-addressable-array error instead of this guidance
+    if n_shards > 1 and any(d.process_index != jax.process_index()
+                            for d in np.asarray(mesh.devices).flat):
+        raise ValueError(
+            'adaptive_pool_loop_sharded needs an addressable '
+            '(single-process) mesh: the host assembly reads every shard. '
+            'On multi-host pods run one pool per process '
+            '(utilities/sweep or python -m nexoclom_tpu.worker).')
     if n_shards == 1 or n <= batch:
         return adaptive_pool_loop(
             state0, spec, forces, surface, resolution, outeredge, radius_km,
@@ -1615,36 +1643,33 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
             refill_fraction=refill_fraction, initial_step=initial_step,
             max_total_iterations=max_total_iterations,
             inner_steps=inner_steps, sort_group=sort_group)
-    if swap_every % max(inner_steps, 1):
-        raise ValueError('swap_every must be a multiple of inner_steps')
-    if any(d.process_index != jax.process_index()
-           for d in np.asarray(mesh.devices).flat):
-        raise ValueError(
-            'adaptive_pool_loop_sharded needs an addressable '
-            '(single-process) mesh: the host assembly reads every shard. '
-            'On multi-host pods run one pool per process '
-            '(utilities/sweep or python -m nexoclom_tpu.worker).')
 
     k_refill = max(1, int(batch * refill_fraction))
     per_shard = -(-n // n_shards)
     extra = max(0, per_shard - batch)
     n_pad_local = batch + -(-extra // k_refill) * k_refill
-    n_pad = n_shards * n_pad_local
-    # zero-padding packets have t=0, frac=0 -> immediately finished; they
-    # cycle out through the refill and are dropped by the id mask below
-    pool = jax.tree.map(
-        lambda leaf: jnp.concatenate(
-            [leaf, jnp.zeros((n_pad - n,), leaf.dtype)]), state0)
+    # BALANCED placement: shard s owns original packets
+    # [s*per_shard, (s+1)*per_shard) plus local zero padding — end-padding
+    # the global array instead would hand the trailing shards nothing but
+    # zeros whenever per_shard < batch and leave those chips idle.
+    # Zero-padding packets have t=0, frac=0 -> immediately finished; they
+    # cycle out through the refill and are dropped by the id mask below.
+    def place(leaf):
+        leaf = jnp.concatenate(
+            [leaf, jnp.zeros((n_shards * per_shard - n,), leaf.dtype)])
+        leaf = leaf.reshape(n_shards, per_shard)
+        leaf = jnp.pad(leaf, ((0, 0), (0, n_pad_local - per_shard)))
+        return leaf.reshape(-1)
+
+    pool = jax.tree.map(place, state0)
 
     cache_key = (spec, _content_key(forces), _content_key(surface),
                  float(resolution), float(outeredge), float(radius_km),
                  float(initial_step), batch, n_pad_local, swap_every,
                  k_refill, max_total_iterations, inner_steps,
                  sort_group, str(dtype), mesh, axis)
-    fn = _POOL_LOOP_CACHE.get(cache_key)
-    if fn is None:
-        if len(_POOL_LOOP_CACHE) >= _POOL_LOOP_CACHE_MAX:
-            _POOL_LOOP_CACHE.pop(next(iter(_POOL_LOOP_CACHE)))
+
+    def build():
         run = _build_pool_loop_fn(
             spec, forces, surface, resolution, outeredge, radius_km, dtype,
             batch, n_pad_local, k_refill, swap_every,
@@ -1658,20 +1683,23 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
             return out_s, out_i, it[None]
 
         p_packets = jax.sharding.PartitionSpec(axis)
-        fn = jax.jit(
+        return jax.jit(
             jax.shard_map(shard_body, mesh=mesh,
                           in_specs=(p_packets,
                                     jax.sharding.PartitionSpec()),
                           out_specs=(p_packets, p_packets, p_packets),
                           check_vma=False),
             donate_argnums=(0,))
-        _POOL_LOOP_CACHE[cache_key] = fn
+
+    fn = _pool_loop_cached(cache_key, build)
 
     out_state, out_ids, its = fn(pool, key)
-    # shard s's local ids live in block [s*n_pad_local, (s+1)*n_pad_local)
+    # shard s's local id l is original packet s*per_shard + l when
+    # l < per_shard (locally-padded positions are invalid)
     ids_np = np.asarray(out_ids).reshape(n_shards, n_pad_local)
-    offsets = np.arange(n_shards, dtype=ids_np.dtype)[:, None] * n_pad_local
-    ids_np = np.where(ids_np >= 0, ids_np + offsets, -1).ravel()
+    offsets = np.arange(n_shards, dtype=ids_np.dtype)[:, None] * per_shard
+    local_valid = (ids_np >= 0) & (ids_np < per_shard)
+    ids_np = np.where(local_valid, ids_np + offsets, -1).ravel()
     valid = (ids_np >= 0) & (ids_np < n)
     idx = ids_np[valid]
     np_dtype = np.asarray(state0.x[:1]).dtype

@@ -166,6 +166,22 @@ def test_pool_loop_sharded_matches_monolithic():
                                       np.asarray(getattr(final_m, f)),
                                       err_msg=f)
 
+    # per_shard < batch (512/8 = 64 < 128): the balanced placement must
+    # give every shard its own real packets + local padding, with the id
+    # arithmetic still reassembling original order exactly
+    final_w, _ = adaptive_pool_loop_sharded(
+        state0, *args, mesh, batch=128, swap_every=16, refill_fraction=0.25)
+    for f in ('t', 'x', 'frac', 'lossfrac'):
+        np.testing.assert_array_equal(np.asarray(getattr(final_w, f)),
+                                      np.asarray(getattr(final_m, f)),
+                                      err_msg=f'wide-batch {f}')
+
+    # an unsatisfiable refill quantum (k_refill > batch) must be rejected
+    # up front — on device it would spin forever past every iteration cap
+    with pytest.raises(ValueError, match='refill_fraction'):
+        adaptive_pool_loop_sharded(state0, *args, mesh, batch=32,
+                                   swap_every=16, refill_fraction=1.5)
+
     # the production router takes the same path when handed a mesh, and
     # scales its auto threshold by the shard count
     final_r, _ = adaptive_production_run(
@@ -210,6 +226,11 @@ def test_pool_sharded_rejects_multiprocess_mesh(monkeypatch):
     with pytest.raises(ValueError, match='addressable'):
         adaptive_pool_loop_sharded(state0, *args, mesh, batch=32,
                                    swap_every=16)
+    # small batches (n <= batch) must hit the same guidance, not fall
+    # through to a single-device pool that dies pulling remote shards
+    with pytest.raises(ValueError, match='addressable'):
+        adaptive_pool_loop_sharded(state0, *args, mesh, batch=1024,
+                                   swap_every=16)
     final, _ = adaptive_production_run(state0, *args, orchestrator='auto',
                                        mesh=mesh, batch=32, swap_every=16,
                                        pool_min=1, inner_steps=1)
@@ -229,6 +250,13 @@ def test_output_sharded_matches_unsharded():
 
     def frames(out):
         return out.X.sort_values('x').reset_index(drop=True)
+
+    # a caller mesh without a 'packets' axis gets guidance, not a KeyError
+    from nexoclom_tpu.utilities.exceptions import InputError
+    inp0 = Input(os.path.join(here, 'mercury_uniform_flat.input'))
+    bad = jax.sharding.Mesh(np.array(jax.devices()), ('x',))
+    with pytest.raises(InputError, match='packets'):
+        Output(inp0, 16, seed=9, sharded=bad)
 
     # adaptive (the reference's default mode; routes through the
     # production router with the mesh); 150 % 8 != 0 exercises the
