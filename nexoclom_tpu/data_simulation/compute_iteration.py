@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nexoclom_tpu.ops.los import los_geometry, los_reduce
+from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
 from nexoclom_tpu.particle_tracking.output import Output
 from nexoclom_tpu.utilities.catalog import get_catalog
 
@@ -136,15 +137,31 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     obstruction, outer_dd = los_geometry(
         sc_pos, bore, losresult.inputs.options.outeredge, moons=moons)
 
-    rad, npack, used = los_reduce(
-        jnp.asarray(packets['x'].to_numpy()),
-        jnp.asarray(packets['y'].to_numpy()),
-        jnp.asarray(packets['z'].to_numpy()),
-        jnp.asarray(weight),
-        jnp.asarray(sc_pos), jnp.asarray(bore),
-        jnp.asarray(obstruction), jnp.asarray(outer_dd),
-        losresult.dphi, losresult.radius_km * CM_PER_KM,
-        quantity=losresult.quantity)
+    packet_arrays = (jnp.asarray(packets['x'].to_numpy()),
+                     jnp.asarray(packets['y'].to_numpy()),
+                     jnp.asarray(packets['z'].to_numpy()),
+                     jnp.asarray(weight))
+    n_rows = packets['x'].shape[0]
+    spectra_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
+                    jnp.asarray(obstruction), jnp.asarray(outer_dd),
+                    losresult.dphi, losresult.radius_km * CM_PER_KM)
+    mesh = resolve_packet_mesh(getattr(losresult, 'sharded', False),
+                               'compute_iteration')
+    if mesh is not None:
+        # packet axis over the mesh: per-spectrum sums cross shards (XLA
+        # inserts the psum).  Pad sentinels: x=1e30 puts the packet past
+        # every outer-edge cutoff (or, f32-overflowed, at cosang=0 — out
+        # of any cone with dphi < pi/2) and weight=0 keeps it out of the
+        # used mask, so the padding is inert.
+        packet_arrays, pad = shard_padded(
+            mesh, packet_arrays, (1e30, 0.0, 0.0, 0.0))
+        with mesh:
+            rad, npack, used = los_reduce(
+                *packet_arrays, *spectra_args, quantity=losresult.quantity)
+        used = used[:n_rows]
+    else:
+        rad, npack, used = los_reduce(
+            *packet_arrays, *spectra_args, quantity=losresult.quantity)
     rad = np.asarray(rad)
     npack = np.asarray(npack)
     used = np.asarray(used)

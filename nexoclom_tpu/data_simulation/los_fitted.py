@@ -30,6 +30,7 @@ from nexoclom_tpu.data_simulation.compute_iteration import (
 from nexoclom_tpu.data_simulation.los_result import LOSResult
 from nexoclom_tpu.ops.los import (los_fitted_accumulate, los_geometry,
                                   los_reduce)
+from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
 from nexoclom_tpu.particle_tracking.output import Output
 from nexoclom_tpu.utilities.catalog import get_catalog
 
@@ -126,17 +127,32 @@ class LOSResultFitted(LOSResult):
                 packets['frac'].to_numpy(), radvel, output.aplanet)
 
             n_x0 = len(output.X0)
-            ratio_x_sigma, sigma_sum = los_fitted_accumulate(
-                jnp.asarray(packets['x'].to_numpy()),
-                jnp.asarray(packets['y'].to_numpy()),
-                jnp.asarray(packets['z'].to_numpy()),
-                jnp.asarray(weight_unfit),
-                jnp.asarray(packets['Index'].to_numpy().astype(int)),
-                jnp.asarray(sc_pos), jnp.asarray(bore),
-                jnp.asarray(obstruction), jnp.asarray(outer_dd),
-                jnp.asarray(ratio), jnp.asarray(spec_mask),
-                jnp.asarray(sigma),
-                self.dphi, n_x0=n_x0, use_weight=use_weight)
+            mesh = resolve_packet_mesh(getattr(self, 'sharded', False),
+                                       'LOSResultFitted')
+            packet_arrays = (jnp.asarray(packets['x'].to_numpy()),
+                             jnp.asarray(packets['y'].to_numpy()),
+                             jnp.asarray(packets['z'].to_numpy()),
+                             jnp.asarray(weight_unfit),
+                             jnp.asarray(
+                                 packets['Index'].to_numpy().astype(int)))
+            spectra_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
+                            jnp.asarray(obstruction), jnp.asarray(outer_dd),
+                            jnp.asarray(ratio), jnp.asarray(spec_mask),
+                            jnp.asarray(sigma))
+            if mesh is not None:
+                # same inert-padding sentinels as compute_iteration:
+                # weight=0 keeps padded rows out of the used mask, and
+                # their X0 scatter index 0 adds only zeros
+                packet_arrays, _ = shard_padded(
+                    mesh, packet_arrays, (1e30, 0.0, 0.0, 0.0, 0))
+                with mesh:
+                    ratio_x_sigma, sigma_sum = los_fitted_accumulate(
+                        *packet_arrays, *spectra_args,
+                        self.dphi, n_x0=n_x0, use_weight=use_weight)
+            else:
+                ratio_x_sigma, sigma_sum = los_fitted_accumulate(
+                    *packet_arrays, *spectra_args,
+                    self.dphi, n_x0=n_x0, use_weight=use_weight)
             ratio_x_sigma = np.asarray(ratio_x_sigma)
             sigma_sum = np.asarray(sigma_sum)
 
@@ -164,15 +180,24 @@ class LOSResultFitted(LOSResult):
             radvel = output.X['vy'].to_numpy() + vr_model
             weight_fit = self.packet_weighting(
                 output.X['frac'].to_numpy(), radvel, output.aplanet)
-            rad, npack, used_rows = los_reduce(
-                jnp.asarray(output.X['x'].to_numpy()),
-                jnp.asarray(output.X['y'].to_numpy()),
-                jnp.asarray(output.X['z'].to_numpy()),
-                jnp.asarray(weight_fit),
-                jnp.asarray(sc_pos), jnp.asarray(bore),
-                jnp.asarray(obstruction), jnp.asarray(outer_dd),
-                self.dphi, self.radius_km * CM_PER_KM,
-                quantity=self.quantity)
+            fit_arrays = (jnp.asarray(output.X['x'].to_numpy()),
+                          jnp.asarray(output.X['y'].to_numpy()),
+                          jnp.asarray(output.X['z'].to_numpy()),
+                          jnp.asarray(weight_fit))
+            n_fit_rows = fit_arrays[0].shape[0]
+            reduce_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
+                           jnp.asarray(obstruction), jnp.asarray(outer_dd),
+                           self.dphi, self.radius_km * CM_PER_KM)
+            if mesh is not None:
+                fit_arrays, _ = shard_padded(
+                    mesh, fit_arrays, (1e30, 0.0, 0.0, 0.0))
+                with mesh:
+                    rad, npack, used_rows = los_reduce(
+                        *fit_arrays, *reduce_args, quantity=self.quantity)
+                used_rows = used_rows[:n_fit_rows]
+            else:
+                rad, npack, used_rows = los_reduce(
+                    *fit_arrays, *reduce_args, quantity=self.quantity)
 
             included = np.zeros(n_x0, dtype=bool)
             ids = output.X['Index'].to_numpy().astype(int)

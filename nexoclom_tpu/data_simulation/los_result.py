@@ -32,6 +32,12 @@ class LOSResult(ModelResult):
 
     ``scdata`` is a :class:`~nexoclom_tpu.data_simulation.spacecraft_data.SpacecraftData`
     (or any object with the same interface).
+
+    ``sharded=True`` (or a mesh with a ``'packets'`` axis) spreads the
+    packet axis of the O(S x N) cone reduction over the local devices —
+    the per-spectrum sums cross shards through an XLA psum, and results
+    match the single-device run (tests/test_data_simulation.py).  The
+    same switch as ``Input.run(sharded=...)``.
     """
 
     def __init__(self, scdata, inputs, params=None, dphi=math.radians(1.0),
@@ -58,6 +64,7 @@ class LOSResult(ModelResult):
         self.mask = None
         self.masking = kwargs.get('masking')
         self.fit_method = kwargs.get('fit_method')
+        self.sharded = kwargs.get('sharded', False)
         self.label = kwargs.get('label', 'LOSResult')
         scdata.model_result[self.label] = self
 

@@ -376,20 +376,11 @@ class Output:
         # path through adaptive_production_run(mesh=...) (per-shard pool
         # loops for large batches, a sharded while_loop otherwise).
         # Identical physics either way (tests/test_parallel.py).
-        mesh = None
         self._shard_pad = 0
-        if sharded:
-            from nexoclom_tpu.parallel.mesh import make_mesh, shard_state
-            if hasattr(sharded, 'devices'):
-                from nexoclom_tpu.utilities.exceptions import InputError
-                mesh = sharded
-                if 'packets' not in mesh.axis_names:
-                    raise InputError('Output.__init__',
-                                     "sharded mesh needs a 'packets' axis "
-                                     "(parallel.make_mesh builds one)")
-            else:
-                mesh = make_mesh(n_ensemble=1,
-                                 n_packet_shards=len(jax.devices()))
+        from nexoclom_tpu.parallel.mesh import (resolve_packet_mesh,
+                                                shard_state)
+        mesh = resolve_packet_mesh(sharded, 'Output.__init__')
+        if mesh is not None:
             # NamedSharding needs the packet axis divisible by the shard
             # count: pad with dead packets (t=0, frac=0 — both drivers
             # treat them as finished lanes) and drop them at assembly

@@ -99,6 +99,55 @@ def test_losresult_mask_dsl(use_ca_catalog):
         los.make_mask(scdata.data)
 
 
+def test_losresult_sharded_matches_unsharded(use_ca_catalog):
+    """LOSResult(sharded=True) shards the cone reduction's packet axis over
+    the 8 virtual devices; radiance, counts, and the used mask must match
+    the single-device run (the flagship multi-chip switch, LOS side)."""
+    from nexoclom_tpu.data_simulation.compute_iteration import (
+        compute_iteration)
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    # distinct dphi: both iterations are computed fresh and their cached
+    # rows never collide with the other tests' search criteria
+    dphi = math.radians(2.2)
+    plain = LOSResult(scdata, inp, {'quantity': 'radiance'}, dphi=dphi,
+                      label='shard_ref')
+    sharded = LOSResult(scdata, inp, {'quantity': 'radiance'}, dphi=dphi,
+                        label='shard_tst', sharded=True)
+    _, outputfiles, _, _ = inp.search()
+    assert outputfiles
+    r_plain = compute_iteration(plain, outputfiles[0], scdata)
+    r_shard = compute_iteration(sharded, outputfiles[0], scdata)
+    assert np.asarray(r_plain.npackets).sum() > 0
+    np.testing.assert_allclose(np.asarray(r_shard.radiance),
+                               np.asarray(r_plain.radiance), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(r_shard.npackets),
+                                  np.asarray(r_plain.npackets))
+    np.testing.assert_array_equal(np.asarray(r_shard.used_packets),
+                                  np.asarray(r_plain.used_packets))
+
+
+def test_fitted_retrieval_sharded(use_ca_catalog):
+    """The fitted retrieval runs end to end with sharded=True (kernel-level
+    equality is pinned in tests/test_parallel.py; this exercises the
+    production plumbing: padding, the used-rows trim, and the reweighted
+    Output save)."""
+    inp = use_ca_catalog
+    rad = np.linspace(0.5, 2.0, 12)
+    scdata = _spacecraft_data(radiance=rad)
+    dphi = math.radians(2.7)
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'}, dphi=dphi,
+                      label='forfit_sh')
+    unfit.simulate_data_from_inputs(scdata)
+    fitted = LOSResultFitted(scdata, 'forfit_sh', {'quantity': 'radiance'},
+                             sharded=True)
+    fitted.determine_source_from_data(scdata)
+    model = fitted.radiance.to_numpy()
+    assert np.all(np.isfinite(model))
+    assert model.max() > 0
+    assert fitted.sourcerate > 0
+
+
 def test_model_image_column(use_ca_catalog):
     inp = use_ca_catalog
     img = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',

@@ -321,6 +321,60 @@ def test_los_reduce_sharded_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(used_s), np.asarray(used_ref))
 
 
+def test_los_fitted_accumulate_sharded_matches_unsharded():
+    """The fitted-retrieval scatter-add kernel with the packet axis sharded:
+    per-X0 sums cross shards; the padded sentinel rows (weight=0, index 0)
+    must contribute nothing."""
+    from nexoclom_tpu.ops.los import los_fitted_accumulate, los_geometry
+    from nexoclom_tpu.parallel import shard_padded
+
+    rng = np.random.default_rng(13)
+    n = 4003                              # NOT divisible by 8: pad path
+    n_x0 = 500
+    r = rng.uniform(1.1, 6.0, n)
+    costh = rng.uniform(-1.0, 1.0, n)
+    phi = rng.uniform(0.0, 2 * np.pi, n)
+    sinth = np.sqrt(1.0 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    weight = jnp.asarray(rng.uniform(0.0, 1.0, n))
+    x0_index = jnp.asarray(rng.integers(0, n_x0, n))
+
+    n_spec = 24
+    sc = rng.uniform(-8.0, 8.0, (n_spec, 3))
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True) / 7.0, 1.0)
+    bore = -sc + rng.normal(0.0, 1.0, (n_spec, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, outer_dd = los_geometry(sc, bore, outeredge=10.0)
+    ratio = rng.uniform(0.5, 2.0, n_spec)
+    spec_mask = np.ones(n_spec, dtype=bool)
+    sigma = rng.uniform(0.05, 0.2, n_spec)
+
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(outer_dd), jnp.asarray(ratio),
+            jnp.asarray(spec_mask), jnp.asarray(sigma))
+    for use_weight in (None, 'dist2', 'sigma'):
+        rs_ref, ss_ref = los_fitted_accumulate(
+            px, py, pz, weight, x0_index, *args, 0.05, n_x0=n_x0,
+            use_weight=use_weight)
+        assert float(ss_ref.sum()) > 0
+
+        mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+        (px_s, py_s, pz_s, w_s, idx_s), pad = shard_padded(
+            mesh, (px, py, pz, weight, x0_index), (1e30, 0.0, 0.0, 0.0, 0))
+        assert pad == 5
+        with mesh:
+            rs_s, ss_s = los_fitted_accumulate(
+                px_s, py_s, pz_s, w_s, idx_s, *args, 0.05, n_x0=n_x0,
+                use_weight=use_weight)
+            jax.block_until_ready(rs_s)
+        np.testing.assert_allclose(np.asarray(rs_s), np.asarray(rs_ref),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ss_s), np.asarray(ss_ref),
+                                   rtol=1e-12)
+
+
 def test_fused_image_sharded_matches_unsharded():
     import os
     from nexoclom_tpu.initial_state import Input
