@@ -1480,13 +1480,13 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
     2026-08; groups of ≤4 stay under ~50 MB).  Identical permutation
     for any grouping (stable + shared key).
 
-    Retired packets are written back INTO the pool slots their
-    replacements came from (the fresh block is sliced before the
-    update), so the pool array doubles as the output buffer: a slot is
-    consumed exactly once and ``pool_ids`` marks which original packet
-    retired into it (-1 = never consumed).  This halves the while-loop
-    carry vs a separate (n_pad,) output state — 0.6 GB instead of
-    1.2 GB at a 16M-packet f32 pool."""
+    Retired packets go to a separate (n_pad,) output buffer rather than
+    back into the pool slots their replacements came from: the
+    retire-in-place form (pool doubles as output, halving the carry to
+    0.6 GB at a 16M f32 pool) measured 4.89 ms/iter vs 3.38 for this
+    form on axon v5e at 64:0.125:4 — slicing and updating the same
+    carried pool array in one swap costs XLA its in-place aliasing of
+    the buffers (docs/scaling.md)."""
     res_c = jnp.asarray(float(resolution), dtype)
     h0_c = jnp.asarray(float(initial_step), dtype)
     fields = PacketState._fields
@@ -1497,7 +1497,7 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
             key_a, dtype)
 
         def do_swap(c):
-            st, h, it, ids, next_idx, pool_c, pool_i = c
+            st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
             alive_key = ((st.t > res_c) & (st.frac > 0.0)).astype(
                 jnp.int32)
 
@@ -1511,14 +1511,14 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
             st = PacketState(*sorted_leaves[:len(fields)])
             h, ids = sorted_leaves[-2], sorted_leaves[-1]
             done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
+            out_s = jax.tree.map(
+                lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+                    buf, blk, out_pos, 0), out_s, done)
+            out_i = jax.lax.dynamic_update_slice_in_dim(
+                out_i, ids[:k_refill], out_pos, 0)
             fresh = jax.tree.map(
                 lambda leaf: jax.lax.dynamic_slice_in_dim(
                     leaf, next_idx, k_refill), pool_c)
-            pool_c = jax.tree.map(
-                lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
-                    buf, blk, next_idx, 0), pool_c, done)
-            pool_i = jax.lax.dynamic_update_slice_in_dim(
-                pool_i, ids[:k_refill], next_idx, 0)
             st = jax.tree.map(
                 lambda fr, leaf: jnp.concatenate([fr, leaf[k_refill:]]),
                 fresh, st)
@@ -1527,7 +1527,8 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
             ids = jnp.concatenate(
                 [next_idx + jnp.arange(k_refill, dtype=jnp.int32),
                  ids[k_refill:]])
-            return (st, h, it, ids, next_idx + k_refill, pool_c, pool_i)
+            return (st, h, it, ids, next_idx + k_refill,
+                    out_pos + k_refill, pool_c, out_s, out_i)
 
         def maybe_swap(c):
             st = c[0]
@@ -1576,16 +1577,20 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
                   jnp.asarray(0, jnp.int32),
                   jnp.arange(batch, dtype=jnp.int32),
                   jnp.asarray(batch, jnp.int32),
+                  jnp.asarray(0, jnp.int32),
                   pool_a,
+                  jax.tree.map(
+                      lambda leaf: jnp.zeros((n_pad,), leaf.dtype),
+                      pool_a),
                   jnp.full((n_pad,), -1, jnp.int32))
         out = jax.lax.while_loop(cond, body_fused, carry0)
-        st, _, it, ids, _, pool_c, pool_i = out
-        # the final batch retires into slots [0:batch] — consumed at
-        # init and never a swap target (next_idx starts at batch)
+        st, _, it, ids, _, out_pos = out[:6]
+        out_s, out_i = out[7], out[8]
         out_s = jax.tree.map(
             lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
-                buf, blk, 0, 0), pool_c, st)
-        out_i = jax.lax.dynamic_update_slice_in_dim(pool_i, ids, 0, 0)
+                buf, blk, out_pos, 0), out_s, st)
+        out_i = jax.lax.dynamic_update_slice_in_dim(out_i, ids,
+                                                    out_pos, 0)
         return out_s, out_i, it
 
     return run

@@ -418,9 +418,14 @@ class Output:
             # worker once), or the device-resident in-loop pool refill
             # for large batches (ONE dispatch, ~2x lane occupancy —
             # docs/scaling.md); options.adaptive_orchestrator overrides.
+            # post-parse step_size=0 mutation leaves resolution=None;
+            # apply the parse-time default (sections.py) instead of
+            # crashing — the reference would TypeError here too
+            resolution = (1e-4 if options.resolution is None
+                          else options.resolution)
             final, iterations = adaptive_production_run(
                 state0, spec, forces, surface,
-                jnp.asarray(options.resolution, dtype),
+                jnp.asarray(resolution, dtype),
                 jnp.asarray(options.outeredge, dtype),
                 jnp.asarray(radius_km, dtype), run_key,
                 orchestrator=getattr(options, 'adaptive_orchestrator',
