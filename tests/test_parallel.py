@@ -277,6 +277,23 @@ def test_output_sharded_matches_unsharded():
     pd.testing.assert_frame_equal(frames(ref2), frames(sh2))
 
 
+def test_resolve_packet_mesh():
+    """The shared sharded-switch resolver: False -> None, Mesh passes
+    through validated, True builds a local-device mesh, and a mesh
+    without a 'packets' axis gets guidance."""
+    from nexoclom_tpu.parallel import resolve_packet_mesh
+    from nexoclom_tpu.utilities.exceptions import InputError
+    assert resolve_packet_mesh(False) is None
+    assert resolve_packet_mesh(None) is None
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    assert resolve_packet_mesh(mesh) is mesh
+    auto = resolve_packet_mesh(True)
+    assert int(auto.shape['packets']) == len(jax.devices())
+    bad = jax.sharding.Mesh(np.array(jax.devices()), ('x',))
+    with pytest.raises(InputError, match='packets'):
+        resolve_packet_mesh(bad, 'test')
+
+
 def test_los_reduce_sharded_matches_unsharded():
     """The O(S x N) LOS cone reduction with the packet axis sharded: the
     per-spectrum weight sums cross shards (psum) — radiance, counts, and
