@@ -1483,10 +1483,10 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
     Retired packets go to a separate (n_pad,) output buffer rather than
     back into the pool slots their replacements came from: the
     retire-in-place form (pool doubles as output, halving the carry to
-    0.6 GB at a 16M f32 pool) measured 4.89 ms/iter vs 3.38 for this
-    form on axon v5e at 64:0.125:4 — slicing and updating the same
-    carried pool array in one swap costs XLA its in-place aliasing of
-    the buffers (docs/scaling.md)."""
+    0.6 GB at a 16M f32 pool) showed no reproducible win — pool-loop
+    per-iteration cost swings up to ~1.6x between axon sessions, larger
+    than the variant delta (docs/scaling.md); this form holds the best
+    absolute measurement (3.38 ms/iter at 64:0.125:4)."""
     res_c = jnp.asarray(float(resolution), dtype)
     h0_c = jnp.asarray(float(initial_step), dtype)
     fields = PacketState._fields
