@@ -31,6 +31,11 @@ def main():
     ap.add_argument('--resolution', type=float, default=1e-4)
     ap.add_argument('--endtime', type=float, default=10800.0)
     ap.add_argument('--configs', default='64:0.25:4,256:0.25:4,64:0.5:4')
+    ap.add_argument('--anchor', action='store_true',
+                    help='re-measure the FIRST config after the last: '
+                         'pool-loop ms/iter drifts up to ~1.6x between '
+                         'sessions (docs/scaling.md), so an end-of-run '
+                         'anchor bounds the drift WITHIN this session')
     args = ap.parse_args()
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
@@ -90,7 +95,11 @@ def main():
         build_initial_state(inp, n_pool, seed=7, dtype=dtype))
     accepted_pool = accepted * (n_pool / n)
 
-    for tok in args.configs.split(','):
+    config_toks = args.configs.split(',')
+    if args.anchor and len(config_toks) > 1:
+        config_toks.append(config_toks[0] + ' (anchor)')
+    for label in config_toks:
+        tok = label.replace(' (anchor)', '')
         parts = tok.split(':')
         se, rf, ins = int(parts[0]), float(parts[1]), int(parts[2])
         grp = int(parts[3]) if len(parts) > 3 else 1   # sort payloads/op
@@ -100,12 +109,12 @@ def main():
             sort_group=grp)
         t0 = time.perf_counter()
         final_l, iters_l = run()
-        print(f'[{tok}] cold: {time.perf_counter() - t0:.1f} s')
+        print(f'[{label}] cold: {time.perf_counter() - t0:.1f} s')
         t0 = time.perf_counter()
         final_l, iters_l = run()
         dt_l = time.perf_counter() - t0
         sel = float(np.asarray(final_l.frac[:n]).sum())
-        print(f'[{tok}] warm: {dt_l:.2f} s, {iters_l} iters -> '
+        print(f'[{label}] warm: {dt_l:.2f} s, {iters_l} iters -> '
               f'~{accepted_pool / dt_l:.3e} accepted ps/s '
               f'({dt_l / iters_l * 1e3:.2f} ms/iter); frac[:batch] '
               f'{sel:.4e} vs monolithic {mono_frac:.4e}')
