@@ -9,10 +9,13 @@ tempfile.pkl`` (``Output.py:574-578``) and ``python LOS_wrapper.py argfile``
 Payload formats (JSON):
 
     {"task": "run",  "inputs": {...}, "npackets": N,
-     "seed": ..., "packs_per_it": ...}
+     "seed": ..., "packs_per_it": ..., "sharded": false}
     {"task": "los",  "inputs": {...}, "outputfile": "...",
      "scdata": "spacecraft.csv", "species": "...",
-     "params": {...}, "dphi": radians}
+     "params": {...}, "dphi": radians, "sharded": false}
+
+``sharded: true`` spreads the packet axis over every device the worker
+process sees (the same switch as ``Input.run``/``LOSResult``).
 
 Workers cooperate through the shared file-locked catalog, so many of them
 can be pointed at the same savepath (the Condor pattern).
@@ -50,7 +53,8 @@ def run_payload(payload: dict) -> int:
 
     if task == 'run':
         inputs.run(payload['npackets'], seed=payload.get('seed'),
-                   packs_per_it=payload.get('packs_per_it'))
+                   packs_per_it=payload.get('packs_per_it'),
+                   sharded=payload.get('sharded', False))
         return 0
     elif task == 'los':
         import pandas as pd
@@ -63,7 +67,8 @@ def run_payload(payload: dict) -> int:
                                 query=payload.get('query', ''))
         losresult = LOSResult(scdata, inputs,
                               payload.get('params', {'quantity': 'radiance'}),
-                              dphi=payload.get('dphi', math.radians(1.0)))
+                              dphi=payload.get('dphi', math.radians(1.0)),
+                              sharded=payload.get('sharded', False))
         compute_iteration(losresult, payload['outputfile'], scdata)
         return 0
     raise ValueError(f'unknown worker task {task!r}')
