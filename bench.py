@@ -18,10 +18,12 @@ One JSON line with three driver-visible metrics (round-over-round record):
 * ``pool_value`` — accepted packet-steps/s of the PRODUCTION adaptive
   path for large batches: ``adaptive_production_run`` routing a 2^24
   pool through the in-loop device-resident refill (``adaptive_pool_loop``
-  — one dispatch, ~77% lane occupancy vs the monolithic 36%;
-  docs/scaling.md occupancy ladder).  The accepted-step total is the
-  monolithic run's count scaled by pool/batch (identical physics and
-  seed; the pool driver does not carry per-lane counters).
+  — one dispatch, occupancy riding in [0.94, 1] at the tuned
+  64:0.0625 swap config vs the monolithic run-average 36%; 1.38x the
+  same-session monolithic rate measured, docs/scaling.md occupancy
+  ladder).  The accepted-step total is the monolithic run's count
+  scaled by pool/batch (identical physics and seed; the pool driver
+  does not carry per-lane counters).
   Set ``NEXOCLOM_BENCH_SKIP_POOL=1`` to skip this stage.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
