@@ -13,8 +13,9 @@ One JSON line with three driver-visible metrics (round-over-round record):
   baked physics tables and inner_steps=4 (the production configuration,
   docs/scaling.md).
 * ``fused_value`` — packet-steps/s of the fused-observable image pipeline
-  (200x200 radiance, stride 1) streaming 2^22 packets through the chunked
-  scan.
+  (200x200 radiance, stride 1) streaming 2^23 packets through the chunked
+  scan (8 chunks — enough to amortise the per-chunk dispatch; a 1e8-packet
+  run reaches 3.45e8, docs/scaling.md).
 * ``pool_value`` — accepted packet-steps/s of the PRODUCTION adaptive
   path for large batches: ``adaptive_production_run`` routing a 2^24
   pool through the in-loop device-resident refill (``adaptive_pool_loop``
@@ -212,7 +213,7 @@ def bench_fused():
     nsteps = int(inp.options.endtime / inp.options.step_size + 1)
     params = {'quantity': 'radiance', 'dims': '200,200', 'width': '8,8'}
     chunk = 1 << 20
-    n = 1 << 22
+    n = 1 << 23
 
     warm = fused_image_run(inp, chunk, dict(params), seed=1, chunk=chunk)
     float(warm.image.sum())             # compile + barrier
