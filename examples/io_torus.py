@@ -70,6 +70,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--packets', type=int, default=20000)
     ap.add_argument('--tpu', action='store_true')
+    ap.add_argument('--sharded', action='store_true',
+                    help='shard the packet axis over every '
+                         'local device (multi-chip run)')
     ap.add_argument('--savepath', default='/tmp/nexoclom_tpu_examples')
     args = ap.parse_args()
 
@@ -93,7 +96,7 @@ def main():
         f.write(INPUTFILE)
 
     inp = nexoclom_tpu.Input(infile)
-    inp.run(args.packets, seed=3)
+    inp.run(args.packets, seed=3, sharded=args.sharded)
 
     # pole-on view (the default): the banana cloud along Io's orbit
     image = inp.produce_image({'quantity': 'column', 'origin': 'Jupiter',

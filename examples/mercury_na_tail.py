@@ -41,6 +41,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--packets', type=int, default=20000)
     ap.add_argument('--tpu', action='store_true')
+    ap.add_argument('--sharded', action='store_true',
+                    help='shard the packet axis over every '
+                         'local device (multi-chip run)')
     ap.add_argument('--savepath', default='/tmp/nexoclom_tpu_examples')
     args = ap.parse_args()
 
@@ -60,7 +63,7 @@ def main():
     with open(infile, 'w') as f:
         f.write(INPUTFILE)
     inp = nexoclom_tpu.Input(infile)
-    inp.run(args.packets, seed=1)
+    inp.run(args.packets, seed=1, sharded=args.sharded)
 
     # observer over the dusk equator (the default latitude pi/2 is a
     # pole-on view): the sky plane then contains the sun line, so the

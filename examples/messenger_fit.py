@@ -22,6 +22,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--packets', type=int, default=20000)
     ap.add_argument('--tpu', action='store_true')
+    ap.add_argument('--sharded', action='store_true',
+                    help='shard the packet axis (run + LOS '
+                         'reduction) over every local device')
     ap.add_argument('--savepath', default='/tmp/nexoclom_tpu_examples')
     args = ap.parse_args()
 
@@ -48,7 +51,8 @@ def main():
     scdata = SpacecraftData(orbit, species=inputs.options.species,
                             query='MESSENGER-like limb scans')
     result = scdata.model(inputs, args.packets, dphi=math.radians(1.0),
-                          label='fit_demo', seed=11)
+                          label='fit_demo', seed=11,
+                          sharded=args.sharded)
 
     model = result.radiance.to_numpy()
     data = orbit.radiance.to_numpy()

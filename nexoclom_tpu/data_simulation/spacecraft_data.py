@@ -72,7 +72,8 @@ class SpacecraftData:
         inputs.run(npackets, overwrite=overwrite, seed=seed, **run_kwargs)
         los = LOSResult(self, inputs, params,
                         dphi=math.radians(1.0) if dphi is None else dphi,
-                        masking=masking, label=label)
+                        masking=masking, label=label,
+                        sharded=run_kwargs.get('sharded', False))
         los.simulate_data_from_inputs(self)
         return los
 
