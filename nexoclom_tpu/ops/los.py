@@ -58,10 +58,11 @@ def _spectrum_kernel(px, py, pz, weight, sc, b, obstruct, dd,
     return w.sum(), inview.sum(), (w > 0.0)
 
 
-@partial(jax.jit, static_argnames=('quantity',))
+@partial(jax.jit, static_argnames=('quantity', 'chunk'))
 def los_reduce(px, py, pz, weight,
                sc_pos, bore, obstruction, outer_dd,
-               dphi, rp_cm, quantity: str = 'radiance'):
+               dphi, rp_cm, quantity: str = 'radiance',
+               chunk: int = _CHUNK):
     """Radiance/column along every line of sight.
 
     Parameters
@@ -74,6 +75,8 @@ def los_reduce(px, py, pz, weight,
     outer_dd : (S,) distance from the spacecraft to the outer-edge sphere
     dphi : cone half-angle (radians)
     rp_cm : planetary radius in cm (Apix conversion)
+    chunk : spectra evaluated concurrently (static); memory ~ chunk x N
+        floats — knob for the throughput/HBM trade, default `_CHUNK`
 
     Returns
     -------
@@ -88,7 +91,7 @@ def los_reduce(px, py, pz, weight,
     radiance_mode = quantity in ('radiance', 'difrad')
 
     n_spectra = sc_pos.shape[0]
-    pad = (-n_spectra) % _CHUNK
+    pad = (-n_spectra) % chunk
     # padded dummy spectra get dd = -1 so nothing is ever in view
     sc_pos = jnp.concatenate([sc_pos, jnp.zeros((pad, 3), sc_pos.dtype)])
     bore = jnp.concatenate([bore, jnp.zeros((pad, 3), bore.dtype)])
@@ -98,19 +101,19 @@ def los_reduce(px, py, pz, weight,
     outer_dd = jnp.concatenate(
         [outer_dd, jnp.full(pad, -1.0, outer_dd.dtype)])
 
-    nchunks = (n_spectra + pad) // _CHUNK
-    chunked = (sc_pos.reshape(nchunks, _CHUNK, 3),
-               bore.reshape(nchunks, _CHUNK, 3),
-               obstruction.reshape(nchunks, _CHUNK),
-               outer_dd.reshape(nchunks, _CHUNK))
+    nchunks = (n_spectra + pad) // chunk
+    chunked = (sc_pos.reshape(nchunks, chunk, 3),
+               bore.reshape(nchunks, chunk, 3),
+               obstruction.reshape(nchunks, chunk),
+               outer_dd.reshape(nchunks, chunk))
 
     kernel = jax.vmap(
         lambda sc, b, ob, dd: _spectrum_kernel(
             px, py, pz, weight, sc, b, ob, dd,
             cos_dphi, sin_dphi, rp_cm, radiance_mode))
 
-    def body(used_any, chunk):
-        rad, npack, used = kernel(*chunk)
+    def body(used_any, operands):
+        rad, npack, used = kernel(*operands)
         return used_any | jnp.any(used, axis=0), (rad, npack)
 
     used_any, (rad, npack) = jax.lax.scan(

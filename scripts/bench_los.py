@@ -21,6 +21,8 @@ def main():
     parser.add_argument('--spectra', type=int, default=1024)
     parser.add_argument('--packets', type=int, default=1 << 20)
     parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--chunk', type=int, default=None,
+                        help='spectra per scan step (default ops.los._CHUNK)')
     args = parser.parse_args()
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
@@ -55,13 +57,14 @@ def main():
     dphi = math.radians(1.0)
     rp_cm = 2440.53e5
 
-    rad, npack, used = los_reduce(*fn_args, dphi, rp_cm)
+    kw = {} if args.chunk is None else {'chunk': args.chunk}
+    rad, npack, used = los_reduce(*fn_args, dphi, rp_cm, **kw)
     checksum = float(jnp.sum(rad))          # compile + barrier
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        rad, npack, used = los_reduce(*fn_args, dphi, rp_cm)
+        rad, npack, used = los_reduce(*fn_args, dphi, rp_cm, **kw)
         checksum += float(jnp.sum(rad))
     elapsed = (time.perf_counter() - t0) / reps
 
