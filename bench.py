@@ -1,6 +1,6 @@
 """Benchmark: packet-steps/sec/chip for the three production pipelines.
 
-One JSON line with three driver-visible metrics (round-over-round record):
+One JSON line with four driver-visible metrics (round-over-round record):
 
 * ``value`` — the headline BASELINE.json metric, unchanged for continuity:
   the full-physics RK5(4) constant-step loop on the Ca-class Mercury

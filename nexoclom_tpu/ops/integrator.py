@@ -1483,10 +1483,11 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
     Retired packets go to a separate (n_pad,) output buffer rather than
     back into the pool slots their replacements came from: the
     retire-in-place form (pool doubles as output, halving the carry to
-    0.6 GB at a 16M f32 pool) showed no reproducible win — pool-loop
-    per-iteration cost swings up to ~1.6x between axon sessions, larger
-    than the variant delta (docs/scaling.md); this form holds the best
-    absolute measurement (3.38 ms/iter at 64:0.125:4)."""
+    0.6 GB at a 16M f32 pool) showed no reproducible win once the
+    apparent variance was traced to HOST LOAD beside the benchmark
+    (quiet-host repeats agree within 2% — docs/scaling.md session C);
+    this form holds the best measurement (3.20 ms/iter, 2.75e8 accepted
+    ps/s at the tuned 64:0.0625 default)."""
     res_c = jnp.asarray(float(resolution), dtype)
     h0_c = jnp.asarray(float(initial_step), dtype)
     fields = PacketState._fields

@@ -142,16 +142,30 @@ def main():
                 else CASE_NPACKETS[case])
 
     if args.save_ref:
-        np.savez(args.save_ref, **{case: run_case(case, 'float64',
-                                                  n_for(case))
-                                   for case in cases})
+        arrays = {case: run_case(case, 'float64', n_for(case))
+                  for case in cases}
+        # record the packet count per case so --compare can reject a
+        # reference computed at a different count (images differ like
+        # independent MC draws — comparing across counts measures the
+        # wrong noise floor)
+        arrays.update({f'{case}__npackets': np.asarray(n_for(case))
+                       for case in cases})
+        np.savez(args.save_ref, **arrays)
         print(f'saved f64 reference to {args.save_ref}')
         return
 
     if args.compare:
         ref = np.load(args.compare)
         for case in cases:
-            img32 = run_case(case, 'float32', n_for(case))
+            n_case = n_for(case)
+            n_key = f'{case}__npackets'
+            if n_key in ref.files and int(ref[n_key]) != n_case:
+                raise SystemExit(
+                    f'{case}: reference {args.compare} was saved at '
+                    f'{int(ref[n_key])} packets but this run uses {n_case}; '
+                    f'regenerate with --save-ref (or pass --npackets '
+                    f'{int(ref[n_key])})')
+            img32 = run_case(case, 'float32', n_case)
             compare(f'{case}: {jax.default_backend()} f32 vs saved f64',
                     img32, ref[case])
         return
