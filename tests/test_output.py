@@ -120,6 +120,23 @@ def test_adaptive_output_run():
     assert out.totalsource == 100.0
 
 
+def test_adaptive_resolution_default_on_postparse_mutation():
+    """QUIRKS F30: switching a parsed const-step Input to adaptive mode
+    (step_size = 0) without setting resolution uses the parse-time default
+    1e-4 instead of crashing on resolution=None (the reference TypeErrors,
+    Output.py:235-238)."""
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')),
+                  1000.0)
+    assert inp.options.resolution is None     # parsed as const-step
+    inp.options.step_size = 0.0
+    out = Output(inp, 50, seed=5, compress=False)
+    X = out.X
+    assert len(X) == 50
+    live = X.frac > 0
+    # integrated to the default resolution, not to None
+    assert np.all(X.loc[live, 'time'] <= 1e-4 + 1e-9)
+
+
 def test_run_model_false_catalogs_placeholder():
     inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out = Output(inp, 500, run_model=False)
