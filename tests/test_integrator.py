@@ -594,6 +594,50 @@ def test_adaptive_pool_loop_full_physics_f32_bit_exact():
                                       err_msg=f)
 
 
+def test_adaptive_pool_loop_satellite_bit_exact():
+    """Pool loop vs baked monolithic on a SATELLITE source (Io): moon
+    gravity/shadow/re-impact are functions of each packet's own time, so
+    the swap reshuffles must leave the time-dependent moon physics
+    bit-identical — the per-lane t rides through the sorts with the rest
+    of the state."""
+    import os
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.initial_state.sampling import build_initial_state
+    from nexoclom_tpu.initial_state.sections import effective_taa
+    from nexoclom_tpu.ops.integrator import (adaptive_pool_loop,
+                                             adaptive_step_driver_baked,
+                                             packet_state_from_dict)
+    from nexoclom_tpu.particle_tracking.output import (
+        build_force_table, build_surface_table, engine_spec_from_inputs)
+    from nexoclom_tpu.solarsystem import planet_dist
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    inp = Input(os.path.join(here, 'data', 'inputfiles',
+                             'jupiter_io_satellite.input'))
+    inp.options.endtime = 2000.0
+    inp.options.step_size = 0.0
+    dtype = jnp.float32
+    rkm = inp.geometry.planet.radius
+    r, v_r = planet_dist(inp.geometry.planet, effective_taa(inp.geometry))
+    spec = engine_spec_from_inputs(inp)
+    assert spec.moon_gravity or spec.moon_kill   # the moon physics is on
+    forces = build_force_table(inp, r, v_r / rkm, rkm, dtype)
+    surface = build_surface_table(inp, spec, rkm, dtype)
+    state0 = packet_state_from_dict(
+        build_initial_state(inp, 200, seed=13, dtype=dtype))
+    args = (spec, forces, surface, jnp.asarray(1e-6, dtype),
+            jnp.asarray(30.0, dtype), jnp.asarray(rkm, dtype),
+            jax.random.PRNGKey(7))
+    final_b, _ = adaptive_step_driver_baked(state0, *args,
+                                            max_iterations=400000)
+    final_p, _ = adaptive_pool_loop(state0, *args, batch=64, swap_every=16,
+                                    refill_fraction=0.25, inner_steps=4)
+    for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+        np.testing.assert_array_equal(np.asarray(getattr(final_p, f)),
+                                      np.asarray(getattr(final_b, f)),
+                                      err_msg=f)
+
+
 def test_adaptive_production_run_routing():
     """The production router picks chunked below the pool amortisation
     point and the in-loop pool above it (or on request), with identical
