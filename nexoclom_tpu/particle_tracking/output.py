@@ -125,6 +125,11 @@ def _profile_has_phi(profile, options=None) -> bool:
 
 _STICK_MAP_CACHE: dict = {}
 
+# zlib crossover for Output.save: stores above this skip deflate (f32 MC
+# noise compresses ~17% while the pass costs ~6x the raw write — measured
+# at 16M packets, docs/scaling.md)
+_SAVE_COMPRESS_MAX = 256 * 1024 * 1024
+
 
 def _load_sticking_sourcemap(sint):
     """Load the sticking SourceMap, cached by (path, mtime) so edited or
@@ -529,10 +534,17 @@ class Output:
         # atomic publish: the catalog record was inserted above, but
         # search_outputs ignores records whose file does not exist — write
         # to a temp path and rename so a crash mid-write never leaves a
-        # partial .npz that readers would count as completed work
+        # partial .npz that readers would count as completed work.
+        # zlib only pays below _SAVE_COMPRESS_MAX bytes: f32 Monte Carlo
+        # states barely deflate (17% at 16M packets) while the deflate
+        # pass dominates the save (95 s vs 16 s measured) — large stores
+        # go uncompressed; np.load reads either transparently
         tmp = self.filename + '.tmp.npz'
+        raw_bytes = sum(a.nbytes for a in arrays.values())
+        saver = (np.savez_compressed if raw_bytes <= _SAVE_COMPRESS_MAX
+                 else np.savez)
         with open(tmp, 'wb') as f:
-            np.savez_compressed(f, **arrays)
+            saver(f, **arrays)
         os.replace(tmp, self.filename)
 
     @classmethod

@@ -137,6 +137,32 @@ def test_adaptive_resolution_default_on_postparse_mutation():
     assert np.all(X.loc[live, 'time'] <= 1e-4 + 1e-9)
 
 
+def test_large_save_skips_deflate_and_restores(monkeypatch, tmp_path):
+    """Stores above _SAVE_COMPRESS_MAX are written without zlib (f32 MC
+    noise deflates ~17% for ~6x the write time — measured at 16M packets)
+    and np.load restores them identically."""
+    import zipfile
+    from nexoclom_tpu.particle_tracking import output as out_mod
+
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')),
+                  600.0)
+    ref = Output(inp, 40, seed=3, compress=False)
+
+    monkeypatch.setattr(out_mod, '_SAVE_COMPRESS_MAX', 0)
+    inp2 = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')),
+                   600.0)
+    inp2.geometry.taa = 0.37          # distinct catalog entry
+    big = Output(inp2, 40, seed=3, compress=False)
+    with zipfile.ZipFile(big.filename) as zf:
+        assert all(zi.compress_type == zipfile.ZIP_STORED
+                   for zi in zf.infolist())
+    restored = Output.restore(big.filename)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(restored.X.reset_index(drop=True),
+                           big.X.reset_index(drop=True),
+                           check_dtype=False, atol=1e-6)
+
+
 def test_run_model_false_catalogs_placeholder():
     inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out = Output(inp, 500, run_model=False)
