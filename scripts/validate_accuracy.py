@@ -34,8 +34,9 @@ Measured (2026-08, CPU f32 vs f64 total brightness):
           not bias: the MC floor itself is 0.53%, f32/floor = 0.21)
   bounce  0.84% at 80k packets, MC floor 0.95%, f32/floor = 0.89
   io      0.38% at 20k packets, MC floor 0.84%, f32/floor = 0.46
-All < 1%.  Cross-backend (TPU f32 vs saved CPU f64, 40k packets,
-post-h-predication engine): ca 0.51%, na 0.12%, bounce 0.84% — all PASS.
+All < 1%.  Cross-backend (TPU f32 vs saved CPU f64, per-case protocol
+counts, late round-3 engine): ca 0.46%, na 0.08%, bounce 0.79%,
+io 0.40% — all PASS.
 For the radpres-dominated cases always compare against the --mc-floor
 output: f32 vs f64 images differ like independent MC draws.
 """
