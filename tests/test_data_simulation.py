@@ -148,6 +148,35 @@ def test_fitted_retrieval_sharded(use_ca_catalog):
     assert fitted.sourcerate > 0
 
 
+def test_fitted_retrieval_sharded_matches_unsharded(use_ca_catalog,
+                                                    monkeypatch):
+    """End-to-end fitted retrieval equality: the sharded run must produce
+    the same fitted radiance as the single-device run (kernel equality is
+    pinned in test_parallel; this covers the full determine_source_from_data
+    flow).  The iteration cache is bypassed so both runs actually compute."""
+    from nexoclom_tpu.data_simulation.los_fitted import (
+        LOSResultFitted as LRF)
+    inp = use_ca_catalog
+    rad = np.linspace(0.5, 2.0, 12)
+    scdata = _spacecraft_data(radiance=rad)
+    dphi = math.radians(2.4)
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'}, dphi=dphi,
+                      label='ff_eq')
+    unfit.simulate_data_from_inputs(scdata)
+
+    monkeypatch.setattr(LRF, 'fitted_iteration_search',
+                        lambda self, ufit_id: None)
+    f_plain = LRF(scdata, 'ff_eq', {'quantity': 'radiance'})
+    f_plain.determine_source_from_data(scdata)
+    plain = f_plain.radiance.to_numpy().copy()
+    plain_rate = f_plain.sourcerate
+
+    f_sh = LRF(scdata, 'ff_eq', {'quantity': 'radiance'}, sharded=True)
+    f_sh.determine_source_from_data(scdata)
+    np.testing.assert_allclose(f_sh.radiance.to_numpy(), plain, rtol=1e-10)
+    assert np.isclose(f_sh.sourcerate, plain_rate, rtol=1e-10)
+
+
 def test_model_image_column(use_ca_catalog):
     inp = use_ca_catalog
     img = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',
