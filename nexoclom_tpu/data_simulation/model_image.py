@@ -28,6 +28,7 @@ import numpy as np
 from nexoclom_tpu.data_simulation.model_result import ModelResult
 from nexoclom_tpu.mathutils import rotation_matrix
 from nexoclom_tpu.ops.histograms import histogram2d
+from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
 from nexoclom_tpu.particle_tracking.output import Output
 from nexoclom_tpu.utilities.catalog import get_catalog
 
@@ -35,9 +36,15 @@ CM_PER_KM = 1.0e5
 
 
 class ModelImage(ModelResult):
-    def __init__(self, inputs, params, overwrite=False):
+    def __init__(self, inputs, params, overwrite=False, sharded=False):
         super().__init__(inputs, params)
         self.type = 'image'
+        # same flagship switch as Input.run/LOSResult: shard the packet
+        # axis of the histogram scatter-adds over local devices (the
+        # per-pixel sums cross shards through an XLA psum; weighted
+        # pixels match the single-device image up to f64 summation
+        # order, packet counts exactly)
+        self.sharded = sharded
         # quirk F26: params['origin'] selects the image center/unit body.
         # The reference declares this (ModelImage.py:49-51) but its
         # non-planet path calls transform_reference_frame, which exists
@@ -214,16 +221,29 @@ class ModelImage(ModelResult):
             scale = self.origin.radius / self.radius_km
             pts_img = (rel @ M.T) / scale
 
-        image = np.asarray(histogram2d(
-            jnp.asarray(pts_img[:, 0]), jnp.asarray(pts_img[:, 2]),
-            jnp.asarray(weight),
-            self.xrange[0], self.xrange[1], self.dims[0],
-            self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
-        packim = np.asarray(histogram2d(
-            jnp.asarray(pts_img[:, 0]), jnp.asarray(pts_img[:, 2]),
-            jnp.ones(len(pts_img)),
-            self.xrange[0], self.xrange[1], self.dims[0],
-            self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
+        xs = jnp.asarray(pts_img[:, 0])
+        zs = jnp.asarray(pts_img[:, 2])
+        ws = jnp.asarray(weight)
+        ones = jnp.ones(len(pts_img))
+        mesh = resolve_packet_mesh(self.sharded, 'ModelImage')
+        if mesh is not None:
+            # pad sentinel 1e30 lands outside every image range so the
+            # padding never bins; weight 0 is belt-and-braces
+            (xs, zs, ws, ones), _ = shard_padded(
+                mesh, (xs, zs, ws, ones), (1e30, 1e30, 0.0, 0.0))
+            ctx = mesh
+        else:
+            import contextlib
+            ctx = contextlib.nullcontext()
+        with ctx:
+            image = np.asarray(histogram2d(
+                xs, zs, ws,
+                self.xrange[0], self.xrange[1], self.dims[0],
+                self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
+            packim = np.asarray(histogram2d(
+                xs, zs, ones,
+                self.xrange[0], self.xrange[1], self.dims[0],
+                self.zrange[0], self.zrange[1], self.dims[1], impl='auto'))
 
         self.save(fname, image, packim)
         return image, packim

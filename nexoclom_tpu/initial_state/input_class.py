@@ -239,9 +239,10 @@ class Input:
         print(f'Model run completed in {time.time() - t_start:.1f} s; '
               f'{totalpackets} packets in {len(outputfiles)} files.')
 
-    def produce_image(self, format_, overwrite=False):
+    def produce_image(self, format_, overwrite=False, sharded=False):
         from nexoclom_tpu.data_simulation.model_image import ModelImage
-        return ModelImage(self, format_, overwrite=overwrite)
+        return ModelImage(self, format_, overwrite=overwrite,
+                          sharded=sharded)
 
     def delete_files(self, filename=None):
         """Delete catalog records and files for these inputs (cascading

@@ -194,6 +194,14 @@ def test_model_image_column(use_ca_catalog):
     img3 = ModelImage(inp, {'quantity': 'radiance', 'dims': '64,64',
                             'width': '8,8'})
     assert img3.image.sum() > 0
+    # sharded over the 8 virtual devices (overwrite forces recompute):
+    # per-pixel sums cross shards — equal up to f64 summation order
+    # (~1e-7 relative at 1e5+ packets/pixel); integer packet counts are
+    # exactly equal
+    img4 = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',
+                            'width': '8,8'}, overwrite=True, sharded=True)
+    np.testing.assert_allclose(img4.image, img.image, rtol=1e-6)
+    np.testing.assert_array_equal(img4.packet_image, img.packet_image)
 
 
 def test_model_image_display_and_export(use_ca_catalog, tmp_path):
