@@ -49,8 +49,11 @@ def _density_reduce(px, py, pz, frac, qx, qy, qz, dr, chunk: int = 128):
 
 class ModelDensity:
     def __init__(self, inputs, xpts, ypts, zpts, dr=0.05,
-                 true_volume=False):
+                 true_volume=False, sharded=False):
         self.type = 'density'
+        # same flagship switch as the other observables: shard the packet
+        # axis of the per-point reductions over local devices
+        self.sharded = sharded
         self.origin = inputs.geometry.planet
         self.inputs = inputs
         radius_cm = self.origin.radius * CM_PER_KM
@@ -77,13 +80,24 @@ class ModelDensity:
             print(f'Output filename: {fname}')
             output = Output.restore(fname)
             X = output.X
-            dens, count = _density_reduce(
-                jnp.asarray(X['x'].to_numpy()),
-                jnp.asarray(X['y'].to_numpy()),
-                jnp.asarray(X['z'].to_numpy()),
-                jnp.asarray(X['frac'].to_numpy()),
-                jnp.asarray(xpts), jnp.asarray(ypts), jnp.asarray(zpts),
-                self.dr)
+            packet_arrays = (jnp.asarray(X['x'].to_numpy()),
+                             jnp.asarray(X['y'].to_numpy()),
+                             jnp.asarray(X['z'].to_numpy()),
+                             jnp.asarray(X['frac'].to_numpy()))
+            probe_args = (jnp.asarray(xpts), jnp.asarray(ypts),
+                          jnp.asarray(zpts), self.dr)
+            from nexoclom_tpu.parallel.mesh import (resolve_packet_mesh,
+                                                    shard_padded)
+            mesh = resolve_packet_mesh(self.sharded, 'ModelDensity')
+            if mesh is not None:
+                # pad sentinel 1e30 is never within dr of a probe point
+                packet_arrays, _ = shard_padded(
+                    mesh, packet_arrays, (1e30, 0.0, 0.0, 0.0))
+                with mesh:
+                    dens, count = _density_reduce(*packet_arrays,
+                                                  *probe_args)
+            else:
+                dens, count = _density_reduce(*packet_arrays, *probe_args)
             self.density += np.asarray(dens)
             self.packets += np.asarray(count)
             self.totalsource += output.totalsource

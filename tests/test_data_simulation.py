@@ -240,6 +240,12 @@ def test_model_density(use_ca_catalog):
     # reference Vpix formula (QUIRKS): 4/(3 pi) dr^3
     dr_cm = 0.3 * 2440.53 * 1e5
     assert np.isclose(dens.Vpix, 4 / 3 / np.pi * dr_cm ** 3)
+    # sharded over the 8 virtual devices: per-point sums cross shards,
+    # equal up to f64 summation order; counts exactly
+    dens_sh = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3,
+                           sharded=True)
+    np.testing.assert_allclose(dens_sh.density, dens.density, rtol=1e-9)
+    np.testing.assert_array_equal(dens_sh.packets, dens.packets)
 
 
 def test_source_map(use_ca_catalog):
