@@ -164,11 +164,13 @@ def bench_adaptive():
 
     final, _, stats = run()
     float(jnp.sum(final.frac))          # compile + barrier
-    t0 = time.perf_counter()
-    final, _, stats = run()
-    # int64 on host: the int32 per-packet counters total past 2^31
-    accepted = int(np.asarray(stats['accepted'], np.int64).sum())
-    elapsed = time.perf_counter() - t0
+    elapsed = float('inf')
+    for _ in range(2):                  # best-of-2: run-to-run tunnel swing
+        t0 = time.perf_counter()
+        final, _, stats = run()
+        # int64 on host: the int32 per-packet counters total past 2^31
+        accepted = int(np.asarray(stats['accepted'], np.int64).sum())
+        elapsed = min(elapsed, time.perf_counter() - t0)
     return accepted / elapsed, accepted, n
 
 
@@ -197,9 +199,14 @@ def bench_pool(accepted_mono, n_mono):
 
     final, _ = run()                    # compile + warm the pool program
     assert np.isfinite(final.frac).all()
-    t0 = time.perf_counter()
-    final, _ = run()                    # host numpy return: its own barrier
-    elapsed = time.perf_counter() - t0
+    # the pool dispatch's wall time swings up to ~30% run to run on this
+    # platform (sort/boundary phases are sensitive to worker state; the
+    # monolithic loop is not — docs/scaling.md) -> best of two timed reps
+    elapsed = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        final, _ = run()                # host numpy return: its own barrier
+        elapsed = min(elapsed, time.perf_counter() - t0)
     accepted = accepted_mono * (n_pool / n_mono)
     return accepted / elapsed
 
@@ -217,10 +224,12 @@ def bench_fused():
 
     warm = fused_image_run(inp, chunk, dict(params), seed=1, chunk=chunk)
     float(warm.image.sum())             # compile + barrier
-    t0 = time.perf_counter()
-    result = fused_image_run(inp, n, dict(params), seed=1, chunk=chunk)
-    total = float(result.image.sum())   # device sync
-    elapsed = time.perf_counter() - t0
+    elapsed = float('inf')
+    for _ in range(2):                  # best-of-2: run-to-run tunnel swing
+        t0 = time.perf_counter()
+        result = fused_image_run(inp, n, dict(params), seed=1, chunk=chunk)
+        total = float(result.image.sum())   # device sync
+        elapsed = min(elapsed, time.perf_counter() - t0)
     assert np.isfinite(total) and total > 0
     return n * (nsteps - 1) / elapsed
 
