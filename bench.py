@@ -177,11 +177,12 @@ def bench_adaptive():
 def bench_pool(accepted_mono, n_mono):
     """Accepted ps/s of the production large-batch path (in-loop pool).
 
-    One cold (compile+run) then one warm timing of
+    One cold (compile+run) then best-of-two warm timings of
     ``adaptive_production_run`` on a 2^24 pool — the measured production
-    configuration (docs/scaling.md).  The 21k-iteration single dispatch
-    makes one warm rep low-variance.  Accepted steps are the monolithic
-    count scaled by pool/batch (same physics, same seed)."""
+    configuration (docs/scaling.md).  Even the 19k-iteration single
+    dispatch swings up to ~30% wall run to run on this platform, so the
+    best rep is reported.  Accepted steps are the monolithic count
+    scaled by pool/batch (same physics, same seed)."""
     from nexoclom_tpu.initial_state.sampling import build_initial_state
     from nexoclom_tpu.ops.integrator import (adaptive_production_run,
                                              packet_state_from_dict)
