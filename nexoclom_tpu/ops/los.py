@@ -122,11 +122,12 @@ def los_reduce(px, py, pz, weight,
             used_any)
 
 
-@partial(jax.jit, static_argnames=('n_x0', 'use_weight'))
+@partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk'))
 def los_fitted_accumulate(px, py, pz, weight, x0_index,
                           sc_pos, bore, obstruction, outer_dd,
                           ratio, spec_mask, spec_sigma,
-                          dphi, n_x0: int, use_weight: str | None = None):
+                          dphi, n_x0: int, use_weight: str | None = None,
+                          chunk: int = _CHUNK):
     """Per-initial-packet weighted mean of data/model ratios.
 
     The fitted-source retrieval (``LOSResultFitted.py:136-183``) computes,
@@ -143,7 +144,7 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
     sin_dphi = jnp.sin(dphi)
 
     n_spectra = sc_pos.shape[0]
-    pad = (-n_spectra) % _CHUNK
+    pad = (-n_spectra) % chunk
     sc_pos = jnp.concatenate([sc_pos, jnp.zeros((pad, 3), sc_pos.dtype)])
     bore_pad = jnp.zeros((pad, 3), bore.dtype).at[:, 0].set(1.0)
     bore = jnp.concatenate([bore, bore_pad])
@@ -155,7 +156,7 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
     spec_mask = jnp.concatenate([spec_mask, jnp.zeros(pad, bool)])
     spec_sigma = jnp.concatenate([spec_sigma, jnp.ones(pad, spec_sigma.dtype)])
 
-    nchunks = (n_spectra + pad) // _CHUNK
+    nchunks = (n_spectra + pad) // chunk
 
     def one_spectrum(sc, b, obstruct, dd, rat, keep, sigma):
         rx = px - sc[0]
@@ -186,15 +187,15 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
 
     kernel = jax.vmap(one_spectrum)
 
-    def body(carry, chunk):
+    def body(carry, operands):
         rs, ss = carry
-        contrib_ratio, contrib_w = kernel(*chunk)
+        contrib_ratio, contrib_w = kernel(*operands)
         # sum over the chunk's spectra, then scatter rows -> X0 index
         rs = rs.at[x0_index].add(contrib_ratio.sum(axis=0))
         ss = ss.at[x0_index].add(contrib_w.sum(axis=0))
         return (rs, ss), None
 
-    chunked = tuple(a.reshape((nchunks, _CHUNK) + a.shape[1:])
+    chunked = tuple(a.reshape((nchunks, chunk) + a.shape[1:])
                     for a in (sc_pos, bore, obstruction, outer_dd,
                               ratio, spec_mask, spec_sigma))
     (ratio_x_sigma, sigma_sum), _ = jax.lax.scan(
