@@ -149,12 +149,13 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
                                'compute_iteration')
     if mesh is not None:
         # packet axis over the mesh: per-spectrum sums cross shards (XLA
-        # inserts the psum).  Pad sentinels: x=1e30 puts the packet past
-        # every outer-edge cutoff (or, f32-overflowed, at cosang=0 — out
-        # of any cone with dphi < pi/2) and weight=0 keeps it out of the
-        # used mask, so the padding is inert.
+        # inserts the psum).  Pad sentinels: x=NaN poisons every distance/
+        # angle comparison in the kernel to False — the row is out of view
+        # for EVERY spectrum (including the npackets inview count; a 1e30
+        # sentinel slipped past the default outeredge=1e30 cutoff in f64,
+        # advisor round 3) — and weight=0 keeps it out of the used mask.
         packet_arrays, pad = shard_padded(
-            mesh, packet_arrays, (1e30, 0.0, 0.0, 0.0))
+            mesh, packet_arrays, (np.nan, 0.0, 0.0, 0.0))
         with mesh:
             rad, npack, used = los_reduce(
                 *packet_arrays, *spectra_args, quantity=losresult.quantity)

@@ -141,10 +141,11 @@ class LOSResultFitted(LOSResult):
                             jnp.asarray(sigma))
             if mesh is not None:
                 # same inert-padding sentinels as compute_iteration:
-                # weight=0 keeps padded rows out of the used mask, and
-                # their X0 scatter index 0 adds only zeros
+                # x=NaN is out of view for every spectrum, weight=0 keeps
+                # padded rows out of the used mask, and their X0 scatter
+                # index 0 adds only zeros
                 packet_arrays, _ = shard_padded(
-                    mesh, packet_arrays, (1e30, 0.0, 0.0, 0.0, 0))
+                    mesh, packet_arrays, (np.nan, 0.0, 0.0, 0.0, 0))
                 with mesh:
                     ratio_x_sigma, sigma_sum = los_fitted_accumulate(
                         *packet_arrays, *spectra_args,
@@ -190,7 +191,7 @@ class LOSResultFitted(LOSResult):
                            self.dphi, self.radius_km * CM_PER_KM)
             if mesh is not None:
                 fit_arrays, _ = shard_padded(
-                    mesh, fit_arrays, (1e30, 0.0, 0.0, 0.0))
+                    mesh, fit_arrays, (np.nan, 0.0, 0.0, 0.0))
                 with mesh:
                     rad, npack, used_rows = los_reduce(
                         *fit_arrays, *reduce_args, quantity=self.quantity)

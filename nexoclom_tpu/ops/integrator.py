@@ -1367,9 +1367,17 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
                        refill_fraction: float = 0.0625,
                        initial_step: float = 1000.0,
                        max_total_iterations: int = 10 ** 7,
-                       inner_steps: int = 1, sort_group: int = 1):
+                       inner_steps: int = 1, sort_group: int = 1,
+                       bake_key: bool = False, _boundary: str = 'cond'):
     """Adaptive pool integration as ONE ``lax.while_loop`` — the refill
     itself lives inside the loop, so the host never intervenes.
+
+    ``bake_key`` embeds the RNG key in the executable as a compile-time
+    constant (one compile per seed, content-keyed like the physics
+    tables) — the per-seed-baking experiment from the round-3 verdict.
+    ``_boundary`` selects timing-experiment scaffolding variants (see
+    :func:`_build_pool_loop_fn`); non-default modes return wrong physics
+    and exist only for scripts/bench_pool_boundary.py.
 
     :func:`adaptive_pool_run` still pays per-segment costs that cap it
     near the monolithic rate (measured 2.2e8 at a 16M pool): a ~50 ms
@@ -1416,19 +1424,29 @@ def adaptive_pool_loop(state0: PacketState, spec: EngineSpec,
         lambda leaf: jnp.concatenate(
             [leaf, jnp.zeros((n_pad - n,), leaf.dtype)]), state0)
 
+    key_digest = (hashlib.sha1(np.asarray(key).tobytes()).hexdigest()
+                  if bake_key else None)
     cache_key = (spec, _content_key(forces), _content_key(surface),
                  float(resolution), float(outeredge), float(radius_km),
                  float(initial_step), batch, n_pad, swap_every, k_refill,
                  max_total_iterations, inner_steps, sort_group,
-                 str(dtype))
-    fn = _pool_loop_cached(cache_key, lambda: jax.jit(
-        _build_pool_loop_fn(
+                 str(dtype), _boundary, key_digest)
+
+    def build():
+        run = _build_pool_loop_fn(
             spec, forces, surface, resolution, outeredge, radius_km, dtype,
             batch, n_pad, k_refill, swap_every, max_total_iterations,
-            inner_steps, initial_step, sort_group=sort_group),
-        donate_argnums=(0,)))
+            inner_steps, initial_step, sort_group=sort_group,
+            _boundary=_boundary)
+        if bake_key:
+            key_const = jnp.asarray(key)
+            return jax.jit(lambda pool_a: run(pool_a, key_const),
+                           donate_argnums=(0,))
+        return jax.jit(run, donate_argnums=(0,))
 
-    out_state, out_ids, it = fn(pool, key)
+    fn = _pool_loop_cached(cache_key, build)
+
+    out_state, out_ids, it = fn(pool) if bake_key else fn(pool, key)
     ids_np = np.asarray(out_ids)
     valid = (ids_np >= 0) & (ids_np < n)
     idx = ids_np[valid]
@@ -1466,7 +1484,7 @@ def _pool_loop_cached(cache_key, build):
 def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
                         radius_km, dtype, batch, n_pad, k_refill,
                         swap_every, max_total_iterations, inner_steps,
-                        initial_step, sort_group=1):
+                        initial_step, sort_group=1, _boundary='cond'):
     """Build the in-loop-refill pool program ``run(pool, key) ->
     (out_state, out_ids, iterations)`` for one device's pool of
     ``n_pad`` packets (:func:`adaptive_pool_loop` for the structure;
@@ -1487,7 +1505,20 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
     apparent variance was traced to HOST LOAD beside the benchmark
     (quiet-host repeats agree within 2% — docs/scaling.md session C);
     this form holds the best measurement (3.20 ms/iter, 2.75e8 accepted
-    ps/s at the tuned 64:0.0625 default)."""
+    ps/s at the tuned 64:0.0625 default).
+
+    ``_boundary`` selects TIMING-EXPERIMENT variants that decompose the
+    swap-boundary cost (scripts/bench_pool_boundary.py); every mode but
+    the default ``'cond'`` produces PHYSICALLY WRONG results (the pool
+    never refills) and exists only to time the loop scaffolding:
+
+    * ``'cond'`` — production: reduction + ``lax.cond`` swap.
+    * ``'checkonly'`` — the finished-lane reduction runs but no cond:
+      isolates the nested-while restart + reduction cost.
+    * ``'condnop'`` — reduction + a ``lax.cond`` whose true branch is a
+      1-element touch: isolates the cond carry-crossing cost.
+    * ``'nop'`` — no boundary work at all: isolates the bare nested
+      restart."""
     res_c = jnp.asarray(float(resolution), dtype)
     h0_c = jnp.asarray(float(initial_step), dtype)
     fields = PacketState._fields
@@ -1536,12 +1567,31 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
             next_idx = c[4]
             n_done = batch - jnp.sum(moretogo(st))
             pred = (n_done >= k_refill) & (next_idx + k_refill <= n_pad)
-            return jax.lax.cond(pred, do_swap, lambda x: x, c)
+            if _boundary == 'cond':
+                return jax.lax.cond(pred, do_swap, lambda x: x, c)
+            if _boundary == 'nop':
+                return c
+            if _boundary == 'checkonly':
+                # keep the reduction live (n_done <= batch, so the shift
+                # is always 0 but not constant-foldable)
+                it = c[2] + (n_done >> 30)
+                return (c[0], c[1], it) + c[3:]
+            if _boundary == 'condnop':
+                def touch(x):
+                    out_i = x[8].at[0].set(x[8][0])
+                    return x[:8] + (out_i,)
+                return jax.lax.cond(pred, touch, lambda x: x, c)
+            raise ValueError(f'unknown _boundary mode {_boundary!r}')
 
         def cond(c):
             st, _, it = c[0], c[1], c[2]
             next_idx = c[4]
-            return ((jnp.any(moretogo(st)) | (next_idx < n_pad))
+            more = jnp.any(moretogo(st))
+            if _boundary != 'cond':
+                # experiment modes never refill: stop when the first
+                # batch drains (the production pred would spin forever)
+                return more & (it < max_total_iterations)
+            return ((more | (next_idx < n_pad))
                     & (it < max_total_iterations))
 
         if inner_steps > 1:

@@ -548,6 +548,24 @@ def test_adaptive_pool_loop_matches_monolithic():
         np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_m))
 
 
+def test_adaptive_pool_loop_baked_key_bit_exact():
+    """``bake_key=True`` (RNG key as a compile-time constant, one
+    executable per seed) is pure compilation strategy: results must be
+    bit-identical to the argument-passing pool loop."""
+    from nexoclom_tpu.ops.integrator import adaptive_pool_loop
+    state0 = make_state(n=200, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_a, iters_a = adaptive_pool_loop(state0, *args, batch=64,
+                                          swap_every=16)
+    final_b, iters_b = adaptive_pool_loop(state0, *args, batch=64,
+                                          swap_every=16, bake_key=True)
+    assert int(iters_a) == int(iters_b)
+    for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'lossfrac'):
+        np.testing.assert_array_equal(np.asarray(getattr(final_b, f)),
+                                      np.asarray(getattr(final_a, f)),
+                                      err_msg=f)
+
+
 def test_adaptive_pool_loop_full_physics_f32_bit_exact():
     """Pool loop vs BAKED monolithic on full Ca physics (gravity +
     radpres lookup + shadow photoionization + surface kill + outer

@@ -338,6 +338,54 @@ def test_los_reduce_sharded_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(used_s), np.asarray(used_ref))
 
 
+def test_los_reduce_pad_rows_inert_for_npackets():
+    """Advisor round 3: with the documented default outeredge=1e30 the
+    outer_dd cutoff is ~1e30, so a 1e30 position sentinel satisfied
+    losrad<=dd for any boresight within dphi of +x and inflated the
+    per-spectrum npackets inview count by up to n_shards-1.  The NaN
+    sentinel fails every comparison: sharded npackets (and radiance /
+    used) must match the unsharded run exactly even with pad rows."""
+    from nexoclom_tpu.ops.los import los_geometry, los_reduce
+    from nexoclom_tpu.parallel import shard_padded
+
+    rng = np.random.default_rng(7)
+    n = 4001                              # NOT divisible by 8: 7 pad rows
+    r = rng.uniform(1.1, 6.0, n)
+    costh = rng.uniform(-1.0, 1.0, n)
+    phi = rng.uniform(0.0, 2 * np.pi, n)
+    sinth = np.sqrt(1.0 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    weight = jnp.asarray(rng.uniform(0.0, 1.0, n))
+
+    # the failure geometry: unobstructed boresights pointing near +x
+    n_spec = 16
+    sc = np.tile(np.array([-7.0, 2.5, 0.0]), (n_spec, 1))
+    bore = np.array([1.0, 0.0, 0.0]) + rng.normal(0.0, 0.01, (n_spec, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, outer_dd = los_geometry(sc, bore, outeredge=1e30)
+    assert float(outer_dd.min()) > 1e29   # the cutoff a 1e30 pad slips past
+
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(outer_dd), jnp.asarray(0.05), jnp.asarray(2.44e8))
+    rad_ref, npack_ref, used_ref = los_reduce(px, py, pz, weight, *args)
+    assert int(npack_ref.sum()) > 0
+
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    (px_s, py_s, pz_s, w_s), pad = shard_padded(
+        mesh, (px, py, pz, weight), (np.nan, 0.0, 0.0, 0.0))
+    assert pad == 7
+    with mesh:
+        rad_s, npack_s, used_s = los_reduce(px_s, py_s, pz_s, w_s, *args)
+        jax.block_until_ready(rad_s)
+    np.testing.assert_allclose(np.asarray(rad_s), np.asarray(rad_ref),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(npack_s), np.asarray(npack_ref))
+    np.testing.assert_array_equal(np.asarray(used_s)[:n],
+                                  np.asarray(used_ref))
+
+
 def test_los_fitted_accumulate_sharded_matches_unsharded():
     """The fitted-retrieval scatter-add kernel with the packet axis sharded:
     per-X0 sums cross shards; the padded sentinel rows (weight=0, index 0)
@@ -379,7 +427,7 @@ def test_los_fitted_accumulate_sharded_matches_unsharded():
 
         mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
         (px_s, py_s, pz_s, w_s, idx_s), pad = shard_padded(
-            mesh, (px, py, pz, weight, x0_index), (1e30, 0.0, 0.0, 0.0, 0))
+            mesh, (px, py, pz, weight, x0_index), (np.nan, 0.0, 0.0, 0.0, 0))
         assert pad == 5
         with mesh:
             rs_s, ss_s = los_fitted_accumulate(
