@@ -1,7 +1,9 @@
 """Every vendored input fixture parses, and every runnable configuration
 runs end-to-end at small scale — the breadth of the reference's
-tests/test_data/inputfiles set (19 files), routed through on-disk map files
-of the reference's real shapes (bin-edge grids + bin-valued abundance)."""
+tests/test_data/inputfiles set (19 files) PLUS its shipped fitted inputs
+(data/InputFiles/{Ca,Na,Mg}.fitted.input — the 'fitted output' shape),
+routed through on-disk map files of the reference's real shapes (bin-edge
+grids + bin-valued abundance)."""
 import glob
 import os
 
@@ -21,6 +23,10 @@ ALL_FIXTURES = sorted(
 # configurations that cannot run (and why)
 RUN_RAISES = {
     'mercury_stick_map_default.input': InputError,       # no mapfile
+    # fitted inputs describe a REWEIGHTING of an existing unfit run
+    # (LOSResultFitted); they parse and catalog but cannot seed packets
+    'mercury_ca_fitted.input': InputError,
+    'mercury_na_fitted.input': InputError,
 }
 SLOW_ADAPTIVE = {  # adaptive fixtures get a short endtime in the run test
     'mercury_uniform_flat.input', 'mercury_forces_nogravity.input',
@@ -32,7 +38,8 @@ SLOW_ADAPTIVE = {  # adaptive fixtures get a short endtime in the run test
 
 
 def test_fixture_count_matches_reference_breadth():
-    assert len(ALL_FIXTURES) >= 19
+    # 19 test_data inputfiles + the fitted-input family (data/InputFiles)
+    assert len(ALL_FIXTURES) >= 21
 
 
 @pytest.mark.parametrize('name', ALL_FIXTURES)
