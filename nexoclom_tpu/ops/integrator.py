@@ -1656,7 +1656,8 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
                                refill_fraction: float = 0.0625,
                                initial_step: float = 1000.0,
                                max_total_iterations: int = 10 ** 7,
-                               inner_steps: int = 1, sort_group: int = 1):
+                               inner_steps: int = 1, sort_group: int = 1,
+                               shard_offset: int = 0):
     """Multi-chip :func:`adaptive_pool_loop`: one INDEPENDENT pool loop
     per mesh shard via ``jax.shard_map`` — zero collectives.
 
@@ -1672,32 +1673,41 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
     (``input_classes.py:1085-1092``).
 
     Per-shard bounce RNG streams derive from ``fold_in(key,
-    shard_index)`` — independent per shard, the standing segmented-
-    orchestrator caveat; deterministic physics is bit-exact vs the
-    monolithic driver (tested).  Returns host-side numpy state in
+    shard_index + shard_offset)`` — independent per shard, the standing
+    segmented-orchestrator caveat; deterministic physics is bit-exact vs
+    the monolithic driver (tested).  Returns host-side numpy state in
     original packet order plus the max per-shard iteration count.
 
-    Single-process meshes only: the final host assembly reads every
-    shard, so all mesh devices must be addressable.  On multi-host pods
-    run one pool per process instead (``utilities/sweep`` /
-    ``worker.py`` — each host drains its own packets and the file-locked
-    catalog joins them), which is also the zero-DCN layout.
+    Multi-process meshes route to :func:`_pool_loop_multiprocess`: one
+    independent local run per process over the packet-axis shards it
+    owns (zero cross-process device collectives — the Condor fan-out
+    role, ``utilities/Condor.py:21-105``), joined by one host-side
+    allgather at the end.  Each process must hold its own packets
+    locally — a state sharded over the mesh (``parallel.mesh.
+    shard_state`` / ``distributed.shard_host_local_state``) or
+    host-replicated arrays both qualify.
+
+    ``shard_offset`` shifts the per-shard RNG fold (internal: the
+    multi-process path uses it so shard s draws the same stream no
+    matter which process runs it).
     """
     fields = PacketState._fields
     n = state0.x.shape[0]
     dtype = state0.x.dtype
     n_shards = int(mesh.shape[axis])
     _check_pool_knobs(swap_every, inner_steps, refill_fraction)
-    # the addressable check must precede every fallback: a sharded state
-    # on a multi-host mesh would otherwise die later in np.asarray with
-    # an obscure non-addressable-array error instead of this guidance
+    # multi-process meshes decompose BEFORE any fallback: a sharded
+    # state on a multi-host mesh would otherwise die later in np.asarray
+    # with an obscure non-addressable-array error
     if n_shards > 1 and any(d.process_index != jax.process_index()
                             for d in np.asarray(mesh.devices).flat):
-        raise ValueError(
-            'adaptive_pool_loop_sharded needs an addressable '
-            '(single-process) mesh: the host assembly reads every shard. '
-            'On multi-host pods run one pool per process '
-            '(utilities/sweep or python -m nexoclom_tpu.worker).')
+        return _pool_loop_multiprocess(
+            state0, spec, forces, surface, resolution, outeredge,
+            radius_km, key, mesh, axis=axis, batch=batch,
+            swap_every=swap_every, refill_fraction=refill_fraction,
+            initial_step=initial_step,
+            max_total_iterations=max_total_iterations,
+            inner_steps=inner_steps, sort_group=sort_group)
     if n_shards == 1 or n <= batch:
         return adaptive_pool_loop(
             state0, spec, forces, surface, resolution, outeredge, radius_km,
@@ -1729,7 +1739,7 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
                  float(resolution), float(outeredge), float(radius_km),
                  float(initial_step), batch, n_pad_local, swap_every,
                  k_refill, max_total_iterations, inner_steps,
-                 sort_group, str(dtype), mesh, axis)
+                 sort_group, str(dtype), mesh, axis, shard_offset)
 
     def build():
         run = _build_pool_loop_fn(
@@ -1739,7 +1749,7 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
             sort_group=sort_group)
 
         def shard_body(pool_local, key_a):
-            shard = jax.lax.axis_index(axis)
+            shard = jax.lax.axis_index(axis) + shard_offset
             out_s, out_i, it = run(pool_local,
                                    jax.random.fold_in(key_a, shard))
             return out_s, out_i, it[None]
@@ -1771,6 +1781,154 @@ def adaptive_pool_loop_sharded(state0: PacketState, spec: EngineSpec,
         col[idx] = np.asarray(getattr(out_state, f))[valid]
         final_np[f] = col
     return PacketState(**final_np), int(np.asarray(its).max())
+
+
+def _addressable_slice(leaf, lo, hi):
+    """Host copy of ``leaf[lo:hi]`` assembled from locally addressable
+    data — works for numpy/host arrays, fully addressable jax arrays, and
+    multi-process GSPMD arrays whose local shards cover the range."""
+    n_leaf = leaf.shape[0]
+    hi_data = min(hi, n_leaf)
+    if hasattr(leaf, 'is_fully_addressable') and not leaf.is_fully_addressable:
+        pieces = []
+        need = lo
+        for s in sorted(leaf.addressable_shards,
+                        key=lambda sh: sh.index[0].start or 0):
+            start = s.index[0].start or 0
+            stop = s.index[0].stop
+            stop = n_leaf if stop is None else stop
+            if stop <= need or start >= hi_data:
+                continue
+            if start > need:
+                break                      # gap: range not covered locally
+            data = np.asarray(s.data)
+            b = min(hi_data, stop)
+            pieces.append(data[need - start:b - start])
+            need = b
+            if need >= hi_data:
+                break
+        if need < hi_data:
+            raise ValueError(
+                'adaptive_pool_loop_sharded (multi-process): this process '
+                f'does not hold packets [{lo}, {hi_data}) locally. Shard '
+                'the state over the mesh packet axis (parallel.mesh.'
+                'shard_state / distributed.shard_host_local_state) or pass '
+                'host-replicated arrays.')
+        out = pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
+    else:
+        out = np.asarray(leaf[lo:hi_data])
+    if hi > hi_data:                       # zero-fill past the global end
+        out = np.concatenate(
+            [out, np.zeros(hi - hi_data, out.dtype)])
+    return out
+
+
+def _pool_loop_multiprocess(state0: PacketState, spec: EngineSpec,
+                            forces: ForceTable,
+                            surface: Optional[SurfaceTable],
+                            resolution, outeredge, radius_km, key, mesh,
+                            axis: str = 'packets',
+                            batch: int = 1 << 20, swap_every: int = 64,
+                            refill_fraction: float = 0.0625,
+                            initial_step: float = 1000.0,
+                            max_total_iterations: int = 10 ** 7,
+                            inner_steps: int = 1, sort_group: int = 1):
+    """Multi-HOST production pool loops: one independent local run per
+    process over the packet-axis shards it owns, joined host-side.
+
+    Per-shard pools have zero collectives by design, so nothing needs the
+    cross-process device runtime mid-run: each process extracts its own
+    contiguous block of packets (from a GSPMD-sharded state's local
+    shards, or by slicing a host-replicated state), runs the standard
+    single-process machinery over its local devices (with the GLOBAL
+    shard index folding the RNG, so shard s draws the same stream no
+    matter which process runs it), and the final states meet in ONE
+    host-side allgather.  This is the Condor fan-out role
+    (``/root/reference/nexoclom/utilities/Condor.py:21-105``) for the
+    one-simulation case, and the zero-DCN layout for a pod.
+
+    Deterministic physics is bit-exact vs the single-process sharded run
+    and the monolithic driver (distributed selftest).  Requirements: the
+    mesh's non-packet axes must be trivial, every process must own the
+    same number of packet-axis shards (homogeneous pod), and each
+    shard's devices must live in one process.
+    """
+    fields = PacketState._fields
+    n = state0.x.shape[0]
+    n_shards = int(mesh.shape[axis])
+    me = jax.process_index()
+
+    devs = np.asarray(mesh.devices)
+    if devs.size != n_shards:
+        raise ValueError(
+            'multi-process pool loops need a mesh whose non-packet axes '
+            f'are trivial; got shape {dict(mesh.shape)}')
+    k_ax = mesh.axis_names.index(axis)
+    devs = np.moveaxis(devs, k_ax, 0).reshape(n_shards)
+    owners = np.array([d.process_index for d in devs])
+    mine = np.nonzero(owners == me)[0]
+    if mine.size == 0:
+        raise ValueError(
+            f'process {me} owns no devices on the mesh packet axis')
+    if np.any(np.diff(mine) != 1):
+        raise ValueError(
+            'multi-process pool loops need each process\'s packet-axis '
+            f'shards contiguous; process {me} owns {mine.tolist()}')
+    counts = np.bincount(owners)
+    counts = counts[counts > 0]
+    if np.any(counts != counts[0]):
+        raise ValueError(
+            'multi-process pool loops need the same shard count per '
+            f'process (host-side allgather); got {counts.tolist()}')
+
+    per_shard = -(-n // n_shards)
+    lo = int(mine[0]) * per_shard
+    hi = (int(mine[-1]) + 1) * per_shard
+    local = PacketState(**{
+        f: _addressable_slice(getattr(state0, f), lo, hi) for f in fields})
+
+    local_devs = list(devs[mine])
+    if mine.size == 1:
+        final_l, iters_l = adaptive_pool_loop(
+            jax.tree.map(jnp.asarray, local), spec, forces, surface,
+            resolution, outeredge, radius_km,
+            jax.random.fold_in(key, int(mine[0])), batch=batch,
+            swap_every=swap_every, refill_fraction=refill_fraction,
+            initial_step=initial_step,
+            max_total_iterations=max_total_iterations,
+            inner_steps=inner_steps, sort_group=sort_group)
+    else:
+        local_mesh = jax.sharding.Mesh(np.array(local_devs), (axis,))
+        final_l, iters_l = adaptive_pool_loop_sharded(
+            jax.tree.map(jnp.asarray, local), spec, forces, surface,
+            resolution, outeredge, radius_km, key, local_mesh, axis=axis,
+            batch=batch, swap_every=swap_every,
+            refill_fraction=refill_fraction, initial_step=initial_step,
+            max_total_iterations=max_total_iterations,
+            inner_steps=inner_steps, sort_group=sort_group,
+            shard_offset=int(mine[0]))
+
+    # ONE host-side join: every process contributes its block + iteration
+    # count; afterwards every process holds the full final state
+    from jax.experimental import multihost_utils
+    payload = {f: np.asarray(getattr(final_l, f)) for f in fields}
+    payload['_iters'] = np.asarray(int(iters_l), np.int64)
+    gathered = multihost_utils.process_allgather(payload)
+
+    # process p's block covers shards owned by p (contiguous, equal
+    # count); allgather stacks by process index 0..P-1
+    np_dtype = np.asarray(local.x[:1]).dtype
+    final_np = {f: np.zeros(n, np_dtype) for f in fields}
+    for p in range(int(jax.process_count())):
+        sh = np.nonzero(owners == p)[0]
+        if sh.size == 0:
+            continue
+        p_lo = int(sh[0]) * per_shard
+        p_hi = min((int(sh[-1]) + 1) * per_shard, n)
+        for f in fields:
+            final_np[f][p_lo:p_hi] = gathered[f][p][:p_hi - p_lo]
+    iterations = int(np.asarray(gathered['_iters']).max())
+    return PacketState(**final_np), iterations
 
 
 # Production pool-loop configuration (measured, docs/scaling.md): the
@@ -1817,7 +1975,10 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
     pool path becomes :func:`adaptive_pool_loop_sharded` — one
     independent pool loop per chip, zero collectives — and the
     ``auto``/``pool_chunk`` thresholds scale by the shard count (each
-    shard must amortise its own swaps; HBM is per chip).
+    shard must amortise its own swaps; HBM is per chip).  Multi-process
+    meshes decompose further into one local run per process joined by a
+    single host-side allgather (:func:`_pool_loop_multiprocess` — zero
+    cross-process device collectives).
 
     Physics is identical either way (bit-exact for deterministic specs,
     tested); with surface bounce the RNG *streams* differ between
@@ -1830,14 +1991,12 @@ def adaptive_production_run(state0: PacketState, spec: EngineSpec,
         raise ValueError(f'unknown adaptive orchestrator {orchestrator!r}')
     n = state0.x.shape[0]
     n_shards = int(mesh.shape[shard_axis]) if mesh is not None else 1
-    multiprocess = mesh is not None and any(
-        d.process_index != jax.process_index()
-        for d in np.asarray(mesh.devices).flat)
     if orchestrator == 'auto':
-        # multi-process meshes chunk (plain GSPMD sharding works across
-        # hosts; the pool's host assembly needs addressable shards)
+        # multi-process meshes decompose into per-process local pool
+        # loops joined host-side (_pool_loop_multiprocess) — same
+        # threshold per shard
         orchestrator = ('pool' if n >= pool_min * n_shards
-                        and not multiprocess else 'chunked')
+                        else 'chunked')
     if orchestrator == 'chunked':
         return adaptive_step_driver_chunked(
             state0, spec, forces, surface, resolution, outeredge,

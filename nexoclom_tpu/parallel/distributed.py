@@ -21,8 +21,12 @@ Self-test (2 processes x 2 virtual CPU devices, gloo collectives):
 spawns two processes that run, on a 4-device global mesh, (a) the
 constant-step engine with a fused histogram, (b) the ADAPTIVE driver —
 whose while_loop termination test is a per-iteration cross-process
-collective — and (c) the LOS cone reduction, each checked for equality
-against a single-process run (tests/test_distributed.py runs this in CI).
+collective — (c) the multi-process PRODUCTION POOL LOOP (one independent
+local pool run per process over its owned shards, zero cross-process
+device collectives, joined by one host-side allgather — bit-exact vs the
+monolithic driver), and (d) the LOS cone reduction, each checked for
+equality against a single-process run (tests/test_distributed.py runs
+this in CI).
 """
 from __future__ import annotations
 
@@ -179,6 +183,28 @@ def _selftest_worker(process_id: int, num_processes: int, port: int,
                 np.asarray(s.data), np.asarray(leaf_r)[s.index],
                 rtol=1e-12, atol=1e-15, err_msg=name)
 
+    # --- multi-process production pool loop: one independent local pool
+    # run per process over its owned packet-axis shards (zero
+    # cross-process device collectives), joined by one host-side
+    # allgather — must be bit-exact vs the single-device monolithic
+    # BAKED driver for deterministic physics (bit-exactness only holds
+    # within the baked family: baking tables/scalars as XLA constants
+    # permutes fusion at ULP level vs the argument form)
+    from nexoclom_tpu.ops.integrator import (adaptive_pool_loop_sharded,
+                                             adaptive_step_driver_baked)
+    state_pool = shard_host_local_state(local_a, mesh)
+    fin_p, it_p = adaptive_pool_loop_sharded(
+        state_pool, *a_args, mesh, batch=32, swap_every=16,
+        refill_fraction=0.25)
+    assert isinstance(fin_p.x, np.ndarray)
+    assert 0 < it_p < 2000
+    fin_b, _ = adaptive_step_driver_baked(ref_a, *a_args,
+                                          max_iterations=2000)
+    for name, leaf_p, leaf_b in zip(fin_p._fields, fin_p, fin_b):
+        np.testing.assert_array_equal(np.asarray(leaf_p),
+                                      np.asarray(leaf_b),
+                                      err_msg=f'pool {name}')
+
     # --- LOS cone reduction across processes: per-spectrum weight sums
     # cross shards (psum over gloo)
     from nexoclom_tpu.ops.los import los_geometry, los_reduce
@@ -203,6 +229,7 @@ def _selftest_worker(process_id: int, num_processes: int, port: int,
           f'{n_global_devices}-device global mesh over '
           f'{num_processes} processes, histogram total '
           f'{float(np.asarray(ref).sum()):.6f}, adaptive {int(it_r)} iters, '
+          f'pool-loop {int(it_p)} iters bit-exact, '
           f'LOS {int(np.asarray(npk_r).sum())} views', flush=True)
 
 

@@ -1,8 +1,10 @@
 """Multi-host (multi-process) smoke test: a mesh spanning 2 OS processes
 (2 virtual CPU devices each, gloo collectives) runs the real constant-step
 engine with a fused histogram, the ADAPTIVE driver (per-iteration
-cross-process collective in the while_loop cond), and the LOS cone
-reduction — each matching a single-process run exactly.
+cross-process collective in the while_loop cond), the multi-process
+PRODUCTION POOL LOOP (per-process local pools, host-side allgather join,
+bit-exact vs the monolithic driver), and the LOS cone reduction — each
+matching a single-process run exactly.
 
 The heavy lifting lives in ``nexoclom_tpu/parallel/distributed.py`` so the
 same self-test is runnable standalone:
@@ -20,3 +22,4 @@ def test_two_process_global_mesh():
     assert ok, 'distributed self-test failed:\n' + '\n---\n'.join(outs)
     for out in outs:
         assert 'SELFTEST-OK' in out
+        assert 'pool-loop' in out and 'bit-exact' in out

@@ -202,12 +202,20 @@ def test_pool_loop_sharded_matches_monolithic():
                                np.asarray(final_m.x), rtol=1e-12)
 
 
-def test_pool_sharded_rejects_multiprocess_mesh(monkeypatch):
-    """The sharded pool's host assembly reads every shard, so a mesh
-    with non-addressable devices must be rejected with guidance (and
-    the router's auto mode must fall back to chunking)."""
-    from nexoclom_tpu.ops.integrator import (adaptive_pool_loop_sharded,
-                                             adaptive_production_run)
+def test_pool_sharded_multiprocess_matches():
+    """The multi-process production pool loop (one local run per process
+    over its owned shards, host-side allgather join) matches the
+    monolithic driver bit-exactly — the real 2-process check lives in
+    the distributed selftest (tests/test_distributed.py asserts its
+    'pool-loop ... bit-exact' marker); here the decomposition machinery
+    is exercised in-process: shard-ownership math, shard_offset key
+    folding (shard s draws the same stream no matter which process runs
+    it), and the addressable-slice extraction from GSPMD-sharded and
+    host-replicated states."""
+    from nexoclom_tpu.ops.integrator import (_addressable_slice,
+                                             adaptive_pool_loop_sharded,
+                                             adaptive_step_driver)
+    from nexoclom_tpu.parallel import packet_sharding
     from nexoclom_tpu.parallel.ensemble import sample_uniform_flat_source
 
     spec = EngineSpec(gravity=True, radpres=False, constant_rate=False,
@@ -221,20 +229,47 @@ def test_pool_sharded_rejects_multiprocess_mesh(monkeypatch):
     args = (spec, forces, None, 1e-4, 30.0, RADIUS_KM, key)
     mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
 
-    # every local device looks non-addressable once process_index lies
-    monkeypatch.setattr(jax, 'process_index', lambda: 99)
-    with pytest.raises(ValueError, match='addressable'):
-        adaptive_pool_loop_sharded(state0, *args, mesh, batch=32,
-                                   swap_every=16)
-    # small batches (n <= batch) must hit the same guidance, not fall
-    # through to a single-device pool that dies pulling remote shards
-    with pytest.raises(ValueError, match='addressable'):
-        adaptive_pool_loop_sharded(state0, *args, mesh, batch=1024,
-                                   swap_every=16)
-    final, _ = adaptive_production_run(state0, *args, orchestrator='auto',
-                                       mesh=mesh, batch=32, swap_every=16,
-                                       pool_min=1, inner_steps=1)
-    assert not isinstance(final.x, np.ndarray)   # chunked fallback
+    final_m, _ = adaptive_step_driver(state0, *args, max_iterations=5000)
+
+    # shard_offset: the whole-mesh run equals two half-mesh runs with the
+    # second offset by 4 — exactly the per-process decomposition the
+    # multi-process path performs (deterministic physics: bit-exact)
+    full, _ = adaptive_pool_loop_sharded(state0, *args, mesh, batch=32,
+                                         swap_every=16,
+                                         refill_fraction=0.25)
+    devs = np.asarray(mesh.devices).reshape(-1)
+    lo_mesh = jax.sharding.Mesh(devs[:4], ('packets',))
+    hi_mesh = jax.sharding.Mesh(devs[4:], ('packets',))
+    lo_state = jax.tree.map(lambda leaf: leaf[:256], state0)
+    hi_state = jax.tree.map(lambda leaf: leaf[256:], state0)
+    lo_fin, _ = adaptive_pool_loop_sharded(
+        lo_state, *args, lo_mesh, batch=32, swap_every=16,
+        refill_fraction=0.25, shard_offset=0)
+    hi_fin, _ = adaptive_pool_loop_sharded(
+        hi_state, *args, hi_mesh, batch=32, swap_every=16,
+        refill_fraction=0.25, shard_offset=4)
+    for f in final_m._fields:
+        joined = np.concatenate([np.asarray(getattr(lo_fin, f)),
+                                 np.asarray(getattr(hi_fin, f))])
+        np.testing.assert_array_equal(joined,
+                                      np.asarray(getattr(full, f)),
+                                      err_msg=f'split-join {f}')
+        np.testing.assert_array_equal(joined,
+                                      np.asarray(getattr(final_m, f)),
+                                      err_msg=f'vs monolithic {f}')
+
+    # _addressable_slice: GSPMD-sharded array (local shards cover the
+    # range), host numpy, and the zero-fill past the global end
+    with mesh:
+        sharded_x = jax.device_put(state0.x, packet_sharding(mesh))
+    np.testing.assert_array_equal(_addressable_slice(sharded_x, 128, 384),
+                                  np.asarray(state0.x)[128:384])
+    np.testing.assert_array_equal(
+        _addressable_slice(np.asarray(state0.x), 0, 64),
+        np.asarray(state0.x)[:64])
+    tail = _addressable_slice(np.asarray(state0.x), 448, 576)
+    np.testing.assert_array_equal(tail[:64], np.asarray(state0.x)[448:])
+    np.testing.assert_array_equal(tail[64:], np.zeros(64))
 
 
 def test_output_sharded_matches_unsharded():
