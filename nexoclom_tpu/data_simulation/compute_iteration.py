@@ -16,7 +16,8 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from nexoclom_tpu.ops.los import los_geometry, los_reduce
+from nexoclom_tpu.ops.los import (los_geometry, los_reduce,
+                                  los_reduce_culled)
 from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
 from nexoclom_tpu.particle_tracking.output import Output
 from nexoclom_tpu.utilities.catalog import get_catalog
@@ -147,7 +148,14 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
                     losresult.dphi, losresult.radius_km * CM_PER_KM)
     mesh = resolve_packet_mesh(getattr(losresult, 'sharded', False),
                                'compute_iteration')
-    if mesh is not None:
+    cull_block = int(getattr(losresult, 'cull_block', 0) or 0)
+    if cull_block and mesh is None:
+        # two-stage block cull (exact; ops/los.py): sparse-cone orbits
+        # skip most packet tiles per spectrum chunk
+        rad, npack, used = los_reduce_culled(
+            *packet_arrays, *spectra_args, quantity=losresult.quantity,
+            block=cull_block)
+    elif mesh is not None:
         # packet axis over the mesh: per-spectrum sums cross shards (XLA
         # inserts the psum).  Pad sentinels: x=NaN poisons every distance/
         # angle comparison in the kernel to False — the row is out of view

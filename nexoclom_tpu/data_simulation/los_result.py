@@ -65,6 +65,10 @@ class LOSResult(ModelResult):
         self.masking = kwargs.get('masking')
         self.fit_method = kwargs.get('fit_method')
         self.sharded = kwargs.get('sharded', False)
+        # opt-in two-stage block cull for the cone reduction (the KDTree-
+        # prefilter role, compute_iteration.py:171-173): packet block
+        # size for ops.los.los_reduce_culled; 0 = exact dense reduction
+        self.cull_block = int(kwargs.get('cull_block', 0))
         self.label = kwargs.get('label', 'LOSResult')
         scdata.model_result[self.label] = self
 

@@ -122,6 +122,181 @@ def los_reduce(px, py, pz, weight,
             used_any)
 
 
+def _morton_key(px, py, pz, bits: int = 10):
+    """Interleaved-bit (Morton/Z-order) key from quantized positions.
+
+    Packets NaN in any coordinate (the inert pad sentinel) get the maximum
+    key so they sort to the end, keeping pad rows out of real blocks."""
+    lo = jnp.stack([jnp.nanmin(px), jnp.nanmin(py), jnp.nanmin(pz)])
+    hi = jnp.stack([jnp.nanmax(px), jnp.nanmax(py), jnp.nanmax(pz)])
+    span = jnp.maximum(hi - lo, 1e-30)
+    n_cells = (1 << bits) - 1
+
+    def quant(v, k):
+        q = (v - lo[k]) / span[k] * n_cells
+        return jnp.clip(q, 0, n_cells).astype(jnp.int32)
+
+    def spread(v):
+        # space the low `bits` bits of v three apart (30-bit result)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    key = (spread(quant(px, 0)) | (spread(quant(py, 1)) << 1)
+           | (spread(quant(pz, 2)) << 2))
+    bad = jnp.isnan(px) | jnp.isnan(py) | jnp.isnan(pz)
+    return jnp.where(bad, jnp.int32(2 ** 31 - 1), key)
+
+
+@partial(jax.jit, static_argnames=('quantity', 'chunk', 'block'))
+def los_reduce_culled(px, py, pz, weight,
+                      sc_pos, bore, obstruction, outer_dd,
+                      dphi, rp_cm, quantity: str = 'radiance',
+                      chunk: int = _CHUNK, block: int = 8192):
+    """:func:`los_reduce` with a two-stage block cull — the TPU-native
+    form of the reference's KDTree prefilter
+    (``compute_iteration.py:171-173``), exact by construction.
+
+    Stage 1 sorts packets by Morton code ONCE (one multi-operand
+    ``lax.sort``; general gather is a scalar loop on this TPU, so
+    spatial locality comes from sorting, not binning) and bounds each
+    run of ``block`` sorted packets by a sphere.  Stage 2, per spectrum
+    chunk, tests every block sphere against the chunk's cones — a dense
+    (chunk x nblocks) test, conservative in the cone angle
+    (``asin(r/d)`` dilation), the outer-edge distance, and the
+    obstruction cutoff — and walks ONLY the passing blocks in a
+    ``lax.while_loop``: each trip ``dynamic_slice``s one contiguous
+    packet tile and runs the exact per-pair kernel on it.  Blocks that
+    fail the conservative test contain no in-view packet for any
+    spectrum in the chunk, so radiance, npackets, and the used mask are
+    IDENTICAL to :func:`los_reduce` (up to per-spectrum f32/f64
+    summation order across blocks).
+
+    Wins when the cones are sparse against the packet cloud (a
+    limb-scan orbit: dphi ~ 1 deg against an 8+ R_p exosphere);
+    overhead is one sort + one unsort scatter of the used mask, each
+    O(N) and amortised over all S spectra.  ``block`` trades cull
+    granularity (smaller = tighter spheres, more culled) against
+    per-tile loop overhead.
+    """
+    cos_dphi = jnp.cos(dphi)
+    sin_dphi = jnp.sin(dphi)
+    radiance_mode = quantity in ('radiance', 'difrad')
+    n = px.shape[0]
+
+    # pad to a block multiple with the inert NaN sentinel (fails every
+    # comparison in the kernel AND sorts to the end via the Morton key)
+    padn = (-n) % block
+    if padn:
+        nanpad = jnp.full(padn, jnp.nan, px.dtype)
+        px = jnp.concatenate([px, nanpad])
+        py = jnp.concatenate([py, nanpad])
+        pz = jnp.concatenate([pz, nanpad])
+        weight = jnp.concatenate([weight, jnp.zeros(padn, weight.dtype)])
+    n_pad = n + padn
+    nblocks = n_pad // block
+
+    key = _morton_key(px, py, pz)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, px_s, py_s, pz_s, w_s, perm = jax.lax.sort(
+        (key, px, py, pz, weight, iota), num_keys=1, is_stable=True)
+
+    # per-block bounding spheres (nan-aware: pad rows don't poison the
+    # tail block's bounds)
+    def blk(v):
+        return v.reshape(nblocks, block)
+
+    bxl, bxh = jnp.nanmin(blk(px_s), 1), jnp.nanmax(blk(px_s), 1)
+    byl, byh = jnp.nanmin(blk(py_s), 1), jnp.nanmax(blk(py_s), 1)
+    bzl, bzh = jnp.nanmin(blk(pz_s), 1), jnp.nanmax(blk(pz_s), 1)
+    cx, cy, cz = (bxl + bxh) / 2, (byl + byh) / 2, (bzl + bzh) / 2
+    br = 0.5 * jnp.sqrt((bxh - bxl) ** 2 + (byh - byl) ** 2
+                        + (bzh - bzl) ** 2)
+    # an all-NaN block (pure padding) gets radius 0 at a NaN center: the
+    # cone test below evaluates False for it on every spectrum
+    dphi_f = jnp.asarray(dphi, px.dtype)
+
+    n_spectra = sc_pos.shape[0]
+    pad_s = (-n_spectra) % chunk
+    sc_pos = jnp.concatenate([sc_pos, jnp.zeros((pad_s, 3), sc_pos.dtype)])
+    bore_pad = jnp.zeros((pad_s, 3), bore.dtype).at[:, 0].set(1.0)
+    bore = jnp.concatenate([bore, bore_pad])
+    obstruction = jnp.concatenate(
+        [obstruction, jnp.zeros(pad_s, obstruction.dtype)])
+    outer_dd = jnp.concatenate(
+        [outer_dd, jnp.full(pad_s, -1.0, outer_dd.dtype)])
+    nchunks = (n_spectra + pad_s) // chunk
+    chunked = (sc_pos.reshape(nchunks, chunk, 3),
+               bore.reshape(nchunks, chunk, 3),
+               obstruction.reshape(nchunks, chunk),
+               outer_dd.reshape(nchunks, chunk))
+
+    iota_b = jnp.arange(nblocks, dtype=jnp.int32)
+
+    def sphere_test(sc, b, obstruct, dd):
+        # conservative: passes whenever ANY point of the block sphere
+        # could pass the exact inview test for this spectrum
+        rx = cx - sc[0]
+        ry = cy - sc[1]
+        rz = cz - sc[2]
+        d = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        losrad = rx * b[0] + ry * b[1] + rz * b[2]
+        cosang = jnp.clip(losrad / jnp.maximum(d, 1e-30), -1.0, 1.0)
+        ang = jnp.arccos(cosang)
+        dilate = jnp.arcsin(jnp.clip(br / jnp.maximum(d, 1e-30), 0.0, 1.0))
+        in_cone = (ang - dilate <= dphi_f) | (d <= br)
+        return (in_cone & (losrad - br < obstruct)
+                & (losrad - br <= dd))
+
+    def tile_kernel(sc, b, obstruct, dd, pxt, pyt, pzt, wt):
+        return _spectrum_kernel(pxt, pyt, pzt, wt, sc, b, obstruct, dd,
+                                cos_dphi, sin_dphi, rp_cm, radiance_mode)
+
+    tile_vmap = jax.vmap(tile_kernel,
+                         in_axes=(0, 0, 0, 0, None, None, None, None))
+
+    def body(used_sorted, operands):
+        sc, b, obstruct, dd = operands
+        pred = jnp.any(
+            jax.vmap(sphere_test)(sc, b, obstruct, dd), axis=0)
+        k = jnp.sum(pred)
+        order = jnp.sort(jnp.where(pred, iota_b, nblocks))
+
+        def tile_cond(c):
+            return c[0] < k
+
+        def tile_body(c):
+            j, rad_c, npack_c, used_c = c
+            bid = order[j]                  # 1-element dynamic slice
+            off = bid * block
+            pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
+            pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
+            pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
+            wt = jax.lax.dynamic_slice_in_dim(w_s, off, block)
+            rad_t, npack_t, used_t = tile_vmap(sc, b, obstruct, dd,
+                                               pxt, pyt, pzt, wt)
+            old = jax.lax.dynamic_slice_in_dim(used_c, off, block)
+            used_c = jax.lax.dynamic_update_slice_in_dim(
+                used_c, old | jnp.any(used_t, axis=0), off, 0)
+            return (j + 1, rad_c + rad_t,
+                    npack_c + npack_t.astype(npack_c.dtype), used_c)
+
+        _, rad, npack, used_sorted = jax.lax.while_loop(
+            tile_cond, tile_body,
+            (jnp.asarray(0, k.dtype), jnp.zeros(chunk, px.dtype),
+             jnp.zeros(chunk, jnp.int32), used_sorted))
+        return used_sorted, (rad, npack)
+
+    used_sorted, (rad, npack) = jax.lax.scan(
+        body, jnp.zeros(n_pad, bool), chunked)
+    # unsort the used mask (scatter — one O(N) pass for the whole call)
+    used_any = jnp.zeros(n_pad, bool).at[perm].set(used_sorted)[:n]
+    return (rad.reshape(-1)[:n_spectra], npack.reshape(-1)[:n_spectra],
+            used_any)
+
+
 @partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk'))
 def los_fitted_accumulate(px, py, pz, weight, x0_index,
                           sc_pos, bore, obstruction, outer_dd,

@@ -5,7 +5,14 @@ The MESSENGER-orbit configuration in BASELINE.json is ~1e3 spectra against
 (ops/los.los_reduce) at that scale.
 
 Usage: python scripts/bench_los.py [--spectra 1024] [--packets 1048576]
-       [--cpu]
+       [--cpu] [--culled 4096,8192,16384] [--orbit]
+
+``--culled`` also times ops.los.los_reduce_culled (two-stage block cull,
+the KDTree-prefilter role) at each listed block size and reports the
+speedup over the dense kernel plus the result checksum (must match).
+``--orbit`` swaps the synthetic ring geometry for the vendored
+MESSENGER-like orbit fixture (real limb-scan cones, tiled to --spectra)
+against an r^-2 exosphere cloud — the sparse-cone case the cull targets.
 """
 import argparse
 import math
@@ -23,6 +30,11 @@ def main():
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--chunk', type=int, default=None,
                         help='spectra per scan step (default ops.los._CHUNK)')
+    parser.add_argument('--culled', default=None,
+                        help='comma list of cull block sizes to time')
+    parser.add_argument('--orbit', action='store_true',
+                        help='MESSENGER-like orbit fixture geometry + '
+                             'r^-2 exosphere cloud')
     args = parser.parse_args()
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
@@ -37,16 +49,37 @@ def main():
 
     rng = np.random.default_rng(0)
     n, S = args.packets, args.spectra
-    px = rng.normal(0, 3, n).astype(np.float32)
-    py = rng.normal(0, 3, n).astype(np.float32)
-    pz = rng.normal(0, 3, n).astype(np.float32)
-    w = rng.random(n).astype(np.float32)
+    if args.orbit:
+        # r^-2 shell density out to 8 R_p (uniform-in-radius sampling),
+        # isotropic directions — the generic exosphere shape
+        r = rng.uniform(1.05, 8.0, n)
+        costh = rng.uniform(-1, 1, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        sinth = np.sqrt(1 - costh ** 2)
+        px = (r * sinth * np.cos(phi)).astype(np.float32)
+        py = (r * sinth * np.sin(phi)).astype(np.float32)
+        pz = (r * costh).astype(np.float32)
+        w = rng.random(n).astype(np.float32)
+        import pandas as pd
+        orbit = pd.read_csv(os.path.join(
+            os.path.dirname(__file__), '..', 'tests', 'data', 'orbits',
+            'messenger_like_orbit.csv'))
+        sc0 = orbit[['x', 'y', 'z']].to_numpy(float)
+        b0 = orbit[['xbore', 'ybore', 'zbore']].to_numpy(float)
+        reps_orbit = -(-S // len(sc0))
+        sc = np.tile(sc0, (reps_orbit, 1))[:S]
+        bore = np.tile(b0, (reps_orbit, 1))[:S]
+    else:
+        px = rng.normal(0, 3, n).astype(np.float32)
+        py = rng.normal(0, 3, n).astype(np.float32)
+        pz = rng.normal(0, 3, n).astype(np.float32)
+        w = rng.random(n).astype(np.float32)
 
-    theta = rng.uniform(0, 2 * np.pi, S)
-    sc = np.stack([8 * np.cos(theta), 8 * np.sin(theta),
-                   rng.uniform(-1, 1, S)], 1)
-    bore = -sc + rng.normal(0, 0.5, (S, 3))
-    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+        theta = rng.uniform(0, 2 * np.pi, S)
+        sc = np.stack([8 * np.cos(theta), 8 * np.sin(theta),
+                       rng.uniform(-1, 1, S)], 1)
+        bore = -sc + rng.normal(0, 0.5, (S, 3))
+        bore /= np.linalg.norm(bore, axis=1, keepdims=True)
     obstruction, dd = los_geometry(sc, bore, 30.0)
 
     fn_args = (jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
@@ -75,6 +108,26 @@ def main():
           f'({S / elapsed:.1f} spectra/s at 1M packets)')
     print(f'in-view packets total = {int(jnp.sum(npack))}, '
           f'checksum = {checksum:.3e}')
+
+    if args.culled:
+        from nexoclom_tpu.ops.los import los_reduce_culled
+        dense_rad = np.asarray(rad, np.float64)
+        for blk in (int(b) for b in args.culled.split(',')):
+            rad_c, npack_c, _ = los_reduce_culled(*fn_args, dphi, rp_cm,
+                                                  block=blk, **kw)
+            float(jnp.sum(rad_c))           # compile + barrier
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                rad_c, npack_c, _ = los_reduce_culled(
+                    *fn_args, dphi, rp_cm, block=blk, **kw)
+                float(jnp.sum(rad_c))
+            dt = (time.perf_counter() - t0) / reps
+            rel = (np.abs(np.asarray(rad_c, np.float64) - dense_rad).max()
+                   / max(dense_rad.max(), 1e-30))
+            print(f'culled block={blk:6d}: {dt:.3f} s -> '
+                  f'{pairs / dt:.3e} pairs/s nominal '
+                  f'({elapsed / dt:.2f}x dense), max rel diff {rel:.1e}, '
+                  f'npack equal={bool((np.asarray(npack_c) == np.asarray(npack)).all())}')
 
 
 if __name__ == '__main__':

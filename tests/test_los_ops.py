@@ -182,3 +182,49 @@ def test_los_geometry_moon_occlusion():
     # without the moon: no occlusion anywhere
     obstruction, _ = los_geometry(sc, bore, 1e30)
     assert np.all(obstruction == 1e30)
+
+
+def test_los_reduce_culled_matches_exact():
+    """The two-stage block cull (Morton sort + cone-sphere prefilter +
+    while_loop tile walk) is conservative by construction: radiance,
+    npackets, and the used mask must match the exact O(S x N) reduction,
+    including non-block-multiple N (NaN padding), narrow cones that cull
+    most blocks, and wide cones that pass everything."""
+    from nexoclom_tpu.ops.los import los_reduce_culled
+    rng = np.random.default_rng(5)
+    n = 5000                       # not a multiple of block=512
+    r = rng.uniform(1.1, 8.0, n)
+    costh = rng.uniform(-1, 1, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    sinth = np.sqrt(1 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    w = jnp.asarray(rng.random(n))
+
+    S = 40
+    sc = rng.uniform(-10, 10, (S, 3))
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True) / 9.0, 1.0)
+    bore = -sc + rng.normal(0, 1.0, (S, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, dd = los_geometry(sc, bore, 10.0)
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(dd))
+
+    for dphi, quantity in ((math.radians(1.0), 'radiance'),
+                           (math.radians(1.0), 'column'),
+                           (math.radians(45.0), 'radiance')):
+        rad, npack, used = los_reduce(px, py, pz, w, *args, dphi, RP_CM,
+                                      quantity=quantity)
+        rad_c, npack_c, used_c = los_reduce_culled(
+            px, py, pz, w, *args, dphi, RP_CM, quantity=quantity,
+            block=512)
+        np.testing.assert_allclose(np.asarray(rad_c), np.asarray(rad),
+                                   rtol=1e-12,
+                                   err_msg=f'dphi={dphi} {quantity}')
+        np.testing.assert_array_equal(np.asarray(npack_c),
+                                      np.asarray(npack))
+        np.testing.assert_array_equal(np.asarray(used_c), np.asarray(used))
+        if dphi < math.radians(2.0):
+            assert int(npack.sum()) < n * S          # cones actually sparse
+        assert int(npack.sum()) > 0
