@@ -29,7 +29,10 @@ One JSON line with four driver-visible metrics (round-over-round record):
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
 "adaptive_value", "adaptive_vs_baseline", "fused_value",
-"fused_vs_baseline", "pool_value", "pool_vs_baseline"}.
+"fused_vs_baseline", "pool_value", "pool_vs_baseline", "detail"} — the
+``detail`` block carries per-stage iteration counts, lane occupancy, and
+the per-rep wall times behind each best-of-N figure, so run-to-run
+variance is visible in the record itself.
 """
 import json
 import math
@@ -101,15 +104,18 @@ def bench_const_step():
 
     # block_until_ready is unreliable on the experimental axon platform, so
     # every timed repetition ends with a scalar device->host transfer
-    reps = 3
-    t0 = time.perf_counter()
+    rep_times = []
     checksum = 0.0
-    for _ in range(reps):
+    for _ in range(3):
+        t0 = time.perf_counter()
         final = run(state0)
         checksum += float(jnp.sum(final.frac))
-    elapsed = time.perf_counter() - t0
+        rep_times.append(time.perf_counter() - t0)
     assert np.isfinite(checksum)
-    return reps * n_packets * (nsteps - 1) / elapsed
+    elapsed = sum(rep_times)
+    return (len(rep_times) * n_packets * (nsteps - 1) / elapsed,
+            {'nsteps': nsteps - 1, 'npackets': n_packets,
+             'rep_s': [round(t, 3) for t in rep_times]})
 
 
 def _ca_inputs():
@@ -164,27 +170,36 @@ def bench_adaptive():
 
     final, _, stats = run()
     float(jnp.sum(final.frac))          # compile + barrier
-    elapsed = float('inf')
-    for _ in range(2):                  # best-of-2: run-to-run tunnel swing
+    rep_times = []
+    for _ in range(3):                  # best-of-3: run-to-run tunnel swing
         t0 = time.perf_counter()
-        final, _, stats = run()
+        final, iters, stats = run()
         # int64 on host: the int32 per-packet counters total past 2^31
         accepted = int(np.asarray(stats['accepted'], np.int64).sum())
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    return accepted / elapsed, accepted, n
+        rep_times.append(time.perf_counter() - t0)
+    attempted = int(np.asarray(stats['attempted'], np.int64).sum())
+    iters = int(iters)
+    elapsed = min(rep_times)
+    detail = {'iterations': iters, 'accepted_steps': accepted,
+              'occupancy': round(attempted / (iters * n), 4),
+              'rep_s': [round(t, 3) for t in rep_times]}
+    return accepted / elapsed, accepted, attempted, n, detail
 
 
-def bench_pool(accepted_mono, n_mono):
+def bench_pool(accepted_mono, attempted_mono, n_mono):
     """Accepted ps/s of the production large-batch path (in-loop pool).
 
-    One cold (compile+run) then best-of-two warm timings of
+    One cold (compile+run) then best-of-three warm timings of
     ``adaptive_production_run`` on a 2^24 pool — the measured production
     configuration (docs/scaling.md).  Even the 19k-iteration single
     dispatch swings up to ~30% wall run to run on this platform, so the
-    best rep is reported.  Accepted steps are the monolithic count
-    scaled by pool/batch (same physics, same seed)."""
+    best rep is reported (per-rep times in the detail block).  Accepted
+    steps are the monolithic count scaled by pool/batch (same physics,
+    same seed); occupancy = attempted lane-steps / (iterations x
+    batch)."""
     from nexoclom_tpu.initial_state.sampling import build_initial_state
-    from nexoclom_tpu.ops.integrator import (adaptive_production_run,
+    from nexoclom_tpu.ops.integrator import (POOL_LOOP_BATCH,
+                                             adaptive_production_run,
                                              packet_state_from_dict)
 
     dtype = jnp.float32
@@ -202,14 +217,20 @@ def bench_pool(accepted_mono, n_mono):
     assert np.isfinite(final.frac).all()
     # the pool dispatch's wall time swings up to ~30% run to run on this
     # platform (sort/boundary phases are sensitive to worker state; the
-    # monolithic loop is not — docs/scaling.md) -> best of two timed reps
-    elapsed = float('inf')
-    for _ in range(2):
+    # monolithic loop is not — docs/scaling.md) -> best of three timed reps
+    rep_times = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        final, _ = run()                # host numpy return: its own barrier
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        final, iters = run()            # host numpy return: its own barrier
+        rep_times.append(time.perf_counter() - t0)
+    elapsed = min(rep_times)
     accepted = accepted_mono * (n_pool / n_mono)
-    return accepted / elapsed
+    attempted = attempted_mono * (n_pool / n_mono)
+    detail = {'iterations': int(iters), 'pool': n_pool,
+              'occupancy': round(attempted / (int(iters) * POOL_LOOP_BATCH),
+                                 4),
+              'rep_s': [round(t, 3) for t in rep_times]}
+    return accepted / elapsed, detail
 
 
 def bench_fused():
@@ -225,23 +246,27 @@ def bench_fused():
 
     warm = fused_image_run(inp, chunk, dict(params), seed=1, chunk=chunk)
     float(warm.image.sum())             # compile + barrier
-    elapsed = float('inf')
-    for _ in range(2):                  # best-of-2: run-to-run tunnel swing
+    rep_times = []
+    for _ in range(3):                  # best-of-3: run-to-run tunnel swing
         t0 = time.perf_counter()
         result = fused_image_run(inp, n, dict(params), seed=1, chunk=chunk)
         total = float(result.image.sum())   # device sync
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        rep_times.append(time.perf_counter() - t0)
     assert np.isfinite(total) and total > 0
-    return n * (nsteps - 1) / elapsed
+    elapsed = min(rep_times)
+    return (n * (nsteps - 1) / elapsed,
+            {'npackets': n, 'nsteps': nsteps - 1, 'chunks': n // chunk,
+             'rep_s': [round(t, 3) for t in rep_times]})
 
 
 def main():
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
 
-    rate = bench_const_step()
-    adaptive_rate, accepted, n_mono = bench_adaptive()
-    fused_rate = bench_fused()
+    rate, const_detail = bench_const_step()
+    adaptive_rate, accepted, attempted, n_mono, adapt_detail = \
+        bench_adaptive()
+    fused_rate, fused_detail = bench_fused()
     record = {
         'metric': 'packet-steps/sec/chip (Ca-class full physics, RK5 const-step)',
         'value': rate,
@@ -252,10 +277,14 @@ def main():
         'fused_value': fused_rate,
         'fused_vs_baseline': fused_rate / BASELINE,
     }
+    detail = {'const': const_detail, 'adaptive': adapt_detail,
+              'fused': fused_detail}
     if os.environ.get('NEXOCLOM_BENCH_SKIP_POOL', '') in ('', '0'):
-        pool_rate = bench_pool(accepted, n_mono)
+        pool_rate, pool_detail = bench_pool(accepted, attempted, n_mono)
         record['pool_value'] = pool_rate
         record['pool_vs_baseline'] = pool_rate / BASELINE
+        detail['pool'] = pool_detail
+    record['detail'] = detail
     print(json.dumps(record))
 
 
