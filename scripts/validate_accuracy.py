@@ -27,6 +27,10 @@ Cases (--case, default all):
   bounce  Na with temperature-dependent sticking + 0.5 accommodation
   io      Na from Io (satellite source): moving-moon launch, moon gravity
           + shadow, thermal re-emission from the moon (quirks F16/F21)
+  fit     the RETRIEVAL science products end to end on the MESSENGER-like
+          orbit: unfit LSQ source rate (LOSResult.py:278-308 role), fitted
+          source rate (LOSResultFitted.py:136-227 role), and the fitted
+          source map — scalar/map accuracy instead of image accuracy
 
 Measured (2026-08, CPU f32 vs f64 total brightness):
   ca      0.34% (20k packets)
@@ -77,7 +81,75 @@ CASES = {
 # trajectories decorrelate chaotically and their images differ like
 # independent draws — see the measured table above: na reads 1.65% at 20k
 # from pure sampling noise and 0.11% at 80k).  --npackets overrides all.
-CASE_NPACKETS = {'ca': 20000, 'na': 80000, 'bounce': 80000, 'io': 20000}
+CASE_NPACKETS = {'ca': 20000, 'na': 80000, 'bounce': 80000, 'io': 20000,
+                 'fit': 20000}
+
+
+def run_fit_case(dtype_name, npackets, seed=SEED):
+    """Fitted-retrieval accuracy probe: the science quantities, not images.
+
+    Runs the FULL retrieval stack on the MESSENGER-like orbit fixture —
+    Input.run -> LOSResult -> weighted LSQ source rate -> LOSResultFitted
+    per-packet reweighting -> fitted source rate + fitted source map —
+    under a fresh temp catalog at the requested precision, and returns
+    the three science products.  The reference computes these paths in
+    f64 (LOSResult.py:278-308, LOSResultFitted.py:136-227); this bounds
+    the f32 TPU error on them directly rather than inferring it from
+    image parity.
+    """
+    import math
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from nexoclom_tpu.data_simulation import (LOSResult, LOSResultFitted,
+                                              SpacecraftData)
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    savepath = tempfile.mkdtemp(prefix=f'nxt_acc_fit_{dtype_name}_')
+    set_config(NexoclomConfig(savepath=savepath, precision=dtype_name))
+    inp = Input(os.path.join(here, '..', 'tests', 'data', 'inputfiles',
+                             'mercury_ca_spot.input'))
+    inp.options.endtime = 2400.0
+    inp.run(npackets, seed=seed)
+
+    orbit = pd.read_csv(os.path.join(here, '..', 'tests', 'data', 'orbits',
+                                     'messenger_like_orbit.csv'))
+    scdata = SpacecraftData(orbit, species='Ca')
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                      dphi=math.radians(1.0), label='acc_unfit')
+    unfit.simulate_data_from_inputs(scdata)
+    unfit.determine_source_rate(scdata)
+
+    fitted = LOSResultFitted(scdata, 'acc_unfit', {'quantity': 'radiance'})
+    fitted.determine_source_from_data(scdata)
+    smap, _ = fitted.make_source_map(do_available=False)
+    return {'sourcerate': float(unfit.sourcerate),
+            'fitted_sourcerate': float(fitted.sourcerate),
+            'map': np.asarray(smap.abundance, float)}
+
+
+def compare_fit(label, got, ref, target=0.01):
+    """Compare the three retrieval products; returns the worst rel diff."""
+    import numpy as np
+    worst = 0.0
+    for key in ('sourcerate', 'fitted_sourcerate'):
+        rel = abs(got[key] - ref[key]) / abs(ref[key])
+        worst = max(worst, rel)
+        verdict = (' (target < %g) -> %s'
+                   % (target, 'PASS' if rel < target else 'FAIL')
+                   if np.isfinite(target) else '')
+        print(f'{label} {key}: {got[key]:.6e} vs {ref[key]:.6e}, '
+              f'rel diff = {rel:.2e}{verdict}')
+    # the fitted map integrates to the fitted source rate (normalize=True
+    # semantics): its total is the <1% science metric; per-bin diffs are
+    # MC-migration dominated and reported informationally
+    rel_map = compare(f'{label} fitted map (total abundance)',
+                      got['map'], ref['map'], target=target)
+    return max(worst, rel_map)
 
 
 def run_case(case, dtype_name, npackets, seed=SEED):
@@ -119,13 +191,14 @@ def main():
     parser.add_argument('--tpu', action='store_true')
     parser.add_argument('--save-ref')
     parser.add_argument('--compare')
-    parser.add_argument('--case', choices=[*CASES, 'all'], default='all')
+    parser.add_argument('--case', choices=[*CASES, 'fit', 'all'],
+                        default='all')
     parser.add_argument('--mc-floor', action='store_true',
                         help='also run a second-seed f64 case to measure '
                              'the Monte Carlo noise floor the f32 diff '
                              'should be compared against')
     args = parser.parse_args()
-    cases = list(CASES) if args.case == 'all' else [args.case]
+    cases = [*CASES, 'fit'] if args.case == 'all' else [args.case]
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -142,15 +215,28 @@ def main():
         return (args.npackets if args.npackets is not None
                 else CASE_NPACKETS[case])
 
+    def fit_to_arrays(d, arrays):
+        arrays['fit__sourcerate'] = np.asarray(d['sourcerate'])
+        arrays['fit__fitted_sourcerate'] = np.asarray(d['fitted_sourcerate'])
+        arrays['fit__map'] = d['map']
+
+    def fit_from_arrays(arrays):
+        return {'sourcerate': float(arrays['fit__sourcerate']),
+                'fitted_sourcerate': float(arrays['fit__fitted_sourcerate']),
+                'map': np.asarray(arrays['fit__map'])}
+
     if args.save_ref:
-        arrays = {case: run_case(case, 'float64', n_for(case))
-                  for case in cases}
-        # record the packet count per case so --compare can reject a
-        # reference computed at a different count (images differ like
-        # independent MC draws — comparing across counts measures the
-        # wrong noise floor)
-        arrays.update({f'{case}__npackets': np.asarray(n_for(case))
-                       for case in cases})
+        arrays = {}
+        for case in cases:
+            if case == 'fit':
+                fit_to_arrays(run_fit_case('float64', n_for(case)), arrays)
+            else:
+                arrays[case] = run_case(case, 'float64', n_for(case))
+            # record the packet count per case so --compare can reject a
+            # reference computed at a different count (images differ like
+            # independent MC draws — comparing across counts measures the
+            # wrong noise floor)
+            arrays[f'{case}__npackets'] = np.asarray(n_for(case))
         np.savez(args.save_ref, **arrays)
         print(f'saved f64 reference to {args.save_ref}')
         return
@@ -166,12 +252,28 @@ def main():
                     f'{int(ref[n_key])} packets but this run uses {n_case}; '
                     f'regenerate with --save-ref (or pass --npackets '
                     f'{int(ref[n_key])})')
-            img32 = run_case(case, 'float32', n_case)
-            compare(f'{case}: {jax.default_backend()} f32 vs saved f64',
-                    img32, ref[case])
+            if case == 'fit':
+                got = run_fit_case('float32', n_case)
+                compare_fit(f'fit: {jax.default_backend()} f32 vs saved '
+                            'f64', got, fit_from_arrays(ref))
+            else:
+                img32 = run_case(case, 'float32', n_case)
+                compare(f'{case}: {jax.default_backend()} f32 vs saved f64',
+                        img32, ref[case])
         return
 
     for case in cases:
+        if case == 'fit':
+            d64 = run_fit_case('float64', n_for(case))
+            d32 = run_fit_case('float32', n_for(case))
+            rel = compare_fit('fit: f32 vs f64 (same backend)', d32, d64)
+            if args.mc_floor:
+                d64b = run_fit_case('float64', n_for(case), seed=SEED + 1)
+                floor = compare_fit('fit: f64 seed-B vs f64 seed-A '
+                                    '(MC floor)', d64b, d64,
+                                    target=float('inf'))
+                print(f'fit: f32 diff / MC floor = {rel / floor:.2f}')
+            continue
         img64 = run_case(case, 'float64', n_for(case))
         img32 = run_case(case, 'float32', n_for(case))
         rel = compare(f'{case}: f32 vs f64 (same backend)', img32, img64)
