@@ -56,8 +56,12 @@ def histogram2d(xvals, yvals, weights, xlo, xhi, nx: int, ylo, yhi, ny: int,
                 impl: str = 'scatter'):
     """Weighted 2-D histogram; returns (nx, ny) array.
 
-    ``impl``: 'scatter', 'matmul', or 'auto' (matmul on accelerators when
-    nx*ny is under the measured crossover, scatter otherwise)."""
+    ``impl``: 'scatter', 'matmul', 'matmul_bf16', or 'auto' (matmul on
+    accelerators when nx*ny is under the measured crossover, scatter
+    otherwise).  'matmul_bf16' feeds the MXU bf16 operands (the one-hot
+    entries stay exact 0/1; the weights round to bf16, ~4e-3 relative per
+    sample — unbiased rounding noise far below MC statistics) with f32
+    accumulation; opt-in for throughput experiments."""
     if impl == 'auto':
         impl = ('matmul' if (nx * ny <= _MATMUL_MAX_BINS and
                              jax.default_backend() != 'cpu') else 'scatter')
@@ -66,17 +70,21 @@ def histogram2d(xvals, yvals, weights, xlo, xhi, nx: int, ylo, yhi, ny: int,
     w = jnp.where(okx & oky, weights, 0.0)
     if impl == 'matmul':
         return _histogram2d_matmul(ix, iy, w, nx, ny)
+    if impl == 'matmul_bf16':
+        return _histogram2d_matmul(ix, iy, w, nx, ny,
+                                   mxu_dtype=jnp.bfloat16)
     flat = ix * ny + iy
     hist = jnp.zeros(nx * ny, dtype=w.dtype).at[flat].add(w)
     return hist.reshape(nx, ny)
 
 
 def _histogram2d_matmul(ix, iy, w, nx: int, ny: int,
-                        block: int = _MATMUL_BLOCK):
+                        block: int = _MATMUL_BLOCK, mxu_dtype=None):
     """Exact blocked one-hot contraction: for each packet block,
     H += X^T (w * Y) with X (block, nx) and Y (block, ny) one-hot rows.
     Every product is exact (one-hot entries are 0/1); sums accumulate in the
-    weight dtype on the MXU."""
+    weight dtype on the MXU.  ``mxu_dtype`` (e.g. bf16) casts the matmul
+    OPERANDS while keeping f32 accumulation (preferred_element_type)."""
     n = ix.shape[0]
     if n < block:
         block = max(64, n)
@@ -89,16 +97,19 @@ def _histogram2d_matmul(ix, iy, w, nx: int, ny: int,
     ax = jnp.arange(nx, dtype=ix.dtype)
     ay = jnp.arange(ny, dtype=iy.dtype)
 
+    op_dtype = w.dtype if mxu_dtype is None else mxu_dtype
+
     def body(i, acc):
         s = i * block
         ixb = jax.lax.dynamic_slice_in_dim(ix, s, block)
         iyb = jax.lax.dynamic_slice_in_dim(iy, s, block)
         wb = jax.lax.dynamic_slice_in_dim(w, s, block)
-        x1 = (ixb[:, None] == ax[None, :]).astype(wb.dtype)
-        y1 = (iyb[:, None] == ay[None, :]).astype(wb.dtype) * wb[:, None]
+        x1 = (ixb[:, None] == ax[None, :]).astype(op_dtype)
+        y1 = ((iyb[:, None] == ay[None, :]).astype(wb.dtype)
+              * wb[:, None]).astype(op_dtype)
         return acc + jax.lax.dot_general(
             x1, y1, (((0,), (0,)), ((), ())),
-            preferred_element_type=wb.dtype)
+            preferred_element_type=w.dtype)
 
     init = jnp.zeros((nx, ny), dtype=w.dtype)
     if nblocks == 1:
