@@ -1509,10 +1509,15 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
 
     ``_boundary`` selects TIMING-EXPERIMENT variants that decompose the
     swap-boundary cost (scripts/bench_pool_boundary.py); every mode but
-    the default ``'cond'`` produces PHYSICALLY WRONG results (the pool
-    never refills) and exists only to time the loop scaffolding:
+    ``'cond'`` and ``'always'`` produces PHYSICALLY WRONG results (the
+    pool never refills) and exists only to time the loop scaffolding:
 
     * ``'cond'`` — production: reduction + ``lax.cond`` swap.
+    * ``'always'`` — correct-physics candidate: sort + slice every
+      boundary, swap gated by ``where`` selects — no conditional
+      control flow crosses the carry (bit-exact vs ``'cond'`` for
+      deterministic physics; bounce draws reshuffle, the standing
+      caveat).
     * ``'checkonly'`` — the finished-lane reduction runs but no cond:
       isolates the nested-while restart + reduction cost.
     * ``'condnop'`` — reduction + a ``lax.cond`` whose true branch is a
@@ -1562,7 +1567,60 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
             return (st, h, it, ids, next_idx + k_refill,
                     out_pos + k_refill, pool_c, out_s, out_i)
 
+        def swap_always(c):
+            # Unconditional boundary: sort + slice every trip, the swap
+            # GATED by selects instead of a lax.cond — no conditional
+            # control flow crosses the 1.2 GB carry.  Physics matches
+            # 'cond' bit-exactly for deterministic specs (the sort is a
+            # lane permutation; bounce RNG is positional, the standing
+            # segmented-orchestrator caveat).  Stale retire writes when
+            # pred is false land at a frontier that the next real swap
+            # or the final flush overwrites, so they are harmless.
+            st, h, it, ids, next_idx, out_pos, pool_c, out_s, out_i = c
+            alive_key = ((st.t > res_c) & (st.frac > 0.0)).astype(
+                jnp.int32)
+            n_done = batch - jnp.sum(alive_key)
+            pred = (n_done >= k_refill) & (next_idx + k_refill <= n_pad)
+
+            leaves = [getattr(st, f) for f in fields] + [h, ids]
+            sorted_leaves = []
+            for i in range(0, len(leaves), sort_group):
+                grp = leaves[i:i + sort_group]
+                sorted_leaves.extend(
+                    jax.lax.sort((alive_key, *grp), num_keys=1,
+                                 is_stable=True)[1:])
+            st = PacketState(*sorted_leaves[:len(fields)])
+            h, ids = sorted_leaves[-2], sorted_leaves[-1]
+            done = jax.tree.map(lambda leaf: leaf[:k_refill], st)
+            out_s = jax.tree.map(
+                lambda buf, blk: jax.lax.dynamic_update_slice_in_dim(
+                    buf, blk, out_pos, 0), out_s, done)
+            out_i = jax.lax.dynamic_update_slice_in_dim(
+                out_i, ids[:k_refill], out_pos, 0)
+            # dynamic_slice clamps an exhausted next_idx into range; the
+            # garbage block is discarded by the pred selects below
+            fresh = jax.tree.map(
+                lambda leaf: jax.lax.dynamic_slice_in_dim(
+                    leaf, next_idx, k_refill), pool_c)
+            st_sw = jax.tree.map(
+                lambda fr, leaf: jnp.concatenate([fr, leaf[k_refill:]]),
+                fresh, st)
+            h_sw = jnp.concatenate(
+                [jnp.full((k_refill,), h0_c, h.dtype), h[k_refill:]])
+            ids_sw = jnp.concatenate(
+                [next_idx + jnp.arange(k_refill, dtype=jnp.int32),
+                 ids[k_refill:]])
+            st = jax.tree.map(lambda a, b: jnp.where(pred, a, b), st_sw,
+                              st)
+            h = jnp.where(pred, h_sw, h)
+            ids = jnp.where(pred, ids_sw, ids)
+            kk = jnp.where(pred, jnp.int32(k_refill), jnp.int32(0))
+            return (st, h, it, ids, next_idx + kk, out_pos + kk, pool_c,
+                    out_s, out_i)
+
         def maybe_swap(c):
+            if _boundary == 'always':
+                return swap_always(c)
             st = c[0]
             next_idx = c[4]
             n_done = batch - jnp.sum(moretogo(st))
@@ -1587,7 +1645,7 @@ def _build_pool_loop_fn(spec, forces, surface, resolution, outeredge,
             st, _, it = c[0], c[1], c[2]
             next_idx = c[4]
             more = jnp.any(moretogo(st))
-            if _boundary != 'cond':
+            if _boundary not in ('cond', 'always'):
                 # experiment modes never refill: stop when the first
                 # batch drains (the production pred would spin forever)
                 return more & (it < max_total_iterations)

@@ -130,6 +130,9 @@ def main():
     stage('cond-1swap', pool_1swap, accepted * (1 + 1 / 16))
     # per-seed key baking (round-3 verdict lever)
     stage('cond-baked-key', pool16, accepted16, bake_key=True)
+    # unconditional swap: sort every boundary, selects instead of cond
+    # (correct physics — a production candidate, not a scaffold probe)
+    stage('always-16M', pool16, accepted16, _boundary='always')
     # memory-pressure probe: half pool, half carry
     pool8 = jax.tree.map(lambda leaf: leaf[:args.pool // 2], pool16)
     stage('cond-8M', pool8, accepted16 / 2)

@@ -566,6 +566,30 @@ def test_adaptive_pool_loop_baked_key_bit_exact():
                                       err_msg=f)
 
 
+def test_adaptive_pool_loop_always_boundary_matches():
+    """``_boundary='always'`` (unconditional sort + select-gated swap —
+    no lax.cond crossing the carry) reproduces the monolithic driver per
+    packet for deterministic physics, across refills, pool exhaustion,
+    and boundaries where the swap predicate is false (too few finished
+    lanes: the select must keep the batch intact and the stale retire
+    write must be overwritten downstream)."""
+    from nexoclom_tpu.ops.integrator import adaptive_pool_loop
+    state0 = make_state(n=200, vmin=2.0, vmax=6.0, endtime=5000.0)
+    args = (GRAVITY_SPEC, gravity_forces(), None, 1e-6, 1e30, RADIUS_KM, KEY)
+    final_m, _ = adaptive_step_driver(state0, *args)
+    for swap_every, frac in ((16, 0.0625), (16, 0.25), (4, 0.5)):
+        final_a, iters_a = adaptive_pool_loop(
+            state0, *args, batch=64, swap_every=swap_every,
+            refill_fraction=frac, _boundary='always')
+        assert iters_a > 0
+        for f in ('t', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac',
+                  'lossfrac'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(final_a, f)),
+                np.asarray(getattr(final_m, f)), rtol=1e-12, atol=1e-12,
+                err_msg=f'{swap_every}:{frac} {f}')
+
+
 def test_adaptive_pool_loop_full_physics_f32_bit_exact():
     """Pool loop vs BAKED monolithic on full Ca physics (gravity +
     radpres lookup + shadow photoionization + surface kill + outer
