@@ -41,6 +41,9 @@ def main():
     ap.add_argument('--endtime', type=float, default=10800.0)
     ap.add_argument('--skip', default='',
                     help='comma list of stage names to skip')
+    ap.add_argument('--reps', type=int, default=1,
+                    help='warm timed reps per stage (best-of reported; '
+                    'the single dispatch swings up to ~30% run to run)')
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(',')))
 
@@ -107,13 +110,17 @@ def main():
         t0 = time.perf_counter()
         _, it = runner()
         cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _, it = runner()
-        dt = time.perf_counter() - t0
+        reps = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            _, it = runner()
+            reps.append(time.perf_counter() - t0)
+        dt = min(reps)
         rate = accepted_total / dt if accepted_total else float('nan')
         print(f'{name:15s} {dt:7.2f} s  {int(it):6d} iters  '
               f'{dt / int(it) * 1e3:6.3f} ms/iter  {rate:.3e} accepted '
-              f'ps/s  (cold {cold:.0f} s)', flush=True)
+              f'ps/s  (cold {cold:.0f} s; reps '
+              f'{" ".join(f"{r:.1f}" for r in reps)})', flush=True)
 
     # production anchor first (already cached from round 3)
     stage('cond-16M-a', pool16, accepted16)
@@ -133,6 +140,9 @@ def main():
     # unconditional swap: sort every boundary, selects instead of cond
     # (correct physics — a production candidate, not a scaffold probe)
     stage('always-16M', pool16, accepted16, _boundary='always')
+    # the combined candidate: no cond AND no key argument
+    stage('always-baked', pool16, accepted16, _boundary='always',
+          bake_key=True)
     # memory-pressure probe: half pool, half carry
     pool8 = jax.tree.map(lambda leaf: leaf[:args.pool // 2], pool16)
     stage('cond-8M', pool8, accepted16 / 2)
