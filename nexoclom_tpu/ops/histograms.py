@@ -73,6 +73,9 @@ def histogram2d(xvals, yvals, weights, xlo, xhi, nx: int, ylo, yhi, ny: int,
     if impl == 'matmul_bf16':
         return _histogram2d_matmul(ix, iy, w, nx, ny,
                                    mxu_dtype=jnp.bfloat16)
+    if impl in ('pallas', 'pallas_interpret'):
+        return _histogram2d_pallas(ix, iy, w, nx, ny,
+                                   interpret=impl == 'pallas_interpret')
     flat = ix * ny + iy
     hist = jnp.zeros(nx * ny, dtype=w.dtype).at[flat].add(w)
     return hist.reshape(nx, ny)
@@ -115,6 +118,81 @@ def _histogram2d_matmul(ix, iy, w, nx: int, ny: int,
     if nblocks == 1:
         return body(0, init)
     return jax.lax.fori_loop(0, nblocks, body, init)
+
+
+_PALLAS_BLOCK = 1024
+
+
+def _histogram2d_pallas(ix, iy, w, nx: int, ny: int,
+                        block: int = _PALLAS_BLOCK, interpret: bool = False):
+    """One-hot-contraction histogram as a pallas TPU kernel.
+
+    MEASURED NO-GO on axon/v5e (2026-08-18, docs/scaling.md "round-4
+    histogram attack"): 4.1 ns/element vs the XLA 'matmul' form's 1.36
+    at the fused production geometry (1M packets, 200x200 bins),
+    bit-identical results.  The hypothesis this kernel tested — that
+    the XLA form is bound by materialising one-hot operands to HBM, so
+    building the tiles in VMEM (512 KB each at block=1024) and feeding
+    the MXU directly would win — is false: the XLA form is flat at
+    ~1.36 ns/elt across block geometry AND operand dtype
+    (scripts/bench_hist_geometry.py), and the in-kernel one-hot build
+    costs more than whatever XLA pays.  Kept as an opt-in
+    (``impl='pallas'``) for other platforms; ``'pallas_interpret'``
+    runs it on CPU for correctness tests.
+
+    Numerics: one-hot entries are exact 0/1 in bf16; the weights round
+    to bf16 in the product operand — the same rounding the opt-in
+    'matmul_bf16' form applies — and accumulation is f32 on the MXU.
+    """
+    from jax.experimental import pallas as pl
+
+    n = ix.shape[0]
+    pad = (-n) % block
+    if pad:
+        # ix = -1 matches no bin: padded rows are exactly zero
+        ix = jnp.concatenate([ix, jnp.full(pad, -1, ix.dtype)])
+        iy = jnp.concatenate([iy, jnp.zeros(pad, iy.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    nblocks = (n + pad) // block
+    out_dtype = w.dtype
+    # lane (minor) dims must be 128-multiples; sublane pads to 8
+    nxp = -(-nx // 8) * 8
+    nyp = -(-ny // 128) * 128
+
+    ix_col = ix.reshape(nblocks * block, 1)       # (block, 1) tiles
+    iy_col = iy.reshape(nblocks * block, 1)
+    w_col = w.reshape(nblocks * block, 1)
+
+    def kernel(ix_ref, iy_ref, w_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        xio = jax.lax.broadcasted_iota(jnp.int32, (block, nxp), 1)
+        x1 = (ix_ref[...] == xio).astype(jnp.bfloat16)
+        yio = jax.lax.broadcasted_iota(jnp.int32, (block, nyp), 1)
+        y1 = ((iy_ref[...] == yio).astype(out_dtype)
+              * w_ref[...]).astype(jnp.bfloat16)
+        # contract over the packet (sublane) dim: H += x1^T y1 on the MXU
+        out_ref[...] += jax.lax.dot_general(
+            x1, y1, (((0,), (0,)), ((), ())),
+            preferred_element_type=out_dtype)
+
+    hist = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((nxp, nyp), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nxp, nyp), out_dtype),
+        interpret=interpret,
+    )(ix_col, iy_col, w_col)
+    return hist[:nx, :ny]
 
 
 def bin_centers(lo, hi, nbins: int):

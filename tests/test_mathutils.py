@@ -157,3 +157,29 @@ def test_histogram2d_matmul_blocked():
     got = np.asarray(_histogram2d_matmul(jnp.asarray(ix), jnp.asarray(iy),
                                          jnp.asarray(w), 5, 4, block=256))
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_histogram2d_pallas_interpret_matches_bf16_scatter():
+    """The pallas one-hot MXU kernel (interpret mode on CPU; a measured
+    perf no-go on axon, kept as an opt-in — docs/scaling.md round-4
+    histogram attack) bins exactly like scatter with bf16-rounded
+    weights: one-hots are exact 0/1, padding rows are inert (ix=-1),
+    non-multiple-of-block N and non-tile-aligned (nx, ny) handled."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.ops.histograms import histogram2d
+    rng = np.random.default_rng(13)
+    n = 2500   # not a multiple of the 1024 block; pads 2 rows short
+    xs = rng.uniform(-1.5, 1.5, n)
+    ys = rng.uniform(-1.5, 1.5, n)
+    xs[0], ys[0] = 1.0, 1.0            # right edge -> last bin
+    w = rng.uniform(0.0, 2.0, n)
+    w_bf16 = np.asarray(jnp.asarray(w).astype(jnp.bfloat16), np.float32)
+    args = (-1.0, 1.0, 13, -1.0, 1.0, 7)
+    pal = np.asarray(histogram2d(jnp.asarray(xs), jnp.asarray(ys),
+                                 jnp.asarray(w), *args,
+                                 impl='pallas_interpret'))
+    ref = np.asarray(histogram2d(jnp.asarray(xs), jnp.asarray(ys),
+                                 jnp.asarray(w_bf16), *args,
+                                 impl='scatter'))
+    np.testing.assert_allclose(pal, ref, rtol=1e-6, atol=1e-6)
+    assert pal.sum() > 0
