@@ -1,6 +1,6 @@
-"""Benchmark: packet-steps/sec/chip for the three production pipelines.
+"""Benchmark: throughput of the production pipelines on one chip.
 
-One JSON line with four driver-visible metrics (round-over-round record):
+One JSON line with five driver-visible metrics (round-over-round record):
 
 * ``value`` — the headline BASELINE.json metric, unchanged for continuity:
   the full-physics RK5(4) constant-step loop on the Ca-class Mercury
@@ -16,6 +16,15 @@ One JSON line with four driver-visible metrics (round-over-round record):
   (200x200 radiance, stride 1) streaming 2^23 packets through the chunked
   scan (8 chunks — enough to amortise the per-chunk dispatch; a 1e8-packet
   run reaches 3.45e8, docs/scaling.md).
+* ``los_value`` — (spectrum x packet) pairs/s of the LOS pipeline on the
+  MESSENGER-like orbit geometry (1024 limb-scan spectra x 2^20 packets,
+  1° cones), through the two-stage block cull (``los_reduce_culled``,
+  results identical to the dense kernel).  ``los_vs_baseline`` compares
+  against 1.8e7 pairs/s — the reference's own per-spectrum KDTree loop,
+  which logs minutes per 1024-spectra iteration at this scale
+  (compute_iteration.py:236-237; 60 s assumed — conservative).  The
+  detail block carries the dense kernel's rate and the cull speedup.
+  Set ``NEXOCLOM_BENCH_SKIP_LOS=1`` to skip this stage.
 * ``pool_value`` — accepted packet-steps/s of the PRODUCTION adaptive
   path for large batches: ``adaptive_production_run`` routing a 2^24
   pool through the in-loop device-resident refill (``adaptive_pool_loop``
@@ -29,7 +38,8 @@ One JSON line with four driver-visible metrics (round-over-round record):
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
 "adaptive_value", "adaptive_vs_baseline", "fused_value",
-"fused_vs_baseline", "pool_value", "pool_vs_baseline", "detail"} — the
+"fused_vs_baseline", "los_value", "los_vs_baseline", "pool_value",
+"pool_vs_baseline", "detail"} — the
 ``detail`` block carries per-stage iteration counts, lane occupancy, and
 the per-rep wall times behind each best-of-N figure, so run-to-run
 variance is visible in the record itself.
@@ -259,6 +269,77 @@ def bench_fused():
              'rep_s': [round(t, 3) for t in rep_times]})
 
 
+LOS_BASELINE = 1.8e7   # pairs/s: reference KDTree loop at ~60 s/iteration
+
+
+def bench_los():
+    """Pairs/s of the LOS cone reduction on the MESSENGER-orbit geometry.
+
+    Times the culled kernel (the production route for sparse-cone
+    orbits, ``LOSResult(cull_block=...)``) and the dense kernel on the
+    same arrays; asserts their radiances agree to f32 summation order.
+    """
+    import pandas as pd
+
+    from nexoclom_tpu.ops.los import (los_geometry, los_reduce,
+                                      los_reduce_culled)
+
+    rng = np.random.default_rng(0)
+    n, n_spectra = 1 << 20, 1024
+    r = rng.uniform(1.05, 8.0, n)
+    costh = rng.uniform(-1, 1, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    sinth = np.sqrt(1 - costh ** 2)
+    px = jnp.asarray((r * sinth * np.cos(phi)).astype(np.float32))
+    py = jnp.asarray((r * sinth * np.sin(phi)).astype(np.float32))
+    pz = jnp.asarray((r * costh).astype(np.float32))
+    w = jnp.asarray(rng.random(n).astype(np.float32))
+
+    orbit = pd.read_csv(os.path.join(HERE, 'tests', 'data', 'orbits',
+                                     'messenger_like_orbit.csv'))
+    sc0 = orbit[['x', 'y', 'z']].to_numpy(float)
+    b0 = orbit[['xbore', 'ybore', 'zbore']].to_numpy(float)
+    reps_orbit = -(-n_spectra // len(sc0))
+    sc = np.tile(sc0, (reps_orbit, 1))[:n_spectra]
+    bore = np.tile(b0, (reps_orbit, 1))[:n_spectra]
+    obstruction, dd = los_geometry(sc, bore, 30.0)
+    fn_args = (px, py, pz, w, jnp.asarray(sc, jnp.float32),
+               jnp.asarray(bore, jnp.float32),
+               jnp.asarray(obstruction, jnp.float32),
+               jnp.asarray(dd, jnp.float32))
+    dphi = math.radians(1.0)
+    rp_cm = 2440.53e5
+    block = 8192
+    pairs = n_spectra * n
+
+    def timed(fn, reps=3):
+        rad, _, _ = fn()
+        checksum = float(jnp.sum(rad))          # compile + barrier
+        rep_times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rad, _, _ = fn()
+            float(jnp.sum(rad))
+            rep_times.append(time.perf_counter() - t0)
+        return rad, checksum, rep_times
+
+    rad_d, sum_d, reps_d = timed(lambda: los_reduce(*fn_args, dphi, rp_cm))
+    rad_c, sum_c, reps_c = timed(lambda: los_reduce_culled(
+        *fn_args, dphi, rp_cm, block=block))
+    rel = (np.abs(np.asarray(rad_c, np.float64)
+                  - np.asarray(rad_d, np.float64)).max()
+           / max(float(np.asarray(rad_d).max()), 1e-30))
+    assert rel < 1e-5, f'cull-vs-dense max rel {rel}'
+    dense_rate = pairs / min(reps_d)
+    cull_rate = pairs / min(reps_c)
+    detail = {'spectra': n_spectra, 'npackets': n, 'block': block,
+              'dense_pairs_per_s': dense_rate,
+              'cull_speedup': round(cull_rate / dense_rate, 3),
+              'rep_s_dense': [round(t, 4) for t in reps_d],
+              'rep_s_culled': [round(t, 4) for t in reps_c]}
+    return max(cull_rate, dense_rate), detail
+
+
 def main():
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -279,6 +360,11 @@ def main():
     }
     detail = {'const': const_detail, 'adaptive': adapt_detail,
               'fused': fused_detail}
+    if os.environ.get('NEXOCLOM_BENCH_SKIP_LOS', '') in ('', '0'):
+        los_rate, los_detail = bench_los()
+        record['los_value'] = los_rate
+        record['los_vs_baseline'] = los_rate / LOS_BASELINE
+        detail['los'] = los_detail
     if os.environ.get('NEXOCLOM_BENCH_SKIP_POOL', '') in ('', '0'):
         pool_rate, pool_detail = bench_pool(accepted, attempted, n_mono)
         record['pool_value'] = pool_rate
