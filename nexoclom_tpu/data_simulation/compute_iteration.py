@@ -155,6 +155,16 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
         rad, npack, used = los_reduce_culled(
             *packet_arrays, *spectra_args, quantity=losresult.quantity,
             block=cull_block)
+    elif cull_block and mesh is not None:
+        # per-shard cull under shard_map (same NaN/0 pad sentinels);
+        # one psum pair joins the per-spectrum sums
+        from nexoclom_tpu.ops.los import los_reduce_culled_sharded
+        packet_arrays, pad = shard_padded(
+            mesh, packet_arrays, (np.nan, 0.0, 0.0, 0.0))
+        rad, npack, used = los_reduce_culled_sharded(
+            *packet_arrays, *spectra_args, mesh,
+            quantity=losresult.quantity, block=cull_block)
+        used = used[:n_rows]
     elif mesh is not None:
         # packet axis over the mesh: per-spectrum sums cross shards (XLA
         # inserts the psum).  Pad sentinels: x=NaN poisons every distance/

@@ -323,6 +323,54 @@ def los_reduce_culled(px, py, pz, weight,
     return rad, npack, used_any
 
 
+@partial(jax.jit, static_argnames=('quantity', 'chunk', 'block', 'mesh'))
+def _culled_sharded_fn(px, py, pz, weight, sc_pos, bore, obstruction,
+                       outer_dd, dphi, rp_cm, quantity, chunk, block, mesh):
+    p_pack = jax.sharding.PartitionSpec('packets')
+    p_rep = jax.sharding.PartitionSpec()
+
+    def shard_body(pxl, pyl, pzl, wl, sc, b, ob, dd, dphi_l, rp_l):
+        rad, npack, used = los_reduce_culled(
+            pxl, pyl, pzl, wl, sc, b, ob, dd, dphi_l, rp_l,
+            quantity=quantity, chunk=chunk, block=block)
+        return (jax.lax.psum(rad, 'packets'),
+                jax.lax.psum(npack, 'packets'), used)
+
+    return jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(p_pack, p_pack, p_pack, p_pack,
+                  p_rep, p_rep, p_rep, p_rep, p_rep, p_rep),
+        out_specs=(p_rep, p_rep, p_pack), check_vma=False)(
+        px, py, pz, weight, sc_pos, bore, obstruction, outer_dd,
+        dphi, rp_cm)
+
+
+def los_reduce_culled_sharded(px, py, pz, weight, sc_pos, bore,
+                              obstruction, outer_dd, dphi, rp_cm, mesh,
+                              quantity: str = 'radiance',
+                              chunk: int = _CHUNK, block: int = 8192):
+    """:func:`los_reduce_culled` over a packet-sharded mesh.
+
+    Each device Morton-sorts, culls, and tile-walks ONLY its local
+    packet shard under ``jax.shard_map`` — per-device while_loop trip
+    counts diverge freely (the sharded-pool-loop pattern,
+    ``ops/integrator.adaptive_pool_loop_sharded``) and the only
+    collectives are one psum pair joining the per-spectrum sums.  The
+    used mask stays shard-local and concatenates back to the global
+    packet order.  Exact for the same reason as the single-device
+    kernel: culled tiles contribute exact zeros.  Packet arrays must
+    already be padded to a shard multiple and placed over the mesh's
+    ``'packets'`` axis (``parallel.mesh.shard_padded`` with the inert
+    NaN/0 sentinels).
+    """
+    return _culled_sharded_fn(
+        px, py, pz, weight,
+        jnp.asarray(sc_pos), jnp.asarray(bore),
+        jnp.asarray(obstruction), jnp.asarray(outer_dd),
+        jnp.asarray(dphi, px.dtype), jnp.asarray(rp_cm, px.dtype),
+        quantity, chunk, block, mesh)
+
+
 @partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk'))
 def los_fitted_accumulate(px, py, pz, weight, x0_index,
                           sc_pos, bore, obstruction, outer_dd,

@@ -421,6 +421,52 @@ def test_los_reduce_pad_rows_inert_for_npackets():
                                   np.asarray(used_ref))
 
 
+def test_los_reduce_culled_sharded_matches_unsharded():
+    """The two-stage block cull under shard_map: per-device Morton sorts
+    and tile walks on local shards, one psum pair joining the spectrum
+    sums — radiance, counts, and the used mask must match the dense
+    single-device run, including pad rows (NaN/0 sentinels)."""
+    from nexoclom_tpu.ops.los import (los_geometry, los_reduce,
+                                      los_reduce_culled_sharded)
+    from nexoclom_tpu.parallel import shard_padded
+
+    rng = np.random.default_rng(17)
+    n = 4001                              # NOT divisible by 8: pad path
+    r = rng.uniform(1.1, 6.0, n)
+    costh = rng.uniform(-1.0, 1.0, n)
+    phi = rng.uniform(0.0, 2 * np.pi, n)
+    sinth = np.sqrt(1.0 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    weight = jnp.asarray(rng.uniform(0.0, 1.0, n))
+
+    n_spec = 40                           # NOT a chunk multiple either
+    sc = rng.uniform(-8.0, 8.0, (n_spec, 3))
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True) / 7.0, 1.0)
+    bore = -sc + rng.normal(0.0, 1.0, (n_spec, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, outer_dd = los_geometry(sc, bore, outeredge=10.0)
+
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(outer_dd), 0.05, 2.44e8)
+    rad_ref, npack_ref, used_ref = los_reduce(px, py, pz, weight, *args)
+    assert int(npack_ref.sum()) > 0
+
+    mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
+    (px_s, py_s, pz_s, w_s), pad = shard_padded(
+        mesh, (px, py, pz, weight), (np.nan, 0.0, 0.0, 0.0))
+    rad_s, npack_s, used_s = los_reduce_culled_sharded(
+        px_s, py_s, pz_s, w_s, *args, mesh, block=128)
+    jax.block_until_ready(rad_s)
+
+    np.testing.assert_allclose(np.asarray(rad_s), np.asarray(rad_ref),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(npack_s), np.asarray(npack_ref))
+    np.testing.assert_array_equal(np.asarray(used_s)[:n],
+                                  np.asarray(used_ref))
+
+
 def test_los_fitted_accumulate_sharded_matches_unsharded():
     """The fitted-retrieval scatter-add kernel with the packet axis sharded:
     per-X0 sums cross shards; the padded sentinel rows (weight=0, index 0)
