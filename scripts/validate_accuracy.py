@@ -53,7 +53,15 @@ io 0.40% — all PASS.
           few-percent MC floor at protocol counts; a single reseed diff
           samples that floor ONCE (measured 0.15% for the source rate —
           36x below the validated floor) and must not be read as the
-          floor itself.
+          floor itself.  A 10-vs-10 seed study (_fit_seed_sweep.py, 80k
+          packets): unfit sourcerate medians agree to 0.07%
+          (Mann-Whitney p=0.73 — unbiased); fitted sourcerate medians
+          differ +2.2% (p=0.031, ~2 sigma uncorrected — at most a ~2%
+          effect, below the MC floor, unresolvable without O(100)
+          engine runs).  The f64 population also drew a 4x sourcerate
+          outlier (seed +8): the 3-spectra-dominated weighted LSQ is
+          heavy-tailed, which is WHY the floor must come from the
+          perturbation bootstrap and not from one reseed draw.
 For the radpres-dominated cases always compare against the --mc-floor
 output: f32 vs f64 images differ like independent MC draws.
 """
