@@ -25,6 +25,10 @@ def main():
     ap.add_argument('--sharded', action='store_true',
                     help='shard the packet axis (run + LOS '
                          'reduction) over every local device')
+    ap.add_argument('--cull', type=int, default=0, metavar='BLOCK',
+                    help='two-stage LOS block cull at this block size '
+                         '(exact; skips most packet tiles on these '
+                         'sparse limb-scan cones — try 8192)')
     ap.add_argument('--savepath', default='/tmp/nexoclom_tpu_examples')
     args = ap.parse_args()
 
@@ -52,7 +56,7 @@ def main():
                             query='MESSENGER-like limb scans')
     result = scdata.model(inputs, args.packets, dphi=math.radians(1.0),
                           label='fit_demo', seed=11,
-                          sharded=args.sharded)
+                          sharded=args.sharded, cull_block=args.cull)
 
     model = result.radiance.to_numpy()
     data = orbit.radiance.to_numpy()

@@ -69,11 +69,13 @@ class SpacecraftData:
 
         from nexoclom_tpu.data_simulation.los_result import LOSResult
 
+        cull_block = run_kwargs.pop('cull_block', 0)
         inputs.run(npackets, overwrite=overwrite, seed=seed, **run_kwargs)
         los = LOSResult(self, inputs, params,
                         dphi=math.radians(1.0) if dphi is None else dphi,
                         masking=masking, label=label,
-                        sharded=run_kwargs.get('sharded', False))
+                        sharded=run_kwargs.get('sharded', False),
+                        cull_block=cull_block)
         los.simulate_data_from_inputs(self)
         return los
 
