@@ -12,18 +12,20 @@ import pytest
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), '..', 'examples')
 
 
-@pytest.mark.parametrize('name, packets', [
-    ('mercury_na_tail', 1500),
-    ('io_torus', 1200),
-    ('messenger_fit', 1500),
+@pytest.mark.parametrize('name, packets, extra', [
+    ('mercury_na_tail', 1500, ()),
+    ('io_torus', 1200, ()),
+    ('messenger_fit', 1500, ()),
+    # the sparse-cone production route: LOS through the block cull
+    ('messenger_fit', 1500, ('--cull', '512')),
 ])
-def test_example_runs(name, packets, tmp_path, monkeypatch):
+def test_example_runs(name, packets, extra, tmp_path, monkeypatch):
     monkeypatch.syspath_prepend(EXAMPLES_DIR)
     # examples honor NEXOCLOM_SAVEPATH via setdefault; force it to the
     # test's temp dir so nothing escapes
     monkeypatch.setenv('NEXOCLOM_SAVEPATH', str(tmp_path))
     monkeypatch.setattr(sys, 'argv', [
         f'{name}.py', '--packets', str(packets),
-        '--savepath', str(tmp_path)])
+        '--savepath', str(tmp_path), *extra])
     module = importlib.import_module(name)
     module.main()
