@@ -139,7 +139,24 @@ class LOSResultFitted(LOSResult):
                             jnp.asarray(obstruction), jnp.asarray(outer_dd),
                             jnp.asarray(ratio), jnp.asarray(spec_mask),
                             jnp.asarray(sigma))
-            if mesh is not None:
+            cull_block = int(getattr(self, 'cull_block', 0) or 0)
+            if cull_block and mesh is not None:
+                from nexoclom_tpu.ops.los import (
+                    los_fitted_accumulate_culled_sharded)
+                packet_arrays, _ = shard_padded(
+                    mesh, packet_arrays, (np.nan, 0.0, 0.0, 0.0, 0))
+                ratio_x_sigma, sigma_sum = \
+                    los_fitted_accumulate_culled_sharded(
+                        *packet_arrays, *spectra_args, self.dphi,
+                        n_x0=n_x0, mesh=mesh, use_weight=use_weight,
+                        block=cull_block)
+            elif cull_block:
+                from nexoclom_tpu.ops.los import (
+                    los_fitted_accumulate_culled)
+                ratio_x_sigma, sigma_sum = los_fitted_accumulate_culled(
+                    *packet_arrays, *spectra_args, self.dphi,
+                    n_x0=n_x0, use_weight=use_weight, block=cull_block)
+            elif mesh is not None:
                 # same inert-padding sentinels as compute_iteration:
                 # x=NaN is out of view for every spectrum, weight=0 keeps
                 # padded rows out of the used mask, and their X0 scatter
@@ -189,7 +206,20 @@ class LOSResultFitted(LOSResult):
             reduce_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
                            jnp.asarray(obstruction), jnp.asarray(outer_dd),
                            self.dphi, self.radius_km * CM_PER_KM)
-            if mesh is not None:
+            if cull_block and mesh is not None:
+                from nexoclom_tpu.ops.los import los_reduce_culled_sharded
+                fit_arrays, _ = shard_padded(
+                    mesh, fit_arrays, (np.nan, 0.0, 0.0, 0.0))
+                rad, npack, used_rows = los_reduce_culled_sharded(
+                    *fit_arrays, *reduce_args, mesh,
+                    quantity=self.quantity, block=cull_block)
+                used_rows = used_rows[:n_fit_rows]
+            elif cull_block:
+                from nexoclom_tpu.ops.los import los_reduce_culled
+                rad, npack, used_rows = los_reduce_culled(
+                    *fit_arrays, *reduce_args, quantity=self.quantity,
+                    block=cull_block)
+            elif mesh is not None:
                 fit_arrays, _ = shard_padded(
                     mesh, fit_arrays, (np.nan, 0.0, 0.0, 0.0))
                 with mesh:

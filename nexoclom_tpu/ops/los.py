@@ -453,6 +453,214 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
     return ratio_x_sigma, sigma_sum
 
 
+@partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk', 'block'))
+def los_fitted_accumulate_culled(px, py, pz, weight, x0_index,
+                                 sc_pos, bore, obstruction, outer_dd,
+                                 ratio, spec_mask, spec_sigma,
+                                 dphi, n_x0: int,
+                                 use_weight: str | None = None,
+                                 chunk: int = _CHUNK, block: int = 8192):
+    """:func:`los_fitted_accumulate` behind the two-stage block cull.
+
+    Same Morton sort + bounding spheres + conservative cone test +
+    while_loop tile walk as :func:`los_reduce_culled` (and the same
+    spectrum reorder — the outputs are packet-indexed sums over ALL
+    spectra, so no unsort is needed), with each surviving tile's
+    (chunk x block) contributions scatter-added over the tile's X0
+    indices.  A culled tile contains no used packet for any spectrum in
+    the chunk, so its contributions are exact zeros — results equal the
+    dense kernel up to f32/f64 summation order.
+    """
+    cos_dphi = jnp.cos(dphi)
+    sin_dphi = jnp.sin(dphi)
+    n = px.shape[0]
+
+    # ---- spectrum reorder (closest-approach Morton key)
+    t_ca = jnp.clip(-jnp.sum(sc_pos * bore, axis=1), 0.0, outer_dd)
+    anchor = sc_pos + bore * t_ca[:, None]
+    skey = _morton_key(anchor[:, 0], anchor[:, 1], anchor[:, 2])
+    (_, scx, scy, scz, bx, by, bz, obstruction, outer_dd, ratio,
+     spec_mask_f, spec_sigma) = jax.lax.sort(
+        (skey, sc_pos[:, 0], sc_pos[:, 1], sc_pos[:, 2],
+         bore[:, 0], bore[:, 1], bore[:, 2], obstruction, outer_dd,
+         ratio, spec_mask.astype(jnp.float32), spec_sigma),
+        num_keys=1, is_stable=True)
+    sc_pos = jnp.stack([scx, scy, scz], axis=1)
+    bore = jnp.stack([bx, by, bz], axis=1)
+    spec_mask = spec_mask_f > 0.5
+
+    # ---- packet pad + Morton sort (x0 rides along; pads scatter to 0
+    # with zero weight)
+    padn = (-n) % block
+    if padn:
+        nanpad = jnp.full(padn, jnp.nan, px.dtype)
+        px = jnp.concatenate([px, nanpad])
+        py = jnp.concatenate([py, nanpad])
+        pz = jnp.concatenate([pz, nanpad])
+        weight = jnp.concatenate([weight, jnp.zeros(padn, weight.dtype)])
+        x0_index = jnp.concatenate(
+            [x0_index, jnp.zeros(padn, x0_index.dtype)])
+    n_pad = n + padn
+    nblocks = n_pad // block
+
+    key = _morton_key(px, py, pz)
+    _, px_s, py_s, pz_s, w_s, x0_s = jax.lax.sort(
+        (key, px, py, pz, weight, x0_index), num_keys=1, is_stable=True)
+
+    def blk(v):
+        return v.reshape(nblocks, block)
+
+    bxl, bxh = jnp.nanmin(blk(px_s), 1), jnp.nanmax(blk(px_s), 1)
+    byl, byh = jnp.nanmin(blk(py_s), 1), jnp.nanmax(blk(py_s), 1)
+    bzl, bzh = jnp.nanmin(blk(pz_s), 1), jnp.nanmax(blk(pz_s), 1)
+    cx, cy, cz = (bxl + bxh) / 2, (byl + byh) / 2, (bzl + bzh) / 2
+    br = 0.5 * jnp.sqrt((bxh - bxl) ** 2 + (byh - byl) ** 2
+                        + (bzh - bzl) ** 2)
+    dphi_f = jnp.asarray(dphi, px.dtype)
+
+    n_spectra = sc_pos.shape[0]
+    pad_s = (-n_spectra) % chunk
+    sc_pos = jnp.concatenate([sc_pos, jnp.zeros((pad_s, 3), sc_pos.dtype)])
+    bore_pad = jnp.zeros((pad_s, 3), bore.dtype).at[:, 0].set(1.0)
+    bore = jnp.concatenate([bore, bore_pad])
+    obstruction = jnp.concatenate(
+        [obstruction, jnp.zeros(pad_s, obstruction.dtype)])
+    outer_dd = jnp.concatenate(
+        [outer_dd, jnp.full(pad_s, -1.0, outer_dd.dtype)])
+    ratio = jnp.concatenate([ratio, jnp.zeros(pad_s, ratio.dtype)])
+    spec_mask = jnp.concatenate([spec_mask, jnp.zeros(pad_s, bool)])
+    spec_sigma = jnp.concatenate(
+        [spec_sigma, jnp.ones(pad_s, spec_sigma.dtype)])
+    nchunks = (n_spectra + pad_s) // chunk
+    chunked = tuple(a.reshape((nchunks, chunk) + a.shape[1:])
+                    for a in (sc_pos, bore, obstruction, outer_dd,
+                              ratio, spec_mask, spec_sigma))
+
+    iota_b = jnp.arange(nblocks, dtype=jnp.int32)
+
+    def sphere_test(sc, b, obstruct, dd):
+        rx = cx - sc[0]
+        ry = cy - sc[1]
+        rz = cz - sc[2]
+        d = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        losrad = rx * b[0] + ry * b[1] + rz * b[2]
+        cosang = jnp.clip(losrad / jnp.maximum(d, 1e-30), -1.0, 1.0)
+        ang = jnp.arccos(cosang)
+        dilate = jnp.arcsin(jnp.clip(br / jnp.maximum(d, 1e-30), 0.0, 1.0))
+        in_cone = (ang - dilate <= dphi_f) | (d <= br)
+        return (in_cone & (losrad - br < obstruct)
+                & (losrad - br <= dd))
+
+    def one_spectrum(sc, b, obstruct, dd, rat, keep, sigma,
+                     pxt, pyt, pzt, wt):
+        rx = pxt - sc[0]
+        ry = pyt - sc[1]
+        rz = pzt - sc[2]
+        d2 = rx * rx + ry * ry + rz * rz
+        d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+        losrad = rx * b[0] + ry * b[1] + rz * b[2]
+        cosang = jnp.clip(losrad / d, -1.0, 1.0)
+        inview = (losrad < obstruct) & (cosang >= cos_dphi) & (losrad <= dd)
+        hx = sc[0] + b[0] * losrad
+        hy = sc[1] + b[1] * losrad
+        hz = sc[2] + b[2] * losrad
+        out_of_shadow = (hx * hx + hz * hz > 1.0) | (hy < 0.0)
+        used = inview & out_of_shadow & (wt > 0.0) & keep
+
+        if use_weight == 'dist2':
+            w = 1.0 / jnp.maximum(d2, 1e-30)
+        elif use_weight == 'dist':
+            w = 1.0 / d
+        elif use_weight == 'sigma':
+            w = jnp.full_like(d, 2.0 / sigma)
+        else:
+            w = jnp.ones_like(d)
+        w = jnp.where(used, w, 0.0)
+        return w * rat, w
+
+    tile_vmap = jax.vmap(one_spectrum,
+                         in_axes=(0, 0, 0, 0, 0, 0, 0,
+                                  None, None, None, None))
+
+    def body(carry, operands):
+        sc, b, obstruct, dd, rat, keep, sigma = operands
+        pred = jnp.any(
+            jax.vmap(sphere_test)(sc, b, obstruct, dd), axis=0)
+        k = jnp.sum(pred)
+        order = jnp.sort(jnp.where(pred, iota_b, nblocks))
+
+        def tile_cond(c):
+            return c[0] < k
+
+        def tile_body(c):
+            j, rs, ss = c
+            bid = order[j]
+            off = bid * block
+            pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
+            pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
+            pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
+            wt = jax.lax.dynamic_slice_in_dim(w_s, off, block)
+            x0t = jax.lax.dynamic_slice_in_dim(x0_s, off, block)
+            cr, cw = tile_vmap(sc, b, obstruct, dd, rat, keep, sigma,
+                               pxt, pyt, pzt, wt)
+            rs = rs.at[x0t].add(cr.sum(axis=0))
+            ss = ss.at[x0t].add(cw.sum(axis=0))
+            return (j + 1, rs, ss)
+
+        _, rs, ss = jax.lax.while_loop(
+            tile_cond, tile_body, (jnp.asarray(0, k.dtype),) + carry)
+        return (rs, ss), None
+
+    (ratio_x_sigma, sigma_sum), _ = jax.lax.scan(
+        body, (jnp.zeros(n_x0, px.dtype), jnp.zeros(n_x0, px.dtype)),
+        chunked)
+    return ratio_x_sigma, sigma_sum
+
+
+@partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk', 'block',
+                                   'mesh'))
+def _fitted_culled_sharded_fn(px, py, pz, weight, x0_index, sc_pos, bore,
+                              obstruction, outer_dd, ratio, spec_mask,
+                              spec_sigma, dphi, n_x0, use_weight, chunk,
+                              block, mesh):
+    p_pack = jax.sharding.PartitionSpec('packets')
+    p_rep = jax.sharding.PartitionSpec()
+
+    def shard_body(pxl, pyl, pzl, wl, x0l, *rest):
+        rs, ss = los_fitted_accumulate_culled(
+            pxl, pyl, pzl, wl, x0l, *rest, n_x0=n_x0,
+            use_weight=use_weight, chunk=chunk, block=block)
+        return (jax.lax.psum(rs, 'packets'), jax.lax.psum(ss, 'packets'))
+
+    return jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(p_pack,) * 5 + (p_rep,) * 8,
+        out_specs=(p_rep, p_rep), check_vma=False)(
+        px, py, pz, weight, x0_index, sc_pos, bore, obstruction,
+        outer_dd, ratio, spec_mask, spec_sigma, dphi)
+
+
+def los_fitted_accumulate_culled_sharded(px, py, pz, weight, x0_index,
+                                         sc_pos, bore, obstruction,
+                                         outer_dd, ratio, spec_mask,
+                                         spec_sigma, dphi, n_x0: int, mesh,
+                                         use_weight: str | None = None,
+                                         chunk: int = _CHUNK,
+                                         block: int = 8192):
+    """:func:`los_fitted_accumulate_culled` over a packet-sharded mesh:
+    per-shard Morton sorts and tile walks, one psum pair joining the
+    per-X0 sums (the :func:`los_reduce_culled_sharded` pattern).  Packet
+    arrays must be pre-padded/placed (``shard_padded`` with NaN/0/0
+    sentinels; pad rows scatter zero weight to index 0)."""
+    return _fitted_culled_sharded_fn(
+        px, py, pz, weight, x0_index,
+        jnp.asarray(sc_pos), jnp.asarray(bore),
+        jnp.asarray(obstruction), jnp.asarray(outer_dd),
+        jnp.asarray(ratio), jnp.asarray(spec_mask),
+        jnp.asarray(spec_sigma), jnp.asarray(dphi, px.dtype),
+        n_x0, use_weight, chunk, block, mesh)
+
+
 def los_geometry(sc_pos, bore, outeredge, moons=()):
     """Per-spectrum geometric cutoffs (host-side numpy).
 

@@ -177,6 +177,45 @@ def test_fitted_retrieval_sharded_matches_unsharded(use_ca_catalog,
     assert np.isclose(f_sh.sourcerate, plain_rate, rtol=1e-10)
 
 
+def test_fitted_retrieval_culled_matches_plain(use_ca_catalog,
+                                                monkeypatch):
+    """End-to-end fitted retrieval through the block cull (cull_block on
+    both the per-X0 accumulate and the fitted radiance re-evaluation,
+    plain AND sharded): fitted radiance and source rate must match the
+    dense run.  Kernel equality is pinned in test_los_ops/test_parallel;
+    this covers the routing in determine_source_from_data."""
+    from nexoclom_tpu.data_simulation.los_fitted import (
+        LOSResultFitted as LRF)
+    inp = use_ca_catalog
+    rad = np.linspace(0.5, 2.0, 12)
+    scdata = _spacecraft_data(radiance=rad)
+    dphi = math.radians(2.4)
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'}, dphi=dphi,
+                      label='ff_cull')
+    unfit.simulate_data_from_inputs(scdata)
+
+    monkeypatch.setattr(LRF, 'fitted_iteration_search',
+                        lambda self, ufit_id: None)
+    f_plain = LRF(scdata, 'ff_cull', {'quantity': 'radiance'})
+    f_plain.determine_source_from_data(scdata)
+    plain = f_plain.radiance.to_numpy().copy()
+    plain_rate = f_plain.sourcerate
+
+    f_cull = LRF(scdata, 'ff_cull', {'quantity': 'radiance'},
+                 cull_block=256)
+    f_cull.determine_source_from_data(scdata)
+    np.testing.assert_allclose(f_cull.radiance.to_numpy(), plain,
+                               rtol=1e-10)
+    assert np.isclose(f_cull.sourcerate, plain_rate, rtol=1e-10)
+
+    f_cs = LRF(scdata, 'ff_cull', {'quantity': 'radiance'},
+               cull_block=256, sharded=True)
+    f_cs.determine_source_from_data(scdata)
+    np.testing.assert_allclose(f_cs.radiance.to_numpy(), plain,
+                               rtol=1e-10)
+    assert np.isclose(f_cs.sourcerate, plain_rate, rtol=1e-10)
+
+
 def test_model_image_column(use_ca_catalog):
     inp = use_ca_catalog
     img = ModelImage(inp, {'quantity': 'column', 'dims': '64,64',

@@ -228,3 +228,50 @@ def test_los_reduce_culled_matches_exact():
         if dphi < math.radians(2.0):
             assert int(npack.sum()) < n * S          # cones actually sparse
         assert int(npack.sum()) > 0
+
+
+def test_los_fitted_accumulate_culled_matches_dense():
+    """The culled fitted-accumulate (Morton sort + cone-sphere prefilter +
+    tile walk + per-tile X0 scatter-add) must reproduce the dense kernel's
+    per-X0 sums — every weighting mode, non-multiple N, sparse and wide
+    cones, with repeated X0 indices (multiple snapshots per trajectory)."""
+    from nexoclom_tpu.ops.los import los_fitted_accumulate_culled
+    rng = np.random.default_rng(23)
+    n = 3001                       # not a block multiple
+    n_x0 = 400                     # ~7.5 snapshots per trajectory
+    r = rng.uniform(1.1, 8.0, n)
+    costh = rng.uniform(-1, 1, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    sinth = np.sqrt(1 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    w = jnp.asarray(rng.random(n))
+    x0 = jnp.asarray(rng.integers(0, n_x0, n))
+
+    S = 40                         # not a chunk multiple
+    sc = rng.uniform(-10, 10, (S, 3))
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True) / 9.0, 1.0)
+    bore = -sc + rng.normal(0, 1.0, (S, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, dd = los_geometry(sc, bore, 10.0)
+    ratio = jnp.asarray(rng.uniform(0.5, 2.0, S))
+    mask = jnp.asarray(rng.random(S) > 0.2)
+    sigma = jnp.asarray(rng.uniform(0.5, 1.5, S))
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(dd), ratio, mask, sigma)
+
+    for dphi in (math.radians(1.0), math.radians(45.0)):
+        for use_weight in (None, 'dist', 'dist2', 'sigma'):
+            rs, ss = los_fitted_accumulate(
+                px, py, pz, w, x0, *args, dphi, n_x0=n_x0,
+                use_weight=use_weight)
+            rs_c, ss_c = los_fitted_accumulate_culled(
+                px, py, pz, w, x0, *args, dphi, n_x0=n_x0,
+                use_weight=use_weight, block=512)
+            np.testing.assert_allclose(
+                np.asarray(rs_c), np.asarray(rs), rtol=1e-10,
+                err_msg=f'dphi={dphi} use_weight={use_weight}')
+            np.testing.assert_allclose(
+                np.asarray(ss_c), np.asarray(ss), rtol=1e-10)
+    assert float(jnp.sum(ss)) > 0
