@@ -12,7 +12,8 @@ Payload formats (JSON):
      "seed": ..., "packs_per_it": ..., "sharded": false}
     {"task": "los",  "inputs": {...}, "outputfile": "...",
      "scdata": "spacecraft.csv", "species": "...",
-     "params": {...}, "dphi": radians, "sharded": false}
+     "params": {...}, "dphi": radians, "sharded": false,
+     "cull_block": 0}
 
 ``sharded: true`` spreads the packet axis over every device the worker
 process sees (the same switch as ``Input.run``/``LOSResult``).
@@ -68,7 +69,8 @@ def run_payload(payload: dict) -> int:
         losresult = LOSResult(scdata, inputs,
                               payload.get('params', {'quantity': 'radiance'}),
                               dphi=payload.get('dphi', math.radians(1.0)),
-                              sharded=payload.get('sharded', False))
+                              sharded=payload.get('sharded', False),
+                              cull_block=payload.get('cull_block', 0))
         compute_iteration(losresult, payload['outputfile'], scdata)
         return 0
     raise ValueError(f'unknown worker task {task!r}')
