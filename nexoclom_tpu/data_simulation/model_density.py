@@ -47,13 +47,114 @@ def _density_reduce(px, py, pz, frac, qx, qy, qz, dr, chunk: int = 128):
     return dens.reshape(-1)[:npts], count.reshape(-1)[:npts]
 
 
+@partial(jax.jit, static_argnames=('chunk', 'block'))
+def _density_reduce_culled(px, py, pz, frac, qx, qy, qz, dr,
+                           chunk: int = 128, block: int = 8192):
+    """Ball-query form of the two-stage block cull (``ops/los.py``):
+    Morton-sort packets once, bound blocks with spheres, walk only the
+    blocks whose sphere comes within ``dr`` of any probe point in the
+    chunk (probes are also Morton-reordered so chunks are compact) —
+    exact: culled blocks contribute zero to every probe's ball sum.
+    The per-probe ball (dr ~ 0.05 R_p) is tiny against the cloud, so
+    the cull is much sharper than the LOS cone case."""
+    from nexoclom_tpu.ops.los import _morton_key
+
+    n = px.shape[0]
+    padn = (-n) % block
+    if padn:
+        nanpad = jnp.full(padn, jnp.nan, px.dtype)
+        px = jnp.concatenate([px, nanpad])
+        py = jnp.concatenate([py, nanpad])
+        pz = jnp.concatenate([pz, nanpad])
+        frac = jnp.concatenate([frac, jnp.zeros(padn, frac.dtype)])
+    n_pad = n + padn
+    nblocks = n_pad // block
+
+    key = _morton_key(px, py, pz)
+    _, px_s, py_s, pz_s, f_s = jax.lax.sort(
+        (key, px, py, pz, frac), num_keys=1, is_stable=True)
+
+    def blk(v):
+        return v.reshape(nblocks, block)
+
+    bxl, bxh = jnp.nanmin(blk(px_s), 1), jnp.nanmax(blk(px_s), 1)
+    byl, byh = jnp.nanmin(blk(py_s), 1), jnp.nanmax(blk(py_s), 1)
+    bzl, bzh = jnp.nanmin(blk(pz_s), 1), jnp.nanmax(blk(pz_s), 1)
+    cx, cy, cz = (bxl + bxh) / 2, (byl + byh) / 2, (bzl + bzh) / 2
+    br = 0.5 * jnp.sqrt((bxh - bxl) ** 2 + (byh - byl) ** 2
+                        + (bzh - bzl) ** 2)
+
+    npts = qx.shape[0]
+    skey = _morton_key(qx, qy, qz)
+    siota = jnp.arange(npts, dtype=jnp.int32)
+    _, qx_s, qy_s, qz_s, qperm = jax.lax.sort(
+        (skey, qx, qy, qz, siota), num_keys=1, is_stable=True)
+    pad = (-npts) % chunk
+    qx_s = jnp.concatenate([qx_s, jnp.full(pad, jnp.nan, qx.dtype)])
+    qy_s = jnp.concatenate([qy_s, jnp.zeros(pad, qy.dtype)])
+    qz_s = jnp.concatenate([qz_s, jnp.zeros(pad, qz.dtype)])
+    nchunks = (npts + pad) // chunk
+
+    iota_b = jnp.arange(nblocks, dtype=jnp.int32)
+
+    def ball_test(x0, y0, z0):
+        d = jnp.sqrt((cx - x0) ** 2 + (cy - y0) ** 2 + (cz - z0) ** 2)
+        return d <= br + dr
+
+    def one_point(x0, y0, z0, pxt, pyt, pzt, ft):
+        d2 = (pxt - x0) ** 2 + (pyt - y0) ** 2 + (pzt - z0) ** 2
+        near = d2 <= dr * dr
+        return jnp.sum(jnp.where(near, ft, 0.0)), jnp.sum(near)
+
+    tile_vmap = jax.vmap(one_point,
+                         in_axes=(0, 0, 0, None, None, None, None))
+
+    def body(_, args):
+        x0, y0, z0 = args
+        pred = jnp.any(jax.vmap(ball_test)(x0, y0, z0), axis=0)
+        k = jnp.sum(pred)
+        order = jnp.sort(jnp.where(pred, iota_b, nblocks))
+
+        def tile_cond(c):
+            return c[0] < k
+
+        def tile_body(c):
+            j, dens_c, count_c = c
+            off = order[j] * block
+            pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
+            pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
+            pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
+            ft = jax.lax.dynamic_slice_in_dim(f_s, off, block)
+            d_t, c_t = tile_vmap(x0, y0, z0, pxt, pyt, pzt, ft)
+            return j + 1, dens_c + d_t, count_c + c_t.astype(count_c.dtype)
+
+        _, dens, count = jax.lax.while_loop(
+            tile_cond, tile_body,
+            (jnp.asarray(0, k.dtype), jnp.zeros(chunk, px.dtype),
+             jnp.zeros(chunk, jnp.int32)))
+        return None, (dens, count)
+
+    _, (dens, count) = jax.lax.scan(
+        body, None, (qx_s.reshape(nchunks, chunk),
+                     qy_s.reshape(nchunks, chunk),
+                     qz_s.reshape(nchunks, chunk)))
+    dens_out = jnp.zeros(npts, dens.dtype).at[qperm].set(
+        dens.reshape(-1)[:npts])
+    count_out = jnp.zeros(npts, jnp.int32).at[qperm].set(
+        count.reshape(-1)[:npts])
+    return dens_out, count_out
+
+
 class ModelDensity:
     def __init__(self, inputs, xpts, ypts, zpts, dr=0.05,
-                 true_volume=False, sharded=False):
+                 true_volume=False, sharded=False, cull_block=0):
         self.type = 'density'
         # same flagship switch as the other observables: shard the packet
         # axis of the per-point reductions over local devices
         self.sharded = sharded
+        # ball-query form of the LOS block cull (exact); dr is tiny
+        # against the cloud so most packet tiles are skipped
+        self.cull_block = int(cull_block or 0)
         self.origin = inputs.geometry.planet
         self.inputs = inputs
         radius_cm = self.origin.radius * CM_PER_KM
@@ -89,7 +190,10 @@ class ModelDensity:
             from nexoclom_tpu.parallel.mesh import (resolve_packet_mesh,
                                                     shard_padded)
             mesh = resolve_packet_mesh(self.sharded, 'ModelDensity')
-            if mesh is not None:
+            if self.cull_block and mesh is None:
+                dens, count = _density_reduce_culled(
+                    *packet_arrays, *probe_args, block=self.cull_block)
+            elif mesh is not None:
                 # pad sentinel 1e30 is never within dr of a probe point
                 packet_arrays, _ = shard_padded(
                     mesh, packet_arrays, (1e30, 0.0, 0.0, 0.0))

@@ -273,6 +273,11 @@ def test_model_density(use_ca_catalog):
     pts = np.linspace(1.1, 3.0, 10)
     dens = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3)
     assert np.all(np.isfinite(dens.density))
+    # the ball-query block cull is exact
+    dens_c = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3,
+                          cull_block=128)
+    np.testing.assert_allclose(dens_c.density, dens.density, rtol=1e-12)
+    np.testing.assert_array_equal(dens_c.packets, dens.packets)
     assert dens.density.max() > 0
     # density falls off with altitude over the source region
     assert dens.density[0] > dens.density[-1]
@@ -285,6 +290,33 @@ def test_model_density(use_ca_catalog):
                            sharded=True)
     np.testing.assert_allclose(dens_sh.density, dens.density, rtol=1e-9)
     np.testing.assert_array_equal(dens_sh.packets, dens.packets)
+
+
+def test_density_reduce_culled_matches_dense():
+    """Kernel-level: the ball-query cull (Morton sort + block spheres +
+    probe reorder + tile walk) equals the dense chunked reduction on a
+    random cloud and scattered probes, non-multiple shapes included."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.data_simulation.model_density import (
+        _density_reduce, _density_reduce_culled)
+    rng = np.random.default_rng(31)
+    n = 5003
+    px = jnp.asarray(rng.normal(0, 3, n))
+    py = jnp.asarray(rng.normal(0, 3, n))
+    pz = jnp.asarray(rng.normal(0, 3, n))
+    frac = jnp.asarray(rng.random(n))
+    npts = 77
+    qx = jnp.asarray(rng.uniform(-4, 4, npts))
+    qy = jnp.asarray(rng.uniform(-4, 4, npts))
+    qz = jnp.asarray(rng.uniform(-4, 4, npts))
+    for dr in (0.05, 0.5):
+        d_ref, c_ref = _density_reduce(px, py, pz, frac, qx, qy, qz, dr)
+        d_c, c_c = _density_reduce_culled(px, py, pz, frac, qx, qy, qz,
+                                          dr, block=256)
+        np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_ref),
+                                   rtol=1e-12, err_msg=f'dr={dr}')
+        np.testing.assert_array_equal(np.asarray(c_c), np.asarray(c_ref))
+    assert int(c_ref.sum()) > 0
 
 
 def test_source_map(use_ca_catalog):
