@@ -145,6 +145,39 @@ def _density_reduce_culled(px, py, pz, frac, qx, qy, qz, dr,
     return dens_out, count_out
 
 
+@partial(jax.jit, static_argnames=('chunk', 'block', 'mesh'))
+def _density_culled_sharded_fn(px, py, pz, frac, qx, qy, qz, dr,
+                               chunk, block, mesh):
+    p_pack = jax.sharding.PartitionSpec('packets')
+    p_rep = jax.sharding.PartitionSpec()
+
+    def shard_body(pxl, pyl, pzl, fl, qxl, qyl, qzl, drl):
+        dens, count = _density_reduce_culled(pxl, pyl, pzl, fl,
+                                             qxl, qyl, qzl, drl,
+                                             chunk=chunk, block=block)
+        return (jax.lax.psum(dens, 'packets'),
+                jax.lax.psum(count, 'packets'))
+
+    return jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(p_pack,) * 4 + (p_rep,) * 4,
+        out_specs=(p_rep, p_rep), check_vma=False)(
+        px, py, pz, frac, qx, qy, qz, dr)
+
+
+def _density_reduce_culled_sharded(px, py, pz, frac, qx, qy, qz, dr,
+                                   mesh, chunk: int = 128,
+                                   block: int = 8192):
+    """:func:`_density_reduce_culled` over a packet-sharded mesh — the
+    :func:`nexoclom_tpu.ops.los.los_reduce_culled_sharded` pattern:
+    per-shard Morton sorts and tile walks, one psum pair joining the
+    per-probe sums.  Packet arrays must be pre-padded/placed
+    (``shard_padded``; NaN position pads fail every ball test)."""
+    return _density_culled_sharded_fn(
+        px, py, pz, frac, jnp.asarray(qx), jnp.asarray(qy),
+        jnp.asarray(qz), jnp.asarray(dr, px.dtype), chunk, block, mesh)
+
+
 class ModelDensity:
     def __init__(self, inputs, xpts, ypts, zpts, dr=0.05,
                  true_volume=False, sharded=False, cull_block=0):
@@ -193,6 +226,13 @@ class ModelDensity:
             if self.cull_block and mesh is None:
                 dens, count = _density_reduce_culled(
                     *packet_arrays, *probe_args, block=self.cull_block)
+            elif self.cull_block and mesh is not None:
+                # NaN position pads fail every ball test (inert rows)
+                packet_arrays, _ = shard_padded(
+                    mesh, packet_arrays, (np.nan, 0.0, 0.0, 0.0))
+                dens, count = _density_reduce_culled_sharded(
+                    *packet_arrays, *probe_args, mesh,
+                    block=self.cull_block)
             elif mesh is not None:
                 # pad sentinel 1e30 is never within dr of a probe point
                 packet_arrays, _ = shard_padded(

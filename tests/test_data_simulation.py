@@ -290,6 +290,11 @@ def test_model_density(use_ca_catalog):
                            sharded=True)
     np.testing.assert_allclose(dens_sh.density, dens.density, rtol=1e-9)
     np.testing.assert_array_equal(dens_sh.packets, dens.packets)
+    # sharded + culled: per-shard tile walks, one psum pair
+    dens_sc = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3,
+                           sharded=True, cull_block=128)
+    np.testing.assert_allclose(dens_sc.density, dens.density, rtol=1e-9)
+    np.testing.assert_array_equal(dens_sc.packets, dens.packets)
 
 
 def test_density_reduce_culled_matches_dense():
