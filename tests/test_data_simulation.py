@@ -346,6 +346,60 @@ def test_source_map(use_ca_catalog):
     total = source.speed_dist.sum() * dv
     assert np.isclose(total, los.sourcerate * 1e23, rtol=1e-6)
     assert available.abundance.shape == (36, 18)
+    # end-to-end through the smear cull (params opt-in): same maps up to
+    # f64 summation order across blocks
+    source_c, available_c = los.make_source_map(
+        dict(params, cull_block=512))
+    np.testing.assert_allclose(source_c.abundance, source.abundance,
+                               rtol=1e-9)
+    np.testing.assert_array_equal(source_c.n_total, source.n_total)
+    np.testing.assert_allclose(source_c.speed_dist_map,
+                               source.speed_dist_map, rtol=1e-9, atol=1e-30)
+    np.testing.assert_allclose(available_c.abundance, available.abundance,
+                               rtol=1e-9)
+
+
+def test_smeared_point_stats_culled_matches_dense():
+    """Kernel-level: the smear cull (unit-sphere Morton sort + block
+    spheres + chord test + grid reorder + tile walk) equals the dense
+    chunked smear on a clustered+background source, non-multiple shapes
+    and the cos(latitude) radius scaling included."""
+    import jax.numpy as jnp
+    from nexoclom_tpu.data_simulation.make_source_map import (
+        _smeared_point_stats, _smeared_point_stats_culled)
+    rng = np.random.default_rng(7)
+    n = 4007
+    lat = np.clip(np.concatenate([rng.normal(0.2, 0.15, n // 2),
+                                  rng.uniform(-np.pi / 2, np.pi / 2,
+                                              n - n // 2)]),
+                  -np.pi / 2, np.pi / 2)
+    lon = np.concatenate([rng.normal(4.7, 0.2, n // 2) % (2 * np.pi),
+                          rng.uniform(0, 2 * np.pi, n - n // 2)])
+    w = rng.random(n)
+    incl = w > 0.1
+    v = rng.uniform(0, 5, n)
+    alt = rng.uniform(0, np.pi / 2, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    nlon, nlat = 18, 9
+    lonc = (np.arange(nlon) + 0.5) * 2 * np.pi / nlon
+    latc = -np.pi / 2 + (np.arange(nlat) + 0.5) * np.pi / nlat
+    glat, glon = np.meshgrid(latc, lonc)
+    rad = np.radians(10) * np.cos(glat.ravel())
+    args = (jnp.asarray(glat.ravel()), jnp.asarray(glon.ravel()),
+            jnp.asarray(rad), jnp.asarray(lat), jnp.asarray(lon),
+            jnp.asarray(w), jnp.asarray(incl), jnp.asarray(v),
+            jnp.asarray(alt), jnp.asarray(az), 5.0, 10, 6, 5)
+    ref = _smeared_point_stats(*args, chunk=32)
+    cul = _smeared_point_stats_culled(*args, chunk=32, block=256)
+    for name, a, b in zip(('n_inc', 'n_tot', 'abund', 'vh', 'ah', 'zh'),
+                          ref, cul):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind in 'iu':
+            np.testing.assert_array_equal(b, a, err_msg=name)
+        else:
+            np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-30,
+                                       err_msg=name)
+    assert int(np.asarray(ref[1]).sum()) > 0
 
 
 def test_fitted_retrieval(use_ca_catalog):
