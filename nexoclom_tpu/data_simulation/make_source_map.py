@@ -46,7 +46,7 @@ from nexoclom_tpu.particle_tracking.output import Output
 
 DEFAULT_PARAMS = dict(smear_radius=np.radians(10), nlonbins=180, nlatbins=90,
                       nvelbins=100, nazbins=45, naltbins=23,
-                      smear_abundance=True, cull_block=0)
+                      smear_abundance=True, cull_block=0, sharded=False)
 
 
 def _haversine(lat1, lon1, lat2, lon2):
@@ -266,6 +266,53 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
     return tuple(out)
 
 
+@partial(jax.jit, static_argnames=('nvelbins', 'naltbins', 'nazbins',
+                                   'chunk', 'block', 'mesh'))
+def _smeared_sharded_fn(grid_lat, grid_lon, radius_scale, lat, lon, weight,
+                        included, v_kms, altitude, azimuth, vmax,
+                        nvelbins, naltbins, nazbins, chunk, block, mesh):
+    p_pack = jax.sharding.PartitionSpec('packets')
+    p_rep = jax.sharding.PartitionSpec()
+
+    def shard_body(latl, lonl, wl, incl, vl, altl, azl,
+                   glat, glon, rs, vm):
+        if block:
+            out = _smeared_point_stats_culled(
+                glat, glon, rs, latl, lonl, wl, incl, vl, altl, azl, vm,
+                nvelbins, naltbins, nazbins, chunk=chunk, block=block)
+        else:
+            out = _smeared_point_stats(
+                glat, glon, rs, latl, lonl, wl, incl, vl, altl, azl, vm,
+                nvelbins, naltbins, nazbins, chunk=chunk)
+        return tuple(jax.lax.psum(o, 'packets') for o in out)
+
+    return jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(p_pack,) * 7 + (p_rep,) * 4,
+        out_specs=(p_rep,) * 6, check_vma=False)(
+        lat, lon, weight, included, v_kms, altitude, azimuth,
+        grid_lat, grid_lon, radius_scale, vmax)
+
+
+def _smeared_point_stats_sharded(grid_lat, grid_lon, radius_scale,
+                                 lat, lon, weight, included, v_kms,
+                                 altitude, azimuth, vmax, nvelbins: int,
+                                 naltbins: int, nazbins: int, mesh,
+                                 chunk: int = 64, block: int = 0):
+    """Smeared per-point statistics over a packet-sharded mesh — the
+    family pattern (:func:`nexoclom_tpu.ops.los.los_reduce_culled_sharded`):
+    each device smears (and, with ``block``, culls) ONLY its local packet
+    shard under ``jax.shard_map``; one psum joins each of the six
+    per-grid-point statistics.  Packet arrays must be pre-padded/placed
+    (``shard_padded``; NaN latitude pads fail every haversine compare,
+    zero weight/False included keep the sums exact)."""
+    return _smeared_sharded_fn(
+        jnp.asarray(grid_lat), jnp.asarray(grid_lon),
+        jnp.asarray(radius_scale), lat, lon, weight, included, v_kms,
+        altitude, azimuth, jnp.asarray(vmax, lat.dtype),
+        nvelbins, naltbins, nazbins, chunk, int(block or 0), mesh)
+
+
 def make_source_map(outputfile: str, params=None, todo='source'):
     """Distribution dict for one output file (reference
     ``make_source_map()``); ``todo`` is 'source' or 'available'."""
@@ -331,16 +378,27 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
     gridlat, gridlon = np.meshgrid(lat_centers, lon_centers)
     radius_scale = params['smear_radius'] * np.cos(gridlat.ravel())
     cull_block = int(params.get('cull_block') or 0)
-    if cull_block:
+    from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
+    mesh = resolve_packet_mesh(params.get('sharded', False),
+                               'make_source_map')
+    packet_arrays = (jnp.asarray(lat), jnp.asarray(lon),
+                     jnp.asarray(weight), jnp.asarray(included),
+                     jnp.asarray(v_kms), jnp.asarray(altitude),
+                     jnp.asarray(azimuth))
+    if mesh is not None:
+        # NaN latitude pads fail every haversine compare (inert rows)
+        packet_arrays, _ = shard_padded(
+            mesh, packet_arrays, (np.nan, 0.0, 0.0, False, 0.0, 0.0, 0.0))
+        smear = partial(_smeared_point_stats_sharded, mesh=mesh,
+                        block=cull_block)
+    elif cull_block:
         smear = partial(_smeared_point_stats_culled, block=cull_block)
     else:
         smear = _smeared_point_stats
     n_inc, n_tot, abund_s, vh, ah, zh = smear(
         jnp.asarray(gridlat.ravel()), jnp.asarray(gridlon.ravel()),
-        jnp.asarray(radius_scale),
-        jnp.asarray(lat), jnp.asarray(lon), jnp.asarray(weight),
-        jnp.asarray(included), jnp.asarray(v_kms), jnp.asarray(altitude),
-        jnp.asarray(azimuth), vmax, nvel, nalt, naz)
+        jnp.asarray(radius_scale), *packet_arrays,
+        vmax=vmax, nvelbins=nvel, naltbins=nalt, nazbins=naz)
 
     shape = gridlon.shape
     if params['smear_abundance']:
@@ -363,6 +421,8 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
         # inherit the LOSResult's cull opt-in (the whole pairwise family
         # rides one switch)
         params['cull_block'] = getattr(losresult, 'cull_block', 0)
+    if 'sharded' not in explicit:
+        params['sharded'] = getattr(losresult, 'sharded', False)
 
     # one restore per file: the vmax scan and the distribution pass reuse
     # the same deserialized Outputs (full-array restores dominate

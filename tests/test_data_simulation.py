@@ -357,6 +357,18 @@ def test_source_map(use_ca_catalog):
                                source.speed_dist_map, rtol=1e-9, atol=1e-30)
     np.testing.assert_allclose(available_c.abundance, available.abundance,
                                rtol=1e-9)
+    # sharded over the 8 virtual devices (dense and culled): per-shard
+    # smears joined by one psum each — counts exact, sums to shard order
+    source_s, _ = los.make_source_map(dict(params, sharded=True),
+                                      do_available=False)
+    np.testing.assert_allclose(source_s.abundance, source.abundance,
+                               rtol=1e-9)
+    np.testing.assert_array_equal(source_s.n_total, source.n_total)
+    source_sc, _ = los.make_source_map(
+        dict(params, sharded=True, cull_block=512), do_available=False)
+    np.testing.assert_allclose(source_sc.abundance, source.abundance,
+                               rtol=1e-9)
+    np.testing.assert_array_equal(source_sc.n_total, source.n_total)
 
 
 def test_smeared_point_stats_culled_matches_dense():
