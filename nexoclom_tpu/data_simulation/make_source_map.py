@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nexoclom_tpu.initial_state.sourcemap import SourceMap
-from nexoclom_tpu.ops.histograms import histogram1d
+from nexoclom_tpu.ops.histograms import _bin_index, histogram1d
 from nexoclom_tpu.ops.los import _morton_key
 from nexoclom_tpu.particle_tracking.output import Output
 
@@ -102,13 +102,28 @@ def _smeared_point_stats(grid_lat, grid_lon, radius_scale,
                  for r in results)
 
 
+def _hist_rows(W, vals, lo, hi, nbins: int):
+    """Row-wise weighted histograms by one-hot MXU contraction: for the
+    weight matrix W (chunk, n) and one shared sample vector (n,), return
+    (chunk, nbins) — every row's histogram in ONE dot_general (the
+    ``ops.histograms._histogram2d_matmul`` form; exact 0/1 one-hot
+    products, f32+ accumulation, summation order differs from scatter)."""
+    idx, ok = _bin_index(vals, lo, hi, nbins)
+    onehot = (idx[:, None] == jnp.arange(nbins, dtype=idx.dtype)[None, :]
+              ).astype(W.dtype)
+    Wok = W * ok.astype(W.dtype)[None, :]
+    return jax.lax.dot_general(Wok, onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=W.dtype)
+
+
 @partial(jax.jit, static_argnames=('nvelbins', 'naltbins', 'nazbins',
-                                   'chunk', 'block'))
+                                   'chunk', 'block', 'hist_impl'))
 def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
                                 lat, lon, weight, included, v_kms,
                                 altitude, azimuth, vmax, nvelbins: int,
                                 naltbins: int, nazbins: int,
-                                chunk: int = 64, block: int = 8192):
+                                chunk: int = 64, block: int = 8192,
+                                hist_impl: str = 'auto'):
     """:func:`_smeared_point_stats` behind the two-stage block cull.
 
     The smear's inclusion test is angular — haversine(grid, packet) <
@@ -132,6 +147,12 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
     and by the chunk's cap bundle (measured 4.3x on CPU at 200k packets
     x a 90x45 grid, half-clustered source, block 4096; see
     docs/scaling.md).
+
+    ``hist_impl``: 'scatter' (``.at[].add`` per grid point — a serial
+    ~8.5 ns/update loop on this TPU), 'matmul' (one one-hot MXU
+    contraction per statistic per tile computes the WHOLE chunk's
+    histograms — exact 0/1 products, summation order differs), or
+    'auto' (matmul on accelerators, scatter on CPU).
     """
     npts = grid_lat.shape[0]
 
@@ -204,21 +225,35 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
         # all-NaN (pure pad) blocks: NaN center -> comparison False
         return d - br <= chord1
 
-    def one_point_tile(glat, glon, radius, latt, lont, wt, wit, inct,
-                       vt, altt, azt):
-        dist = _haversine(glat, glon, latt, lont)
-        near = dist < radius
-        n_inc = jnp.sum(near & inct)
-        n_tot = jnp.sum(near)
-        abund = jnp.sum(jnp.where(near, wt, 0.0))
-        w_near = jnp.where(near, wit, 0.0)
-        vh = histogram1d(vt, w_near, 0.0, vmax, nvelbins)
-        ah = histogram1d(altt, w_near, 0.0, jnp.pi / 2, naltbins)
-        zh = histogram1d(azt, w_near, 0.0, 2 * jnp.pi, nazbins)
-        return n_inc, n_tot, abund, vh, ah, zh
+    impl = hist_impl
+    if impl == 'auto':
+        # scatter-add is a serial ~8.5 ns/update loop on this TPU; the
+        # one-hot MXU contraction computes the whole chunk's histograms
+        # in one dot_general per statistic per tile
+        impl = 'matmul' if jax.default_backend() != 'cpu' else 'scatter'
 
-    tile_vmap = jax.vmap(one_point_tile,
-                         in_axes=(0, 0, 0) + (None,) * 8)
+    def chunk_tile_stats(glat, glon, radius, latt, lont, wt, wit, inct,
+                         vt, altt, azt):
+        dist = _haversine(glat[:, None], glon[:, None],
+                          latt[None, :], lont[None, :])
+        near = dist < radius[:, None]                  # (chunk, tile)
+        n_inc = jnp.sum(near & inct[None, :], axis=1)
+        n_tot = jnp.sum(near, axis=1)
+        abund = jnp.sum(jnp.where(near, wt[None, :], 0.0), axis=1)
+        W = jnp.where(near, wit[None, :], 0.0)
+        if impl == 'matmul':
+            vh = _hist_rows(W, vt, 0.0, vmax, nvelbins)
+            ah = _hist_rows(W, altt, 0.0, jnp.pi / 2, naltbins)
+            zh = _hist_rows(W, azt, 0.0, 2 * jnp.pi, nazbins)
+        else:
+            vh = jax.vmap(
+                lambda w: histogram1d(vt, w, 0.0, vmax, nvelbins))(W)
+            ah = jax.vmap(
+                lambda w: histogram1d(altt, w, 0.0, jnp.pi / 2,
+                                      naltbins))(W)
+            zh = jax.vmap(
+                lambda w: histogram1d(azt, w, 0.0, 2 * jnp.pi, nazbins))(W)
+        return n_inc, n_tot, abund, vh, ah, zh
 
     def body(_, operands):
         glat, glon, radius, gxc, gyc, gzc, chordc = operands
@@ -237,7 +272,7 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
                 jax.lax.dynamic_slice_in_dim(a, off, block)
                 for a in (lat_s, lon_s, w_s, wi_s, incl_s,
                           v_s, alt_s, az_s))
-            ni_t, nt_t, ab_t, vh_t, ah_t, zh_t = tile_vmap(
+            ni_t, nt_t, ab_t, vh_t, ah_t, zh_t = chunk_tile_stats(
                 glat, glon, radius, *args)
             return (j + 1, ni + ni_t, nt + nt_t, ab + ab_t,
                     vh + vh_t, ah + ah_t, zh + zh_t)
@@ -267,10 +302,11 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
 
 
 @partial(jax.jit, static_argnames=('nvelbins', 'naltbins', 'nazbins',
-                                   'chunk', 'block', 'mesh'))
+                                   'chunk', 'block', 'mesh', 'hist_impl'))
 def _smeared_sharded_fn(grid_lat, grid_lon, radius_scale, lat, lon, weight,
                         included, v_kms, altitude, azimuth, vmax,
-                        nvelbins, naltbins, nazbins, chunk, block, mesh):
+                        nvelbins, naltbins, nazbins, chunk, block, mesh,
+                        hist_impl='auto'):
     p_pack = jax.sharding.PartitionSpec('packets')
     p_rep = jax.sharding.PartitionSpec()
 
@@ -279,7 +315,8 @@ def _smeared_sharded_fn(grid_lat, grid_lon, radius_scale, lat, lon, weight,
         if block:
             out = _smeared_point_stats_culled(
                 glat, glon, rs, latl, lonl, wl, incl, vl, altl, azl, vm,
-                nvelbins, naltbins, nazbins, chunk=chunk, block=block)
+                nvelbins, naltbins, nazbins, chunk=chunk, block=block,
+                hist_impl=hist_impl)
         else:
             out = _smeared_point_stats(
                 glat, glon, rs, latl, lonl, wl, incl, vl, altl, azl, vm,
@@ -298,7 +335,8 @@ def _smeared_point_stats_sharded(grid_lat, grid_lon, radius_scale,
                                  lat, lon, weight, included, v_kms,
                                  altitude, azimuth, vmax, nvelbins: int,
                                  naltbins: int, nazbins: int, mesh,
-                                 chunk: int = 64, block: int = 0):
+                                 chunk: int = 64, block: int = 0,
+                                 hist_impl: str = 'auto'):
     """Smeared per-point statistics over a packet-sharded mesh — the
     family pattern (:func:`nexoclom_tpu.ops.los.los_reduce_culled_sharded`):
     each device smears (and, with ``block``, culls) ONLY its local packet
@@ -310,7 +348,8 @@ def _smeared_point_stats_sharded(grid_lat, grid_lon, radius_scale,
         jnp.asarray(grid_lat), jnp.asarray(grid_lon),
         jnp.asarray(radius_scale), lat, lon, weight, included, v_kms,
         altitude, azimuth, jnp.asarray(vmax, lat.dtype),
-        nvelbins, naltbins, nazbins, chunk, int(block or 0), mesh)
+        nvelbins, naltbins, nazbins, chunk, int(block or 0), mesh,
+        hist_impl)
 
 
 def make_source_map(outputfile: str, params=None, todo='source'):

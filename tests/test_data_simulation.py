@@ -403,14 +403,20 @@ def test_smeared_point_stats_culled_matches_dense():
             jnp.asarray(alt), jnp.asarray(az), 5.0, 10, 6, 5)
     ref = _smeared_point_stats(*args, chunk=32)
     cul = _smeared_point_stats_culled(*args, chunk=32, block=256)
-    for name, a, b in zip(('n_inc', 'n_tot', 'abund', 'vh', 'ah', 'zh'),
-                          ref, cul):
-        a, b = np.asarray(a), np.asarray(b)
+    # the MXU one-hot histogram form (what 'auto' picks on TPU)
+    cul_mm = _smeared_point_stats_culled(*args, chunk=32, block=256,
+                                         hist_impl='matmul')
+    for name, a, b, c in zip(('n_inc', 'n_tot', 'abund', 'vh', 'ah', 'zh'),
+                             ref, cul, cul_mm):
+        a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
         if a.dtype.kind in 'iu':
             np.testing.assert_array_equal(b, a, err_msg=name)
+            np.testing.assert_array_equal(c, a, err_msg=name + ' (matmul)')
         else:
             np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-30,
                                        err_msg=name)
+            np.testing.assert_allclose(c, a, rtol=1e-9, atol=1e-30,
+                                       err_msg=name + ' (matmul)')
     assert int(np.asarray(ref[1]).sum()) > 0
 
 
