@@ -21,3 +21,6 @@ echo "== bench.py run 1 =="
 timeout 3000 python -u bench.py
 echo "== bench.py run 2 =="
 timeout 3000 python -u bench.py
+
+echo "== source-map smear cull (optional stage) =="
+timeout 1200 python -u scripts/bench_smear.py || true
