@@ -46,7 +46,7 @@ from nexoclom_tpu.particle_tracking.output import Output
 
 DEFAULT_PARAMS = dict(smear_radius=np.radians(10), nlonbins=180, nlatbins=90,
                       nvelbins=100, nazbins=45, naltbins=23,
-                      smear_abundance=True, cull_block=0, sharded=False)
+                      smear_abundance=True, cull_block='auto', sharded=False)
 
 
 def _haversine(lat1, lon1, lat2, lon2):
@@ -416,7 +416,14 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
     # reference's meshgrid(y, x) flatten)
     gridlat, gridlon = np.meshgrid(lat_centers, lon_centers)
     radius_scale = params['smear_radius'] * np.cos(gridlat.ravel())
-    cull_block = int(params.get('cull_block') or 0)
+    cull_block = params.get('cull_block', 'auto')
+    if cull_block in (None, 'auto'):
+        # accelerator default: the dense smear is 3 serial scatter-add
+        # histograms over every (point, packet) pair (~8.5 ns/update on
+        # this TPU — minutes at production geometry); the cull is exact,
+        # so it is the right default wherever scatter is serial
+        cull_block = 0 if jax.default_backend() == 'cpu' else 8192
+    cull_block = int(cull_block or 0)
     from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
     mesh = resolve_packet_mesh(params.get('sharded', False),
                                'make_source_map')
@@ -456,10 +463,11 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
     ``LOSResult.make_source_map``, ``LOSResult.py:310-491``)."""
     explicit = params or {}
     params = {**DEFAULT_PARAMS, **explicit}
-    if 'cull_block' not in explicit:
+    if 'cull_block' not in explicit and getattr(losresult, 'cull_block', 0):
         # inherit the LOSResult's cull opt-in (the whole pairwise family
-        # rides one switch)
-        params['cull_block'] = getattr(losresult, 'cull_block', 0)
+        # rides one switch); otherwise DEFAULT_PARAMS' 'auto' picks the
+        # backend-appropriate form
+        params['cull_block'] = losresult.cull_block
     if 'sharded' not in explicit:
         params['sharded'] = getattr(losresult, 'sharded', False)
 
