@@ -59,3 +59,10 @@ def test_quickstart_walkthrough(tmp_path, monkeypatch):
     result = scdata.model(inp, npackets=1500, dphi=math.radians(1.0),
                           seed=1)
     assert np.isfinite(result.sourcerate) and result.sourcerate > 0
+
+    # step 5b: the smeared source maps (tiny grid)
+    srcmap, availmap = result.make_source_map(
+        dict(nlonbins=18, nlatbins=9, nvelbins=10, naltbins=6, nazbins=5))
+    assert srcmap.abundance.shape == (18, 9)
+    assert np.isfinite(srcmap.abundance).all()
+    assert availmap.abundance.sum() > 0
