@@ -418,6 +418,22 @@ def test_smeared_point_stats_culled_matches_dense():
             np.testing.assert_allclose(c, a, rtol=1e-9, atol=1e-30,
                                        err_msg=name + ' (matmul)')
     assert int(np.asarray(ref[1]).sum()) > 0
+    # edge cases: polar grid points (radius_scale -> 0: nothing near),
+    # and every packet inside one cap (nothing culled)
+    pole_args = (jnp.asarray(np.array([np.pi / 2 - 1e-9, -np.pi / 2])),
+                 jnp.asarray(np.zeros(2)), jnp.asarray(np.zeros(2)))
+    ref_p = _smeared_point_stats(*pole_args, *args[3:], chunk=2)
+    cul_p = _smeared_point_stats_culled(*pole_args, *args[3:],
+                                        chunk=2, block=256)
+    np.testing.assert_array_equal(np.asarray(cul_p[1]), np.asarray(ref_p[1]))
+    assert int(np.asarray(cul_p[1]).sum()) == 0
+    tight = (jnp.asarray(np.full(3, 0.2)), jnp.asarray(np.full(3, 4.7)),
+             jnp.asarray(np.full(3, np.pi)))   # radius pi: ALL packets near
+    ref_t = _smeared_point_stats(*tight, *args[3:], chunk=2)
+    cul_t = _smeared_point_stats_culled(*tight, *args[3:],
+                                        chunk=2, block=256)
+    np.testing.assert_array_equal(np.asarray(cul_t[1]), np.asarray(ref_t[1]))
+    assert int(np.asarray(cul_t[1])[0]) == 4007
 
 
 def test_fitted_retrieval(use_ca_catalog):
