@@ -19,11 +19,13 @@ One JSON line with five driver-visible metrics (round-over-round record):
 * ``los_value`` — (spectrum x packet) pairs/s of the LOS pipeline on the
   MESSENGER-like orbit geometry (1024 limb-scan spectra x 2^20 packets,
   1° cones), through the two-stage block cull (``los_reduce_culled``,
-  results identical to the dense kernel).  ``los_vs_baseline`` compares
-  against 1.8e7 pairs/s — the reference's own per-spectrum KDTree loop,
-  which logs minutes per 1024-spectra iteration at this scale
-  (compute_iteration.py:236-237; 60 s assumed — conservative).  The
-  detail block carries the dense kernel's rate and the cull speedup.
+  results identical to the dense kernel) at blocks 4096 AND 8192
+  (``NEXOCLOM_BENCH_WALK_GROUP`` overrides the tiles-per-trip default).
+  ``los_vs_baseline`` compares against 1.8e7 pairs/s — the reference's
+  own per-spectrum KDTree loop, which logs minutes per 1024-spectra
+  iteration at this scale (compute_iteration.py:236-237; 60 s assumed —
+  conservative).  The detail block carries the dense kernel's rate and
+  each block's cull speedup + surviving-tile fraction.
   Set ``NEXOCLOM_BENCH_SKIP_LOS=1`` to skip this stage.
 * ``pool_value`` — accepted packet-steps/s of the PRODUCTION adaptive
   path for large batches: ``adaptive_production_run`` routing a 2^24
@@ -33,8 +35,16 @@ One JSON line with five driver-visible metrics (round-over-round record):
   same-session monolithic rate measured, docs/scaling.md occupancy
   ladder).  The accepted-step total is the monolithic run's count
   scaled by pool/batch (identical physics and seed; the pool driver
-  does not carry per-lane counters).
+  does not carry per-lane counters).  Timed reps extend adaptively
+  (3..7) until the two fastest agree within 2.5% — the pool loop is
+  host-load sensitive (docs/scaling.md session C) and the record keeps
+  the converged quiet-window minimum, with loadavg in the detail.
   Set ``NEXOCLOM_BENCH_SKIP_POOL=1`` to skip this stage.
+* ``e2e_wall_s`` — flagship END-TO-END wall time: Input.run (2^22
+  packets, adaptive pool engine + store + catalog) -> LOSResult over
+  the MESSENGER-like orbit -> weighted-LSQ source rate ->
+  LOSResultFitted retrieval, on a throwaway temp catalog; breakdown in
+  ``detail.e2e``.  Set ``NEXOCLOM_BENCH_SKIP_E2E=1`` to skip.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
 "adaptive_value", "adaptive_vs_baseline", "fused_value",
@@ -226,20 +236,32 @@ def bench_pool(accepted_mono, attempted_mono, n_mono):
     final, _ = run()                    # compile + warm the pool program
     assert np.isfinite(final.frac).all()
     # the pool dispatch's wall time swings up to ~30% run to run on this
-    # platform (sort/boundary phases are sensitive to worker state; the
-    # monolithic loop is not — docs/scaling.md) -> best of three timed reps
+    # platform (sort/boundary phases are HOST-LOAD sensitive; the
+    # monolithic loop is not — docs/scaling.md session C), so the driver
+    # record is the best rep of an adaptive series: keep timing (3..7
+    # reps) until the two fastest agree within 2.5% — a converged
+    # quiet-window minimum — and surface loadavg + per-rep walls in the
+    # detail block so drift is visible in the record itself (round-5
+    # verdict item: make the 2.7e8 floor driver-verifiable)
+    load0 = os.getloadavg()[0]
     rep_times = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         final, iters = run()            # host numpy return: its own barrier
         rep_times.append(time.perf_counter() - t0)
+        if len(rep_times) >= 3:
+            best2 = sorted(rep_times)[:2]
+            if best2[1] / best2[0] < 1.025:
+                break
     elapsed = min(rep_times)
     accepted = accepted_mono * (n_pool / n_mono)
     attempted = attempted_mono * (n_pool / n_mono)
     detail = {'iterations': int(iters), 'pool': n_pool,
               'occupancy': round(attempted / (int(iters) * POOL_LOOP_BATCH),
                                  4),
-              'rep_s': [round(t, 3) for t in rep_times]}
+              'rep_s': [round(t, 3) for t in rep_times],
+              'loadavg': [round(load0, 2), round(os.getloadavg()[0], 2)],
+              'converged': sorted(rep_times)[1] / min(rep_times) < 1.025}
     return accepted / elapsed, detail
 
 
@@ -264,9 +286,30 @@ def bench_fused():
         rep_times.append(time.perf_counter() - t0)
     assert np.isfinite(total) and total > 0
     elapsed = min(rep_times)
+
+    # opt-in subsampling lever (docs/scaling.md fused roofline): stride-4
+    # staggered snapshots, annotated with the measured image deviation so
+    # the accuracy cost of the faster rate is in the record
+    base_img = np.asarray(result.image, np.float64)
+    s4 = lambda: fused_image_run(inp, n, dict(params), seed=1, chunk=chunk,
+                                 snapshot_stride=4)
+    r4 = s4()
+    float(r4.image.sum())
+    rep4 = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r4 = s4()
+        float(r4.image.sum())
+        rep4.append(time.perf_counter() - t0)
+    img4 = np.asarray(r4.image, np.float64)
+    stride4_dev = abs(img4.sum() - base_img.sum()) / base_img.sum()
+
     return (n * (nsteps - 1) / elapsed,
             {'npackets': n, 'nsteps': nsteps - 1, 'chunks': n // chunk,
-             'rep_s': [round(t, 3) for t in rep_times]})
+             'rep_s': [round(t, 3) for t in rep_times],
+             'stride4_value': n * (nsteps - 1) / min(rep4),
+             'stride4_total_dev': round(stride4_dev, 6),
+             'rep_s_stride4': [round(t, 3) for t in rep4]})
 
 
 LOS_BASELINE = 1.8e7   # pairs/s: reference KDTree loop at ~60 s/iteration
@@ -309,7 +352,6 @@ def bench_los():
                jnp.asarray(dd, jnp.float32))
     dphi = math.radians(1.0)
     rp_cm = 2440.53e5
-    block = 8192
     pairs = n_spectra * n
 
     def timed(fn, reps=3):
@@ -324,20 +366,89 @@ def bench_los():
         return rad, checksum, rep_times
 
     rad_d, sum_d, reps_d = timed(lambda: los_reduce(*fn_args, dphi, rp_cm))
-    rad_c, sum_c, reps_c = timed(lambda: los_reduce_culled(
-        *fn_args, dphi, rp_cm, block=block))
-    rel = (np.abs(np.asarray(rad_c, np.float64)
-                  - np.asarray(rad_d, np.float64)).max()
-           / max(float(np.asarray(rad_d).max()), 1e-30))
-    assert rel < 1e-5, f'cull-vs-dense max rel {rel}'
     dense_rate = pairs / min(reps_d)
-    cull_rate = pairs / min(reps_c)
-    detail = {'spectra': n_spectra, 'npackets': n, 'block': block,
+    detail = {'spectra': n_spectra, 'npackets': n,
               'dense_pairs_per_s': dense_rate,
-              'cull_speedup': round(cull_rate / dense_rate, 3),
-              'rep_s_dense': [round(t, 4) for t in reps_d],
-              'rep_s_culled': [round(t, 4) for t in reps_c]}
-    return max(cull_rate, dense_rate), detail
+              'rep_s_dense': [round(t, 4) for t in reps_d]}
+
+    # the cull ladder: both production block sizes, tuned walk group
+    # (round-5 measurement, docs/scaling.md cull ladder)
+    wg = int(os.environ.get('NEXOCLOM_BENCH_WALK_GROUP', '0')) or None
+    best_rate = dense_rate
+    for block in (4096, 8192):
+        kw = {} if wg is None else {'walk_group': wg}
+        rad_c, sum_c, reps_c = timed(lambda: los_reduce_culled(
+            *fn_args, dphi, rp_cm, block=block, **kw))
+        rel = (np.abs(np.asarray(rad_c, np.float64)
+                      - np.asarray(rad_d, np.float64)).max()
+               / max(float(np.asarray(rad_d).max()), 1e-30))
+        assert rel < 1e-5, f'cull-vs-dense max rel {rel}'
+        _, _, _, ks = los_reduce_culled(*fn_args, dphi, rp_cm, block=block,
+                                        return_tile_counts=True, **kw)
+        ks = np.asarray(ks)
+        nblocks = -(-n // block)
+        cull_rate = pairs / min(reps_c)
+        detail[f'block{block}'] = {
+            'cull_speedup': round(cull_rate / dense_rate, 3),
+            'surviving_frac': round(float(ks.mean()) / nblocks, 4),
+            'rep_s_culled': [round(t, 4) for t in reps_c]}
+        best_rate = max(best_rate, cull_rate)
+    if wg is not None:
+        detail['walk_group'] = wg
+    return best_rate, detail
+
+
+def bench_e2e():
+    """Flagship end-to-end wall time (round-5 verdict item 5): the full
+    user-visible stack — ``Input.run`` (adaptive pool engine + host frames
+    + npz store + catalog) -> ``LOSResult`` over the MESSENGER-like orbit
+    -> weighted-LSQ source rate -> ``LOSResultFitted`` retrieval — at a
+    production scale (2^22 packets), under a throwaway temp catalog.
+    The reference logs minutes PER LOS ITERATION alone at this spectra
+    count (compute_iteration.py:236-237).  Returns (total_s, detail)."""
+    import tempfile
+
+    import pandas as pd
+
+    from nexoclom_tpu.data_simulation import (LOSResult, LOSResultFitted,
+                                              SpacecraftData)
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+
+    n = 1 << 22
+    savepath = tempfile.mkdtemp(prefix='nxt_bench_e2e_')
+    set_config(NexoclomConfig(savepath=savepath, precision='float32'))
+    inp = _ca_inputs()
+    inp.options.endtime = 10800.0
+    inp.options.step_size = 0.0
+    inp.options.resolution = 1e-4
+
+    t0 = time.perf_counter()
+    inp.run(n, seed=5)
+    run_s = time.perf_counter() - t0
+
+    orbit = pd.read_csv(os.path.join(HERE, 'tests', 'data', 'orbits',
+                                     'messenger_like_orbit.csv'))
+    scdata = SpacecraftData(orbit, species='Ca')
+    t0 = time.perf_counter()
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                      dphi=math.radians(1.0), label='bench_e2e')
+    unfit.simulate_data_from_inputs(scdata)
+    los_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    unfit.determine_source_rate(scdata)
+    fit_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fitted = LOSResultFitted(scdata, 'bench_e2e', {'quantity': 'radiance'})
+    fitted.determine_source_from_data(scdata)
+    fitted_s = time.perf_counter() - t0
+    assert np.isfinite(float(unfit.sourcerate))
+    assert np.isfinite(float(fitted.sourcerate))
+    total = run_s + los_s + fit_s + fitted_s
+    return total, {'npackets': n, 'spectra': len(orbit),
+                   'run_s': round(run_s, 1), 'los_s': round(los_s, 2),
+                   'fit_s': round(fit_s, 3),
+                   'fitted_s': round(fitted_s, 2),
+                   'total_s': round(total, 1)}
 
 
 def main():
@@ -370,6 +481,10 @@ def main():
         record['pool_value'] = pool_rate
         record['pool_vs_baseline'] = pool_rate / BASELINE
         detail['pool'] = pool_detail
+    if os.environ.get('NEXOCLOM_BENCH_SKIP_E2E', '') in ('', '0'):
+        e2e_s, e2e_detail = bench_e2e()
+        record['e2e_wall_s'] = round(e2e_s, 1)
+        detail['e2e'] = e2e_detail
     record['detail'] = detail
     print(json.dumps(record))
 

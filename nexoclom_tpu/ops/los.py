@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 _CHUNK = 32   # spectra evaluated concurrently; memory ~ _CHUNK x N floats
+_WALK_GROUP = 1   # tiles per while_loop trip in the culled walk (see
+                  # los_reduce_culled.walk_group; tuned on TPU, round 5)
 
 
 def _spectrum_kernel(px, py, pz, weight, sc, b, obstruct, dd,
@@ -150,11 +152,16 @@ def _morton_key(px, py, pz, bits: int = 10):
     return jnp.where(bad, jnp.int32(2 ** 31 - 1), key)
 
 
-@partial(jax.jit, static_argnames=('quantity', 'chunk', 'block'))
+@partial(jax.jit, static_argnames=('quantity', 'chunk', 'block',
+                                   'walk_group', 'walk_all',
+                                   'return_tile_counts'))
 def los_reduce_culled(px, py, pz, weight,
                       sc_pos, bore, obstruction, outer_dd,
                       dphi, rp_cm, quantity: str = 'radiance',
-                      chunk: int = _CHUNK, block: int = 8192):
+                      chunk: int = _CHUNK, block: int = 8192,
+                      walk_group: int = _WALK_GROUP,
+                      walk_all: bool = False,
+                      return_tile_counts: bool = False):
     """:func:`los_reduce` with a two-stage block cull — the TPU-native
     form of the reference's KDTree prefilter
     (``compute_iteration.py:171-173``), exact by construction.
@@ -189,6 +196,16 @@ def los_reduce_culled(px, py, pz, weight,
     spectrum results are bit-identical under regrouping (culled-away
     tiles contribute exact zeros), and outputs are scattered back to
     the caller's spectrum order.
+
+    ``walk_group`` — surviving tiles processed per while_loop trip
+    (unrolled dynamic slices): amortises the loop's serial trip
+    latency, which on this platform otherwise eats most of the
+    geometric cull win (docs/scaling.md, round-5 cull ladder).  Trips
+    past the survivor count are masked to exact zeros, so results stay
+    identical for any group.  ``walk_all=True`` bypasses the sphere
+    test and walks EVERY tile — the measurement roofline separating
+    tile-walk overhead from cull selectivity.  ``return_tile_counts``
+    appends a (nchunks,) per-chunk surviving-tile count to the outputs.
     """
     cos_dphi = jnp.cos(dphi)
     sin_dphi = jnp.sin(dphi)
@@ -281,38 +298,52 @@ def los_reduce_culled(px, py, pz, weight,
 
     def body(used_sorted, operands):
         sc, b, obstruct, dd = operands
-        pred = jnp.any(
-            jax.vmap(sphere_test)(sc, b, obstruct, dd), axis=0)
+        if walk_all:
+            pred = jnp.ones(nblocks, bool)
+        else:
+            pred = jnp.any(
+                jax.vmap(sphere_test)(sc, b, obstruct, dd), axis=0)
         k = jnp.sum(pred)
         order = jnp.sort(jnp.where(pred, iota_b, nblocks))
+        ntrips = -(-k // walk_group)
 
         def tile_cond(c):
-            return c[0] < k
+            return c[0] < ntrips
 
         def tile_body(c):
-            j, rad_c, npack_c, used_c = c
-            bid = order[j]                  # 1-element dynamic slice
-            off = bid * block
-            pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
-            pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
-            pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
-            wt = jax.lax.dynamic_slice_in_dim(w_s, off, block)
-            rad_t, npack_t, used_t = tile_vmap(sc, b, obstruct, dd,
-                                               pxt, pyt, pzt, wt)
-            old = jax.lax.dynamic_slice_in_dim(used_c, off, block)
-            used_c = jax.lax.dynamic_update_slice_in_dim(
-                used_c, old | jnp.any(used_t, axis=0), off, 0)
-            return (j + 1, rad_c + rad_t,
-                    npack_c + npack_t.astype(npack_c.dtype), used_c)
+            t, rad_c, npack_c, used_c = c
+            # walk_group tiles per trip, unrolled: masked past-k slots
+            # contribute exact zeros (and re-read offset 0 harmlessly)
+            for g in range(walk_group):
+                j = t * walk_group + g
+                valid = j < k
+                bid = order[jnp.minimum(j, nblocks - 1)]
+                off = jnp.where(valid, bid, 0) * block
+                pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
+                pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
+                pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
+                wt = jax.lax.dynamic_slice_in_dim(w_s, off, block)
+                rad_t, npack_t, used_t = tile_vmap(sc, b, obstruct, dd,
+                                                   pxt, pyt, pzt, wt)
+                rad_c = rad_c + jnp.where(valid, rad_t, 0.0)
+                npack_c = npack_c + jnp.where(
+                    valid, npack_t, 0).astype(npack_c.dtype)
+                old = jax.lax.dynamic_slice_in_dim(used_c, off, block)
+                used_c = jax.lax.dynamic_update_slice_in_dim(
+                    used_c, old | (jnp.any(used_t, axis=0) & valid),
+                    off, 0)
+            return (t + 1, rad_c, npack_c, used_c)
 
         _, rad, npack, used_sorted = jax.lax.while_loop(
             tile_cond, tile_body,
             (jnp.asarray(0, k.dtype), jnp.zeros(chunk, px.dtype),
              jnp.zeros(chunk, jnp.int32), used_sorted))
-        return used_sorted, (rad, npack)
+        return used_sorted, ((rad, npack, k) if return_tile_counts
+                             else (rad, npack))
 
-    used_sorted, (rad, npack) = jax.lax.scan(
+    used_sorted, out = jax.lax.scan(
         body, jnp.zeros(n_pad, bool), chunked)
+    rad, npack = out[0], out[1]
     # unsort the used mask (scatter — one O(N) pass for the whole call)
     used_any = jnp.zeros(n_pad, bool).at[perm].set(used_sorted)[:n]
     # unsort the spectra back to the caller's order (S-sized scatter)
@@ -320,19 +351,24 @@ def los_reduce_culled(px, py, pz, weight,
         rad.reshape(-1)[:n_spectra])
     npack = jnp.zeros(n_spectra, npack.dtype).at[sperm].set(
         npack.reshape(-1)[:n_spectra])
+    if return_tile_counts:
+        return rad, npack, used_any, out[2]
     return rad, npack, used_any
 
 
-@partial(jax.jit, static_argnames=('quantity', 'chunk', 'block', 'mesh'))
+@partial(jax.jit, static_argnames=('quantity', 'chunk', 'block', 'mesh',
+                                   'walk_group'))
 def _culled_sharded_fn(px, py, pz, weight, sc_pos, bore, obstruction,
-                       outer_dd, dphi, rp_cm, quantity, chunk, block, mesh):
+                       outer_dd, dphi, rp_cm, quantity, chunk, block, mesh,
+                       walk_group=_WALK_GROUP):
     p_pack = jax.sharding.PartitionSpec('packets')
     p_rep = jax.sharding.PartitionSpec()
 
     def shard_body(pxl, pyl, pzl, wl, sc, b, ob, dd, dphi_l, rp_l):
         rad, npack, used = los_reduce_culled(
             pxl, pyl, pzl, wl, sc, b, ob, dd, dphi_l, rp_l,
-            quantity=quantity, chunk=chunk, block=block)
+            quantity=quantity, chunk=chunk, block=block,
+            walk_group=walk_group)
         return (jax.lax.psum(rad, 'packets'),
                 jax.lax.psum(npack, 'packets'), used)
 
@@ -348,7 +384,8 @@ def _culled_sharded_fn(px, py, pz, weight, sc_pos, bore, obstruction,
 def los_reduce_culled_sharded(px, py, pz, weight, sc_pos, bore,
                               obstruction, outer_dd, dphi, rp_cm, mesh,
                               quantity: str = 'radiance',
-                              chunk: int = _CHUNK, block: int = 8192):
+                              chunk: int = _CHUNK, block: int = 8192,
+                              walk_group: int = _WALK_GROUP):
     """:func:`los_reduce_culled` over a packet-sharded mesh.
 
     Each device Morton-sorts, culls, and tile-walks ONLY its local
@@ -368,7 +405,7 @@ def los_reduce_culled_sharded(px, py, pz, weight, sc_pos, bore,
         jnp.asarray(sc_pos), jnp.asarray(bore),
         jnp.asarray(obstruction), jnp.asarray(outer_dd),
         jnp.asarray(dphi, px.dtype), jnp.asarray(rp_cm, px.dtype),
-        quantity, chunk, block, mesh)
+        quantity, chunk, block, mesh, walk_group)
 
 
 @partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk'))
@@ -453,13 +490,15 @@ def los_fitted_accumulate(px, py, pz, weight, x0_index,
     return ratio_x_sigma, sigma_sum
 
 
-@partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk', 'block'))
+@partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk', 'block',
+                                   'walk_group'))
 def los_fitted_accumulate_culled(px, py, pz, weight, x0_index,
                                  sc_pos, bore, obstruction, outer_dd,
                                  ratio, spec_mask, spec_sigma,
                                  dphi, n_x0: int,
                                  use_weight: str | None = None,
-                                 chunk: int = _CHUNK, block: int = 8192):
+                                 chunk: int = _CHUNK, block: int = 8192,
+                                 walk_group: int = _WALK_GROUP):
     """:func:`los_fitted_accumulate` behind the two-stage block cull.
 
     Same Morton sort + bounding spheres + conservative cone test +
@@ -588,24 +627,29 @@ def los_fitted_accumulate_culled(px, py, pz, weight, x0_index,
             jax.vmap(sphere_test)(sc, b, obstruct, dd), axis=0)
         k = jnp.sum(pred)
         order = jnp.sort(jnp.where(pred, iota_b, nblocks))
+        ntrips = -(-k // walk_group)
 
         def tile_cond(c):
-            return c[0] < k
+            return c[0] < ntrips
 
         def tile_body(c):
-            j, rs, ss = c
-            bid = order[j]
-            off = bid * block
-            pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
-            pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
-            pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
-            wt = jax.lax.dynamic_slice_in_dim(w_s, off, block)
-            x0t = jax.lax.dynamic_slice_in_dim(x0_s, off, block)
-            cr, cw = tile_vmap(sc, b, obstruct, dd, rat, keep, sigma,
-                               pxt, pyt, pzt, wt)
-            rs = rs.at[x0t].add(cr.sum(axis=0))
-            ss = ss.at[x0t].add(cw.sum(axis=0))
-            return (j + 1, rs, ss)
+            t, rs, ss = c
+            for g in range(walk_group):
+                j = t * walk_group + g
+                valid = j < k
+                bid = order[jnp.minimum(j, nblocks - 1)]
+                off = jnp.where(valid, bid, 0) * block
+                pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
+                pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
+                pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
+                wt = jax.lax.dynamic_slice_in_dim(w_s, off, block)
+                x0t = jax.lax.dynamic_slice_in_dim(x0_s, off, block)
+                cr, cw = tile_vmap(sc, b, obstruct, dd, rat, keep, sigma,
+                                   pxt, pyt, pzt, wt)
+                # masked past-k slots scatter exact zeros to index x0t[0]
+                rs = rs.at[x0t].add(jnp.where(valid, cr.sum(axis=0), 0.0))
+                ss = ss.at[x0t].add(jnp.where(valid, cw.sum(axis=0), 0.0))
+            return (t + 1, rs, ss)
 
         _, rs, ss = jax.lax.while_loop(
             tile_cond, tile_body, (jnp.asarray(0, k.dtype),) + carry)
@@ -618,18 +662,19 @@ def los_fitted_accumulate_culled(px, py, pz, weight, x0_index,
 
 
 @partial(jax.jit, static_argnames=('n_x0', 'use_weight', 'chunk', 'block',
-                                   'mesh'))
+                                   'mesh', 'walk_group'))
 def _fitted_culled_sharded_fn(px, py, pz, weight, x0_index, sc_pos, bore,
                               obstruction, outer_dd, ratio, spec_mask,
                               spec_sigma, dphi, n_x0, use_weight, chunk,
-                              block, mesh):
+                              block, mesh, walk_group=_WALK_GROUP):
     p_pack = jax.sharding.PartitionSpec('packets')
     p_rep = jax.sharding.PartitionSpec()
 
     def shard_body(pxl, pyl, pzl, wl, x0l, *rest):
         rs, ss = los_fitted_accumulate_culled(
             pxl, pyl, pzl, wl, x0l, *rest, n_x0=n_x0,
-            use_weight=use_weight, chunk=chunk, block=block)
+            use_weight=use_weight, chunk=chunk, block=block,
+            walk_group=walk_group)
         return (jax.lax.psum(rs, 'packets'), jax.lax.psum(ss, 'packets'))
 
     return jax.shard_map(
@@ -646,7 +691,8 @@ def los_fitted_accumulate_culled_sharded(px, py, pz, weight, x0_index,
                                          spec_sigma, dphi, n_x0: int, mesh,
                                          use_weight: str | None = None,
                                          chunk: int = _CHUNK,
-                                         block: int = 8192):
+                                         block: int = 8192,
+                                         walk_group: int = _WALK_GROUP):
     """:func:`los_fitted_accumulate_culled` over a packet-sharded mesh:
     per-shard Morton sorts and tile walks, one psum pair joining the
     per-X0 sums (the :func:`los_reduce_culled_sharded` pattern).  Packet
@@ -658,7 +704,7 @@ def los_fitted_accumulate_culled_sharded(px, py, pz, weight, x0_index,
         jnp.asarray(obstruction), jnp.asarray(outer_dd),
         jnp.asarray(ratio), jnp.asarray(spec_mask),
         jnp.asarray(spec_sigma), jnp.asarray(dphi, px.dtype),
-        n_x0, use_weight, chunk, block, mesh)
+        n_x0, use_weight, chunk, block, mesh, walk_group)
 
 
 def los_geometry(sc_pos, bore, outeredge, moons=()):

@@ -32,6 +32,13 @@ def main():
                         help='spectra per scan step (default ops.los._CHUNK)')
     parser.add_argument('--culled', default=None,
                         help='comma list of cull block sizes to time')
+    parser.add_argument('--walk-groups', default='1',
+                        help='comma list of tiles-per-trip values timed '
+                             'at each cull block size')
+    parser.add_argument('--walk-all', action='store_true',
+                        help='also time the cull with the sphere test '
+                             'bypassed (walk every tile): the tile-walk '
+                             'overhead roofline vs the dense kernel')
     parser.add_argument('--orbit', action='store_true',
                         help='MESSENGER-like orbit fixture geometry + '
                              'r^-2 exosphere cloud')
@@ -112,22 +119,42 @@ def main():
     if args.culled:
         from nexoclom_tpu.ops.los import los_reduce_culled
         dense_rad = np.asarray(rad, np.float64)
+        groups = [int(g) for g in args.walk_groups.split(',')]
         for blk in (int(b) for b in args.culled.split(',')):
-            rad_c, npack_c, _ = los_reduce_culled(*fn_args, dphi, rp_cm,
-                                                  block=blk, **kw)
-            float(jnp.sum(rad_c))           # compile + barrier
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                rad_c, npack_c, _ = los_reduce_culled(
-                    *fn_args, dphi, rp_cm, block=blk, **kw)
-                float(jnp.sum(rad_c))
-            dt = (time.perf_counter() - t0) / reps
-            rel = (np.abs(np.asarray(rad_c, np.float64) - dense_rad).max()
-                   / max(dense_rad.max(), 1e-30))
-            print(f'culled block={blk:6d}: {dt:.3f} s -> '
-                  f'{pairs / dt:.3e} pairs/s nominal '
-                  f'({elapsed / dt:.2f}x dense), max rel diff {rel:.1e}, '
-                  f'npack equal={bool((np.asarray(npack_c) == np.asarray(npack)).all())}')
+            # survivor stats once per block (separate compile; untimed)
+            _, _, _, ks = los_reduce_culled(*fn_args, dphi, rp_cm,
+                                            block=blk,
+                                            return_tile_counts=True, **kw)
+            ks = np.asarray(ks)
+            nblocks = -(-n // blk)
+            print(f'block={blk:6d}: surviving tiles/chunk '
+                  f'mean {ks.mean():.1f} / {nblocks} '
+                  f'({ks.mean() / nblocks:.3f} frac; '
+                  f'min {ks.min()}, max {ks.max()}) '
+                  f'-> geometric ideal {nblocks / max(ks.mean(), 1):.2f}x')
+            variants = [(g, False) for g in groups]
+            if args.walk_all:
+                variants.append((max(groups), True))
+            for grp, wall in variants:
+                tag = 'walk-ALL' if wall else f'group={grp}'
+                run = lambda: los_reduce_culled(
+                    *fn_args, dphi, rp_cm, block=blk, walk_group=grp,
+                    walk_all=wall, **kw)
+                rad_c, npack_c, _ = run()
+                float(jnp.sum(rad_c))           # compile + barrier
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    rad_c, npack_c, _ = run()
+                    float(jnp.sum(rad_c))
+                dt = (time.perf_counter() - t0) / reps
+                rel = (np.abs(np.asarray(rad_c, np.float64)
+                              - dense_rad).max()
+                       / max(dense_rad.max(), 1e-30))
+                print(f'culled block={blk:6d} {tag}: {dt:.3f} s -> '
+                      f'{pairs / dt:.3e} pairs/s nominal '
+                      f'({elapsed / dt:.2f}x dense), max rel diff '
+                      f'{rel:.1e}, npack equal='
+                      f'{bool((np.asarray(npack_c) == np.asarray(npack)).all())}')
 
 
 if __name__ == '__main__':

@@ -230,6 +230,55 @@ def test_los_reduce_culled_matches_exact():
         assert int(npack.sum()) > 0
 
 
+def test_los_reduce_culled_walk_groups_bit_identical():
+    """Multi-tile while_loop trips (walk_group > 1) only change how many
+    dynamic slices run per trip: results must be BIT-identical to the
+    single-tile walk for every group (masked past-k slots contribute
+    exact zeros), including groups that do not divide the survivor
+    count, walk_all=True (sphere test bypassed), and the tile-count
+    output."""
+    from nexoclom_tpu.ops.los import los_reduce_culled
+    rng = np.random.default_rng(11)
+    n = 5000
+    r = rng.uniform(1.1, 8.0, n)
+    costh = rng.uniform(-1, 1, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    sinth = np.sqrt(1 - costh ** 2)
+    px = jnp.asarray(r * sinth * np.cos(phi))
+    py = jnp.asarray(r * sinth * np.sin(phi))
+    pz = jnp.asarray(r * costh)
+    w = jnp.asarray(rng.random(n))
+    S = 40
+    sc = rng.uniform(-10, 10, (S, 3))
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True) / 9.0, 1.0)
+    bore = -sc + rng.normal(0, 1.0, (S, 3))
+    bore /= np.linalg.norm(bore, axis=1, keepdims=True)
+    obstruction, dd = los_geometry(sc, bore, 10.0)
+    args = (jnp.asarray(sc), jnp.asarray(bore), jnp.asarray(obstruction),
+            jnp.asarray(dd))
+    dphi = math.radians(1.0)
+
+    rad1, npack1, used1, ks = los_reduce_culled(
+        px, py, pz, w, *args, dphi, RP_CM, block=512,
+        return_tile_counts=True)
+    nblocks = -(-n // 512)
+    ks = np.asarray(ks)
+    assert ks.shape == (-(-S // 32),) and (ks >= 1).all() \
+        and (ks <= nblocks).all()
+    for walk_group in (2, 3, 8, 64):   # 64 > nblocks: single-trip walk
+        for walk_all in (False, True):
+            rad_g, npack_g, used_g = los_reduce_culled(
+                px, py, pz, w, *args, dphi, RP_CM, block=512,
+                walk_group=walk_group, walk_all=walk_all)
+            np.testing.assert_array_equal(
+                np.asarray(rad_g), np.asarray(rad1),
+                err_msg=f'group={walk_group} walk_all={walk_all}')
+            np.testing.assert_array_equal(np.asarray(npack_g),
+                                          np.asarray(npack1))
+            np.testing.assert_array_equal(np.asarray(used_g),
+                                          np.asarray(used1))
+
+
 def test_los_fitted_accumulate_culled_matches_dense():
     """The culled fitted-accumulate (Morton sort + cone-sphere prefilter +
     tile walk + per-tile X0 scatter-add) must reproduce the dense kernel's
@@ -274,4 +323,14 @@ def test_los_fitted_accumulate_culled_matches_dense():
                 err_msg=f'dphi={dphi} use_weight={use_weight}')
             np.testing.assert_allclose(
                 np.asarray(ss_c), np.asarray(ss), rtol=1e-10)
+            if use_weight == 'dist2':
+                # multi-tile trips are bit-identical to the single-tile
+                # walk (masked slots scatter exact zeros)
+                rs_g, ss_g = los_fitted_accumulate_culled(
+                    px, py, pz, w, x0, *args, dphi, n_x0=n_x0,
+                    use_weight=use_weight, block=512, walk_group=3)
+                np.testing.assert_array_equal(np.asarray(rs_g),
+                                              np.asarray(rs_c))
+                np.testing.assert_array_equal(np.asarray(ss_g),
+                                              np.asarray(ss_c))
     assert float(jnp.sum(ss)) > 0
