@@ -68,7 +68,10 @@ class LOSResult(ModelResult):
         # opt-in two-stage block cull for the cone reduction (the KDTree-
         # prefilter role, compute_iteration.py:171-173): packet block
         # size for ops.los.los_reduce_culled; 0 = exact dense reduction
-        self.cull_block = int(kwargs.get('cull_block', 0))
+        # None = never set (downstream defaults decide, e.g. the smear's
+        # 'auto'); an EXPLICIT 0 is a dense opt-out that inherits as such
+        _cb = kwargs.get('cull_block', None)
+        self.cull_block = None if _cb is None else int(_cb or 0)
         self.label = kwargs.get('label', 'LOSResult')
         scdata.model_result[self.label] = self
 

@@ -177,7 +177,12 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
     gx = jnp.concatenate([gx, jnp.ones(pad, gx.dtype)])
     gy = jnp.concatenate([gy, jnp.zeros(pad, gy.dtype)])
     gz = jnp.concatenate([gz, jnp.zeros(pad, gz.dtype)])
-    chord = 2.0 * jnp.sin(0.5 * radius_scale)
+    # pad rows (radius_scale = -1) get chord = -inf so they can never
+    # select a block in the conservative test below (a finite negative
+    # chord ~ -0.96 could still pass against a large block sphere,
+    # walking tiles for dead rows — wasted work, results unaffected)
+    chord = jnp.where(radius_scale < 0.0, -jnp.inf,
+                      2.0 * jnp.sin(0.5 * radius_scale))
     nchunks = (npts + pad) // chunk
 
     # ---- packet pad (inert: NaN lat fails every haversine compare) + sort
@@ -463,10 +468,12 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
     ``LOSResult.make_source_map``, ``LOSResult.py:310-491``)."""
     explicit = params or {}
     params = {**DEFAULT_PARAMS, **explicit}
-    if 'cull_block' not in explicit and getattr(losresult, 'cull_block', 0):
-        # inherit the LOSResult's cull opt-in (the whole pairwise family
-        # rides one switch); otherwise DEFAULT_PARAMS' 'auto' picks the
-        # backend-appropriate form
+    if ('cull_block' not in explicit
+            and getattr(losresult, 'cull_block', None) is not None):
+        # inherit the LOSResult's explicit cull choice — opt-in OR an
+        # explicit 0 dense opt-out (the whole pairwise family rides one
+        # switch); an unset LOSResult (None) leaves DEFAULT_PARAMS'
+        # 'auto' to pick the backend-appropriate form
         params['cull_block'] = losresult.cull_block
     if 'sharded' not in explicit:
         params['sharded'] = getattr(losresult, 'sharded', False)

@@ -69,7 +69,7 @@ class SpacecraftData:
 
         from nexoclom_tpu.data_simulation.los_result import LOSResult
 
-        cull_block = run_kwargs.pop('cull_block', 0)
+        cull_block = run_kwargs.pop('cull_block', None)
         inputs.run(npackets, overwrite=overwrite, seed=seed, **run_kwargs)
         los = LOSResult(self, inputs, params,
                         dphi=math.radians(1.0) if dphi is None else dphi,

@@ -97,6 +97,25 @@ def compress_uniform(v0: float, dv: float, values: np.ndarray,
     return compress_points(grid, values, rel_tol=rel_tol, dtype=dtype)
 
 
+def pad_pltable(pl: PLTable, m: int) -> PLTable:
+    """Pad a PLTable to ``m`` knots with zero-slope-change knots repeated
+    at the last knot location — the interpolant is IDENTICAL (a relu term
+    with dslope 0 contributes exact 0 everywhere).  Ensemble stacking
+    (``parallel.ensemble.stack_force_tables``) requires equal knot counts
+    across members; different species compress to different counts."""
+    k = pl.knots.shape[0]
+    if k > m:
+        raise ValueError(f'PLTable has {k} knots > requested pad {m}')
+    if k == m:
+        return pl
+    pad = m - k
+    return pl._replace(
+        knots=jnp.concatenate(
+            [pl.knots, jnp.full(pad, pl.knots[-1], pl.knots.dtype)]),
+        dslope=jnp.concatenate(
+            [pl.dslope, jnp.zeros(pad, pl.dslope.dtype)]))
+
+
 def empty_pltable(dtype=jnp.float64) -> PLTable:
     """Placeholder for specs that don't use the relu lookup (f == 0)."""
     return PLTable(knots=jnp.zeros((1,), dtype),

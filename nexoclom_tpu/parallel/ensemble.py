@@ -87,3 +87,72 @@ def stack_force_tables(tables: list[ForceTable]) -> ForceTable:
     All members must share table shapes (resample radpres tables to a common
     grid length before stacking)."""
     return jax.tree.map(lambda *leaves: jnp.stack(leaves), *tables)
+
+
+def species_sweep_tables(members, planet, dtype=jnp.float32,
+                         npoints: int = 512, rel_tol: float = 1e-3):
+    """Stacked ForceTables for a (species x TAA) ensemble sweep.
+
+    The multi-SPECIES parameter sweep is the north-star scale config
+    (BASELINE.json; the reference fans one Condor job per ``.input`` file
+    per species, ``utilities/Condor.py:21-105``).  Species differ in
+    their radiation-pressure table (mass + g-values fold into the accel
+    grid) and photoionization rate; TAA scales both through the
+    heliocentric distance.  One mesh program needs equal leaf shapes, so:
+
+    * every species' uniform radpres grid is built at ``npoints``;
+    * each species is compressed ONCE at 1 AU and scaled per TAA
+      (a(v; r) = a(v; 1 AU)/r^2 exactly on the same grid — independent
+      compressions could pick different knot counts between borderline
+      members);
+    * compressed tables are padded to the sweep-wide max knot count with
+      zero-slope knots (identical interpolants, ``ops.pltable.pad_pltable``).
+
+    Parameters
+    ----------
+    members : iterable of (species, taa) pairs — e.g.
+        ``[(s, t) for s in ('Na', 'Ca', 'Mg') for t in taas]``
+    planet : SSObject
+
+    Returns the stacked ForceTable (leading axis = member order).
+    """
+    import numpy as np
+
+    from nexoclom_tpu.atomicdata import radpres_table
+    from nexoclom_tpu.initial_state.loss_info import LossInfo
+    from nexoclom_tpu.ops.integrator import empty_force_table
+    from nexoclom_tpu.ops.pltable import compress_uniform, pad_pltable
+    from nexoclom_tpu.solarsystem import planet_dist
+
+    members = list(members)
+    radius_km = planet.radius
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
+
+    base = {}
+    for species in {sp for sp, _ in members}:
+        v0, dv, accel_1au = radpres_table(species, 1.0, npoints=npoints)
+        pl_1au = compress_uniform(v0 / radius_km, dv / radius_km,
+                                  accel_1au / radius_km, rel_tol=rel_tol,
+                                  dtype=np_dtype)
+        base[species] = (v0, dv, accel_1au, pl_1au)
+    max_knots = max(pl.knots.shape[0] for _, _, _, pl in base.values())
+
+    tables = []
+    for species, taa in members:
+        aplanet, vr = planet_dist(planet, float(taa))
+        v0, dv, accel_1au, pl_1au = base[species]
+        pl = pad_pltable(pl_1au, max_knots)
+        scale = 1.0 / aplanet ** 2
+        tables.append(empty_force_table(dtype)._replace(
+            gm=jnp.asarray(planet.gm_rp3, dtype),
+            vrplanet=jnp.asarray(vr / radius_km, dtype),
+            rp_v0=jnp.asarray(v0 / radius_km, dtype),
+            rp_dv=jnp.asarray(dv / radius_km, dtype),
+            rp_accel=jnp.asarray(accel_1au * scale / radius_km, dtype),
+            # base packs [y0, vmax]: scale the value, keep the clamp limit
+            rp_pl=pl._replace(
+                dslope=pl.dslope * scale,
+                base=pl.base * jnp.asarray([scale, 1.0], pl.base.dtype)),
+            ion_rate=jnp.asarray(LossInfo(species, 0.0, aplanet).photo,
+                                 dtype)))
+    return stack_force_tables(tables)

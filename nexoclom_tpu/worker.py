@@ -13,7 +13,7 @@ Payload formats (JSON):
     {"task": "los",  "inputs": {...}, "outputfile": "...",
      "scdata": "spacecraft.csv", "species": "...",
      "params": {...}, "dphi": radians, "sharded": false,
-     "cull_block": 0}
+     "cull_block": null}     # null/absent = unset; 0 = explicit dense
 
 ``sharded: true`` spreads the packet axis over every device the worker
 process sees (the same switch as ``Input.run``/``LOSResult``).
@@ -70,7 +70,7 @@ def run_payload(payload: dict) -> int:
                               payload.get('params', {'quantity': 'radiance'}),
                               dphi=payload.get('dphi', math.radians(1.0)),
                               sharded=payload.get('sharded', False),
-                              cull_block=payload.get('cull_block', 0))
+                              cull_block=payload.get('cull_block', None))
         compute_iteration(losresult, payload['outputfile'], scdata)
         return 0
     raise ValueError(f'unknown worker task {task!r}')

@@ -87,18 +87,28 @@ def main():
         rate = npts * args.packets / best
         print(f'{label}: {best:.3f} s  '
               f'({rate:.3e} point-packet pairs/s)')
-        return best
+        return best, out
 
     times = {}
     for block in map(int, args.blocks.split(',')):
-        times[f'culled-matmul/{block}'] = timed(
+        times[f'culled-matmul/{block}'], out_m = timed(
             lambda b=block: _smeared_point_stats_culled(
                 *gargs, *pargs, **stat_args, block=b, hist_impl='matmul'),
             f'culled-matmul block={block}')
-        times[f'culled-scatter/{block}'] = timed(
+        times[f'culled-scatter/{block}'], out_s = timed(
             lambda b=block: _smeared_point_stats_culled(
                 *gargs, *pargs, **stat_args, block=b, hist_impl='scatter'),
             f'culled-scatter block={block}')
+        # hardware-side parity of the MXU one-hot histograms vs the
+        # scatter path (the matmul route is CPU-parity-tested; this
+        # catches any bf16 operand rounding on the real accelerator)
+        for i, (m, s) in enumerate(zip(out_m, out_s)):
+            m = np.asarray(m, np.float64)
+            s = np.asarray(s, np.float64)
+            scale = max(np.abs(s).max(), 1e-30)
+            rel = np.abs(m - s).max() / scale
+            flag = '' if rel < 1e-6 else '  <-- DRIFT'
+            print(f'  matmul-vs-scatter stat[{i}]: max rel {rel:.2e}{flag}')
 
     if args.dense_grid:
         dnlon, dnlat = map(int, args.dense_grid.split(','))
@@ -108,7 +118,7 @@ def main():
         dnpts = dglat.size
         save_npts, save_n = npts, args.packets
         npts, args.packets = dnpts, args.dense_packets
-        t_dense = timed(lambda: _smeared_point_stats(
+        t_dense, _ = timed(lambda: _smeared_point_stats(
             *dgargs, *dpargs, **stat_args),
             f'dense {dnlon}x{dnlat} @ {args.dense_packets} pk (anchor)')
         npts, args.packets = save_npts, save_n

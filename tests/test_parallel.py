@@ -534,3 +534,63 @@ def test_fused_image_sharded_matches_unsharded():
     mesh = make_mesh(n_ensemble=1, n_packet_shards=8)
     sharded = fused_image_run(inp, 256, dict(params), seed=9, mesh=mesh)
     assert np.allclose(sharded.image, plain.image, rtol=1e-10, atol=1e-12)
+
+
+def test_species_taa_ensemble_matches_single():
+    """North-star scale config (BASELINE.json): a multi-SPECIES x TAA
+    parameter sweep as ONE mesh program.  species_sweep_tables builds
+    per-(species, TAA) ForceTables on common leaf shapes (shared radpres
+    grid length; relu tables padded with zero-slope knots — identical
+    interpolants); every stacked member must reproduce its own
+    single-member run bit-for-bit, vmapped AND sharded over a 2-D
+    (ensemble, packets) mesh, for both lookup impls.  Reference frame:
+    one Condor job per species .input file (utilities/Condor.py:21-105)."""
+    from nexoclom_tpu.parallel import species_sweep_tables
+    from nexoclom_tpu.solarsystem import SSObject
+
+    mercury = SSObject('Mercury')
+    members = [(sp, taa) for sp in ('Na', 'Ca', 'Mg')
+               for taa in (0.0, 2.5)]
+    forces = species_sweep_tables(members, mercury, dtype=jnp.float64)
+
+    # species really differ: radpres tables and photo rates
+    rp = np.asarray(forces.rp_accel)
+    ion = np.asarray(forces.ion_rate)
+    assert not np.allclose(rp[0], rp[2])       # Na vs Ca accel grids
+    assert len({round(float(v), 12) for v in ion}) == len(members) > 4
+    # TAA scaling within one species: a(v) scales by (r0/r1)^2 exactly
+    assert not np.isclose(ion[0], ion[1])
+
+    keys = jax.random.split(jax.random.PRNGKey(3), len(members))
+    for lookup_impl in ('gather', 'relu'):
+        spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
+                          surface_bounce=False, check_outer_edge=True,
+                          lookup_impl=lookup_impl)
+        step = make_ensemble_step(
+            spec, step_size=30.0, outeredge=25.0, radius_km=RADIUS_KM,
+            nsteps=8, n_packets=256, vprob_model=2.5 / RADIUS_KM,
+            delv_model=1.5 / RADIUS_KM, endtime=240.0, image_bins=16,
+            dtype=jnp.float64)
+        final_e, images_e = jax.jit(step)(keys, forces)
+
+        # each member's single run (1-member stack, same key)
+        for i in (0, 3, 5):
+            forces_i = jax.tree.map(lambda leaf: leaf[i:i + 1], forces)
+            final_i, images_i = jax.jit(step)(keys[i:i + 1], forces_i)
+            np.testing.assert_array_equal(
+                np.asarray(images_i[0]), np.asarray(images_e[i]),
+                err_msg=f'member {i} ({members[i]}) impl={lookup_impl}')
+            np.testing.assert_array_equal(
+                np.asarray(final_i.frac[0]), np.asarray(final_e.frac[i]))
+
+        # the same program over a (ensemble=2, packets=4) mesh
+        mesh = make_mesh(n_ensemble=2, n_packet_shards=4)
+        with mesh:
+            sh = NamedSharding(mesh, P('ensemble'))
+            keys_s = jax.device_put(keys[:4], sh)
+            forces_s = jax.tree.map(
+                lambda leaf: jax.device_put(leaf[:4], sh), forces)
+            final_s, images_s = jax.jit(step)(keys_s, forces_s)
+        np.testing.assert_allclose(np.asarray(images_s),
+                                   np.asarray(images_e[:4]),
+                                   rtol=1e-12, atol=1e-12)
