@@ -398,7 +398,7 @@ def bench_los():
     return best_rate, detail
 
 
-def bench_e2e():
+def bench_e2e(n: int = 1 << 22):
     """Flagship end-to-end wall time (round-5 verdict item 5): the full
     user-visible stack — ``Input.run`` (adaptive pool engine + host frames
     + npz store + catalog) -> ``LOSResult`` over the MESSENGER-like orbit
@@ -413,8 +413,6 @@ def bench_e2e():
     from nexoclom_tpu.data_simulation import (LOSResult, LOSResultFitted,
                                               SpacecraftData)
     from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
-
-    n = 1 << 22
     savepath = tempfile.mkdtemp(prefix='nxt_bench_e2e_')
     set_config(NexoclomConfig(savepath=savepath, precision='float32'))
     inp = _ca_inputs()

@@ -45,14 +45,17 @@ class IterationResult:
         self.dphi = losresult.dphi
         self.mechanism = losresult.mechanism
         self.wavelength = losresult.wavelength
+        self.compute_dtype = getattr(losresult, 'compute_dtype', None)
 
     def _record(self):
         ufit_id = getattr(self, 'unfit_outid', None)
+        cdt = self.compute_dtype
         return dict(out_idnum=self.out_idnum, unfit_idnum=ufit_id,
                     quantity=self.quantity, query=self.query, dphi=self.dphi,
                     mechanism=list(self.mechanism or []),
                     wavelength=list(self.wavelength or []),
-                    fitted=bool(self.fitted))
+                    fitted=bool(self.fitted),
+                    compute_dtype=None if cdt is None else str(cdt))
 
     def save_iteration(self):
         catalog = get_catalog()
@@ -138,13 +141,16 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     obstruction, outer_dd = los_geometry(
         sc_pos, bore, losresult.inputs.options.outeredge, moons=moons)
 
-    packet_arrays = (jnp.asarray(packets['x'].to_numpy()),
-                     jnp.asarray(packets['y'].to_numpy()),
-                     jnp.asarray(packets['z'].to_numpy()),
-                     jnp.asarray(weight))
+    cdt = getattr(losresult, 'compute_dtype', None)
+    packet_arrays = (jnp.asarray(packets['x'].to_numpy(), dtype=cdt),
+                     jnp.asarray(packets['y'].to_numpy(), dtype=cdt),
+                     jnp.asarray(packets['z'].to_numpy(), dtype=cdt),
+                     jnp.asarray(weight, dtype=cdt))
     n_rows = packets['x'].shape[0]
-    spectra_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
-                    jnp.asarray(obstruction), jnp.asarray(outer_dd),
+    spectra_args = (jnp.asarray(sc_pos, dtype=cdt),
+                    jnp.asarray(bore, dtype=cdt),
+                    jnp.asarray(obstruction, dtype=cdt),
+                    jnp.asarray(outer_dd, dtype=cdt),
                     losresult.dphi, losresult.radius_km * CM_PER_KM)
     mesh = resolve_packet_mesh(getattr(losresult, 'sharded', False),
                                'compute_iteration')

@@ -129,16 +129,20 @@ class LOSResultFitted(LOSResult):
             n_x0 = len(output.X0)
             mesh = resolve_packet_mesh(getattr(self, 'sharded', False),
                                        'LOSResultFitted')
-            packet_arrays = (jnp.asarray(packets['x'].to_numpy()),
-                             jnp.asarray(packets['y'].to_numpy()),
-                             jnp.asarray(packets['z'].to_numpy()),
-                             jnp.asarray(weight_unfit),
+            cdt = getattr(self, 'compute_dtype', None)
+            packet_arrays = (jnp.asarray(packets['x'].to_numpy(), dtype=cdt),
+                             jnp.asarray(packets['y'].to_numpy(), dtype=cdt),
+                             jnp.asarray(packets['z'].to_numpy(), dtype=cdt),
+                             jnp.asarray(weight_unfit, dtype=cdt),
                              jnp.asarray(
                                  packets['Index'].to_numpy().astype(int)))
-            spectra_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
-                            jnp.asarray(obstruction), jnp.asarray(outer_dd),
-                            jnp.asarray(ratio), jnp.asarray(spec_mask),
-                            jnp.asarray(sigma))
+            spectra_args = (jnp.asarray(sc_pos, dtype=cdt),
+                            jnp.asarray(bore, dtype=cdt),
+                            jnp.asarray(obstruction, dtype=cdt),
+                            jnp.asarray(outer_dd, dtype=cdt),
+                            jnp.asarray(ratio, dtype=cdt),
+                            jnp.asarray(spec_mask),
+                            jnp.asarray(sigma, dtype=cdt))
             cull_block = int(getattr(self, 'cull_block', 0) or 0)
             if cull_block and mesh is not None:
                 from nexoclom_tpu.ops.los import (

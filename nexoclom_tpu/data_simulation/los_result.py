@@ -72,6 +72,12 @@ class LOSResult(ModelResult):
         # 'auto'); an EXPLICIT 0 is a dense opt-out that inherits as such
         _cb = kwargs.get('cull_block', None)
         self.cull_block = None if _cb is None else int(_cb or 0)
+        # force the device retrieval arithmetic to a dtype regardless of
+        # process x64 state — the common-random-numbers accuracy probe
+        # retrieves ONE saved engine output in f32 AND f64 to isolate the
+        # retrieval-stage rounding from engine MC decorrelation
+        # (scripts/validate_accuracy.py --case fit-stage)
+        self.compute_dtype = kwargs.get('compute_dtype', None)
         self.label = kwargs.get('label', 'LOSResult')
         scdata.model_result[self.label] = self
 
@@ -87,10 +93,19 @@ class LOSResult(ModelResult):
 
     # ------------------------------------------------------------- caching
     def _iteration_criteria(self, fitted=False, unfit_idnum=None):
-        return dict(quantity=self.quantity, query=self.query, dphi=self.dphi,
-                    mechanism=list(self.mechanism or []),
-                    wavelength=list(self.wavelength or []),
-                    fitted=bool(fitted), unfit_idnum=unfit_idnum)
+        criteria = dict(quantity=self.quantity, query=self.query,
+                        dphi=self.dphi,
+                        mechanism=list(self.mechanism or []),
+                        wavelength=list(self.wavelength or []),
+                        fitted=bool(fitted), unfit_idnum=unfit_idnum)
+        # a forced retrieval dtype changes the numbers: keep its cached
+        # iterations separate (the fit-stage accuracy probe retrieves ONE
+        # catalog at both precisions).  None for the default path, which
+        # also matches records from before this key existed (catalog
+        # search is r.get(k) == v).
+        cdt = getattr(self, 'compute_dtype', None)
+        criteria['compute_dtype'] = None if cdt is None else str(cdt)
+        return criteria
 
     def search_iterations(self, fitted=False):
         """{outputfile: (model_idnum, unfit_idnum, modelfile) or None}"""

@@ -103,7 +103,7 @@ CASES = {
 # independent draws — see the measured table above: na reads 1.65% at 20k
 # from pure sampling noise and 0.11% at 80k).  --npackets overrides all.
 CASE_NPACKETS = {'ca': 20000, 'na': 80000, 'bounce': 80000, 'io': 20000,
-                 'fit': 20000}
+                 'fit': 20000, 'fit-stage': 80000}
 
 
 def run_fit_case(dtype_name, npackets, seed=SEED):
@@ -156,6 +156,58 @@ def run_fit_case(dtype_name, npackets, seed=SEED):
             'spectra': (unfit.radiance.to_numpy(),
                         scdata.data.radiance.to_numpy(),
                         scdata.data.sigma.to_numpy())}
+
+
+def run_fit_stage_case(npackets, seed=SEED):
+    """Common-random-numbers decomposition of the fit case (round-5
+    verdict item 3): ONE f64 engine catalog, then the FULL retrieval
+    chain (LOS reduce -> LSQ source rate -> fitted reweighting -> fitted
+    map) twice on the SAME saved packets — device kernels forced to f32
+    vs f64 via ``LOSResult(compute_dtype=...)``.  Identical inputs mean
+    NO Monte Carlo floor applies: any difference is pure retrieval-stage
+    f32 rounding (the reference computes these paths in f64,
+    LOSResult.py:278-308, LOSResultFitted.py:136-227).  The engine-stage
+    f32 effect is bounded separately by the image cases (it is MC-floor
+    dominated, see the fit case notes above).
+    """
+    import math
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from nexoclom_tpu.data_simulation import (LOSResult, LOSResultFitted,
+                                              SpacecraftData)
+    from nexoclom_tpu.initial_state import Input
+    from nexoclom_tpu.utilities.config import NexoclomConfig, set_config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    savepath = tempfile.mkdtemp(prefix='nxt_acc_fitstage_')
+    set_config(NexoclomConfig(savepath=savepath, precision='float64'))
+    inp = Input(os.path.join(here, '..', 'tests', 'data', 'inputfiles',
+                             'mercury_ca_spot.input'))
+    inp.options.endtime = 2400.0
+    inp.run(npackets, seed=seed)
+
+    orbit = pd.read_csv(os.path.join(here, '..', 'tests', 'data', 'orbits',
+                                     'messenger_like_orbit.csv'))
+    out = {}
+    for dt in ('float64', 'float32'):
+        scdata = SpacecraftData(orbit, species='Ca')
+        label = f'accst_{dt}'
+        unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                          dphi=math.radians(1.0), label=label,
+                          compute_dtype=dt)
+        unfit.simulate_data_from_inputs(scdata)
+        unfit.determine_source_rate(scdata)
+        fitted = LOSResultFitted(scdata, label, {'quantity': 'radiance'},
+                                 compute_dtype=dt)
+        fitted.determine_source_from_data(scdata)
+        smap, _ = fitted.make_source_map(do_available=False)
+        out[dt] = {'sourcerate': float(unfit.sourcerate),
+                   'fitted_sourcerate': float(fitted.sourcerate),
+                   'map': np.asarray(smap.abundance, float)}
+    return out
 
 
 def bootstrap_fit_floor(model_a, model_b, obs, sigma, nboot=4000, seed=0):
@@ -256,14 +308,16 @@ def main():
     parser.add_argument('--tpu', action='store_true')
     parser.add_argument('--save-ref')
     parser.add_argument('--compare')
-    parser.add_argument('--case', choices=[*CASES, 'fit', 'all'],
+    parser.add_argument('--case', choices=[*CASES, 'fit', 'fit-stage',
+                                           'all'],
                         default='all')
     parser.add_argument('--mc-floor', action='store_true',
                         help='also run a second-seed f64 case to measure '
                              'the Monte Carlo noise floor the f32 diff '
                              'should be compared against')
     args = parser.parse_args()
-    cases = [*CASES, 'fit'] if args.case == 'all' else [args.case]
+    cases = ([*CASES, 'fit', 'fit-stage'] if args.case == 'all'
+             else [args.case])
 
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -347,6 +401,12 @@ def main():
         return
 
     for case in cases:
+        if case == 'fit-stage':
+            d = run_fit_stage_case(n_for(case))
+            rels = compare_fit(
+                'fit-stage: f32 vs f64 retrieval, SAME engine packets '
+                '(no MC floor applies)', d['float32'], d['float64'])
+            continue
         if case == 'fit':
             d64 = run_fit_case('float64', n_for(case))
             d32 = run_fit_case('float32', n_for(case))
