@@ -112,8 +112,13 @@ def _hist_rows(W, vals, lo, hi, nbins: int):
     onehot = (idx[:, None] == jnp.arange(nbins, dtype=idx.dtype)[None, :]
               ).astype(W.dtype)
     Wok = W * ok.astype(W.dtype)[None, :]
+    # HIGHEST: the MXU's default bf16 operand rounding truncates the
+    # WEIGHT operand's mantissa (measured 1.4e-4 max rel vs the scatter
+    # path on v5e, round-5 smear stage); the 3-pass f32 contraction is
+    # exact-to-summation-order and still ~3x the scatter path
     return jax.lax.dot_general(Wok, onehot, (((1,), (0,)), ((), ())),
-                               preferred_element_type=W.dtype)
+                               preferred_element_type=W.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=('nvelbins', 'naltbins', 'nazbins',
@@ -426,8 +431,11 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
         # accelerator default: the dense smear is 3 serial scatter-add
         # histograms over every (point, packet) pair (~8.5 ns/update on
         # this TPU — minutes at production geometry); the cull is exact,
-        # so it is the right default wherever scatter is serial
-        cull_block = 0 if jax.default_backend() == 'cpu' else 8192
+        # so it is the right default wherever scatter is serial.  2048
+        # is the measured-best block on v5e (round-5 smear ladder:
+        # 0.44/0.56/0.76 s at 2048/4096/8192, 1M packets x 180x90 grid,
+        # ~49x the dense extrapolation)
+        cull_block = 0 if jax.default_backend() == 'cpu' else 2048
     cull_block = int(cull_block or 0)
     from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
     mesh = resolve_packet_mesh(params.get('sharded', False),

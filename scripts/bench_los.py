@@ -39,6 +39,13 @@ def main():
                         help='also time the cull with the sphere test '
                              'bypassed (walk every tile): the tile-walk '
                              'overhead roofline vs the dense kernel')
+    parser.add_argument('--inner-reps', type=int, default=1,
+                        help='kernel calls per dispatch (lax.scan inside '
+                             'ONE jit): isolates true kernel cost from '
+                             'the ~25 ms per-dispatch round trip on the '
+                             'axon tunnel; the carry perturbs dphi by an '
+                             'exact runtime zero so XLA cannot hoist the '
+                             'loop body')
     parser.add_argument('--orbit', action='store_true',
                         help='MESSENGER-like orbit fixture geometry + '
                              'r^-2 exosphere cloud')
@@ -98,6 +105,32 @@ def main():
     rp_cm = 2440.53e5
 
     kw = {} if args.chunk is None else {'chunk': args.chunk}
+    R = args.inner_reps
+
+    def timed_kernel(kernel_fn):
+        """Best-of-`reps` per-call seconds; with --inner-reps R > 1 each
+        timed dispatch scans R kernel calls and the time is divided by
+        R (the carry-dependent dphi perturbation is an exact runtime
+        zero, but XLA cannot prove it, so the body re-executes)."""
+        if R == 1:
+            run = lambda: jnp.sum(kernel_fn(dphi)[0])
+        else:
+            @jax.jit
+            def run():
+                def body(c, _):
+                    rad = kernel_fn(dphi + jnp.minimum(c, 0.0))[0]
+                    return c + jnp.sum(rad), None
+                s, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                                    None, length=R)
+                return s
+        float(run())                        # compile + barrier
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run())
+            best = min(best, time.perf_counter() - t0)
+        return best / R
+
     rad, npack, used = los_reduce(*fn_args, dphi, rp_cm, **kw)
     checksum = float(jnp.sum(rad))          # compile + barrier
 
@@ -107,6 +140,11 @@ def main():
         rad, npack, used = los_reduce(*fn_args, dphi, rp_cm, **kw)
         checksum += float(jnp.sum(rad))
     elapsed = (time.perf_counter() - t0) / reps
+    if R > 1:
+        elapsed = timed_kernel(
+            lambda dp: los_reduce(*fn_args, dp, rp_cm, **kw))
+        print(f'dense (inner-reps {R}): {elapsed:.4f} s/call '
+              f'-> {S * n / elapsed:.3e} pairs/s dispatch-free')
 
     pairs = S * n
     print(f'backend = {jax.default_backend()}')
@@ -147,6 +185,12 @@ def main():
                     rad_c, npack_c, _ = run()
                     float(jnp.sum(rad_c))
                 dt = (time.perf_counter() - t0) / reps
+                if R > 1:
+                    dt = timed_kernel(
+                        lambda dp, b=blk, g=grp, w=wall: los_reduce_culled(
+                            *fn_args, dp, rp_cm, block=b, walk_group=g,
+                            walk_all=w, **kw))
+                    tag += f' (inner-reps {R}, dispatch-free)'
                 rel = (np.abs(np.asarray(rad_c, np.float64)
                               - dense_rad).max()
                        / max(dense_rad.max(), 1e-30))
