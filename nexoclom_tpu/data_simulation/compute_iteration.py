@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nexoclom_tpu.ops.los import (los_geometry, los_reduce,
-                                  los_reduce_culled)
+                                  los_reduce_culled, resolve_cull_block)
 from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
 from nexoclom_tpu.particle_tracking.output import Output
 from nexoclom_tpu.utilities.catalog import get_catalog
@@ -154,7 +154,10 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
                     losresult.dphi, losresult.radius_km * CM_PER_KM)
     mesh = resolve_packet_mesh(getattr(losresult, 'sharded', False),
                                'compute_iteration')
-    cull_block = int(getattr(losresult, 'cull_block', 0) or 0)
+    # None = unset: backend default (block 4096 on accelerators — the
+    # measured-best round-5 ladder point — dense on CPU); explicit 0 =
+    # dense opt-out.  Exact either way.
+    cull_block = resolve_cull_block(getattr(losresult, 'cull_block', None))
     if cull_block and mesh is None:
         # two-stage block cull (exact; ops/los.py): sparse-cone orbits
         # skip most packet tiles per spectrum chunk

@@ -29,7 +29,7 @@ from nexoclom_tpu.data_simulation.compute_iteration import (
     IterationResultFitted)
 from nexoclom_tpu.data_simulation.los_result import LOSResult
 from nexoclom_tpu.ops.los import (los_fitted_accumulate, los_geometry,
-                                  los_reduce)
+                                  los_reduce, resolve_cull_block)
 from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
 from nexoclom_tpu.particle_tracking.output import Output
 from nexoclom_tpu.utilities.catalog import get_catalog
@@ -143,7 +143,10 @@ class LOSResultFitted(LOSResult):
                             jnp.asarray(ratio, dtype=cdt),
                             jnp.asarray(spec_mask),
                             jnp.asarray(sigma, dtype=cdt))
-            cull_block = int(getattr(self, 'cull_block', 0) or 0)
+            # None = unset: backend default (4096 on accelerators,
+            # dense on CPU); explicit 0 = dense opt-out.  Exact.
+            cull_block = resolve_cull_block(
+                getattr(self, 'cull_block', None))
             if cull_block and mesh is not None:
                 from nexoclom_tpu.ops.los import (
                     los_fitted_accumulate_culled_sharded)

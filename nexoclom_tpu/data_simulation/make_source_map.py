@@ -426,17 +426,16 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
     # reference's meshgrid(y, x) flatten)
     gridlat, gridlon = np.meshgrid(lat_centers, lon_centers)
     radius_scale = params['smear_radius'] * np.cos(gridlat.ravel())
-    cull_block = params.get('cull_block', 'auto')
-    if cull_block in (None, 'auto'):
-        # accelerator default: the dense smear is 3 serial scatter-add
-        # histograms over every (point, packet) pair (~8.5 ns/update on
-        # this TPU — minutes at production geometry); the cull is exact,
-        # so it is the right default wherever scatter is serial.  2048
-        # is the measured-best block on v5e (round-5 smear ladder:
-        # 0.44/0.56/0.76 s at 2048/4096/8192, 1M packets x 180x90 grid,
-        # ~49x the dense extrapolation)
-        cull_block = 0 if jax.default_backend() == 'cpu' else 2048
-    cull_block = int(cull_block or 0)
+    # accelerator default: the dense smear is 3 serial scatter-add
+    # histograms over every (point, packet) pair (~8.5 ns/update on this
+    # TPU — minutes at production geometry); the cull is exact, so it is
+    # the right default wherever scatter is serial.  2048 is the
+    # measured-best block on v5e (round-5 smear ladder: 0.44/0.56/0.76 s
+    # at 2048/4096/8192, 1M packets x 180x90 grid, ~49x the dense
+    # extrapolation)
+    from nexoclom_tpu.ops.los import resolve_cull_block
+    cull_block = resolve_cull_block(params.get('cull_block', 'auto'),
+                                    accel_default=2048)
     from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
     mesh = resolve_packet_mesh(params.get('sharded', False),
                                'make_source_map')

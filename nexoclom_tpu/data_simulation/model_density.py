@@ -180,13 +180,18 @@ def _density_reduce_culled_sharded(px, py, pz, frac, qx, qy, qz, dr,
 
 class ModelDensity:
     def __init__(self, inputs, xpts, ypts, zpts, dr=0.05,
-                 true_volume=False, sharded=False, cull_block=0):
+                 true_volume=False, sharded=False, cull_block='auto'):
         self.type = 'density'
         # same flagship switch as the other observables: shard the packet
         # axis of the per-point reductions over local devices
         self.sharded = sharded
         # ball-query form of the LOS block cull (exact); dr is tiny
-        # against the cloud so most packet tiles are skipped
+        # against the cloud so most packet tiles are skipped — measured
+        # 13.4x at block 2048 even on CPU (docs/scaling.md), so 'auto'
+        # culls on EVERY backend (unlike the cone kernels, whose CPU
+        # dense form wins).  Explicit 0 forces dense.
+        if cull_block in (None, 'auto'):
+            cull_block = 2048
         self.cull_block = int(cull_block or 0)
         self.origin = inputs.geometry.planet
         self.inputs = inputs

@@ -30,8 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 
 _CHUNK = 32   # spectra evaluated concurrently; memory ~ _CHUNK x N floats
-_WALK_GROUP = 1   # tiles per while_loop trip in the culled walk (see
-                  # los_reduce_culled.walk_group; tuned on TPU, round 5)
+_WALK_GROUP = 8   # tiles per while_loop trip in the culled walk — the
+                  # round-5 TPU ladder's best (1.35x -> 1.45x per-call,
+                  # 1.24x -> 1.72x dispatch-free at block 4096 vs the
+                  # dense kernel; docs/scaling.md round-5 cull ladder)
+
+
+def resolve_cull_block(cull_block, accel_default: int = 4096):
+    """Resolve a user cull_block setting to a concrete block size.
+
+    ``None``/``'auto'`` pick the measured-best default for the backend:
+    dense (0) on CPU, where the O(S x N) reduction is vector-parallel
+    and the Morton sort is relatively costlier, and ``accel_default``
+    on accelerators (block 4096 measured best for the cone kernels,
+    2048 for the source-map smear — round-5 TPU ladders).  An explicit
+    0 forces the dense kernel; ints pass through.  Results are
+    identical either way (the cull is exact)."""
+    if cull_block in (None, 'auto'):
+        return 0 if jax.default_backend() == 'cpu' else accel_default
+    return int(cull_block or 0)
 
 
 def _spectrum_kernel(px, py, pz, weight, sc, b, obstruct, dd,

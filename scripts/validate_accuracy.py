@@ -62,6 +62,16 @@ io 0.40% — all PASS.
           outlier (seed +8): the 3-spectra-dominated weighted LSQ is
           heavy-tailed, which is WHY the floor must come from the
           perturbation bootstrap and not from one reseed draw.
+  fit-stage  (round 5) the COMMON-RANDOM-NUMBERS decomposition that
+          settles the fit case's open question: one f64 engine catalog,
+          retrieval chain forced to f32 vs f64 on the SAME packets
+          (LOSResult(compute_dtype=...)).  No MC floor applies.
+          Measured at 80k packets: sourcerate 7.2e-4, fitted
+          sourcerate 1.2e-3, map total 1.2e-3 (2.1e-4/6.2e-5/8.0e-5 at
+          20k) — the retrieval stage is ~10x inside the 1% target, so
+          the fit case's 5.9% full-chain diff is engine MC
+          decorrelation (already floor-bounded), not f32 retrieval
+          bias.
 For the radpres-dominated cases always compare against the --mc-floor
 output: f32 vs f64 images differ like independent MC draws.
 """
