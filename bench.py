@@ -395,6 +395,40 @@ def bench_los():
         best_rate = max(best_rate, cull_rate)
     if wg is not None:
         detail['walk_group'] = wg
+
+    # dispatch-free kernel rates: every single dispatch on this tunnel
+    # carries a ~25-50 ms round trip shared by dense and culled alike
+    # (docs/scaling.md round-5 ladder), so the per-call numbers above
+    # understate the kernel speedup; a lax.scan of R calls inside ONE
+    # dispatch isolates it (the carry perturbs dphi by an exact runtime
+    # zero so XLA cannot hoist the body)
+    R = 5
+
+    def kernel_rate(fn):
+        @jax.jit
+        def run():
+            def body(c, _):
+                rad = fn(dphi + jnp.minimum(c, 0.0))[0]
+                return c + jnp.sum(rad), None
+            s, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                                None, length=R)
+            return s
+        float(run())
+        best = min(_t(run) for _ in range(3))
+        return pairs / (best / R)
+
+    def _t(run):
+        t0 = time.perf_counter()
+        float(run())
+        return time.perf_counter() - t0
+
+    kd = kernel_rate(lambda dp: los_reduce(*fn_args, dp, rp_cm))
+    kw2 = {} if wg is None else {'walk_group': wg}
+    kc = kernel_rate(lambda dp: los_reduce_culled(*fn_args, dp, rp_cm,
+                                                  block=4096, **kw2))
+    detail['kernel_dense_pairs_per_s'] = kd
+    detail['kernel_culled_pairs_per_s'] = kc
+    detail['kernel_cull_speedup'] = round(kc / kd, 3)
     return best_rate, detail
 
 
