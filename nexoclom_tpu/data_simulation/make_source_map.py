@@ -122,13 +122,15 @@ def _hist_rows(W, vals, lo, hi, nbins: int):
 
 
 @partial(jax.jit, static_argnames=('nvelbins', 'naltbins', 'nazbins',
-                                   'chunk', 'block', 'hist_impl'))
+                                   'chunk', 'block', 'hist_impl',
+                                   'walk_group'))
 def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
                                 lat, lon, weight, included, v_kms,
                                 altitude, azimuth, vmax, nvelbins: int,
                                 naltbins: int, nazbins: int,
                                 chunk: int = 64, block: int = 8192,
-                                hist_impl: str = 'auto'):
+                                hist_impl: str = 'auto',
+                                walk_group: int = 1):
     """:func:`_smeared_point_stats` behind the two-stage block cull.
 
     The smear's inclusion test is angular — haversine(grid, packet) <
@@ -271,21 +273,33 @@ def _smeared_point_stats_culled(grid_lat, grid_lon, radius_scale,
             jax.vmap(point_test)(gxc, gyc, gzc, chordc), axis=0)
         k = jnp.sum(pred)
         order = jnp.sort(jnp.where(pred, iota_b, nblocks))
+        ntrips = -(-k // walk_group)
 
         def tile_cond(c):
-            return c[0] < k
+            return c[0] < ntrips
 
         def tile_body(c):
-            j, ni, nt, ab, vh, ah, zh = c
-            off = order[j] * block
-            args = tuple(
-                jax.lax.dynamic_slice_in_dim(a, off, block)
-                for a in (lat_s, lon_s, w_s, wi_s, incl_s,
-                          v_s, alt_s, az_s))
-            ni_t, nt_t, ab_t, vh_t, ah_t, zh_t = chunk_tile_stats(
-                glat, glon, radius, *args)
-            return (j + 1, ni + ni_t, nt + nt_t, ab + ab_t,
-                    vh + vh_t, ah + ah_t, zh + zh_t)
+            t, ni, nt, ab, vh, ah, zh = c
+            # walk_group tiles per trip (the round-5 LOS-cull lever):
+            # masked past-k slots contribute exact zeros
+            for g in range(walk_group):
+                j = t * walk_group + g
+                valid = j < k
+                bid = order[jnp.minimum(j, nblocks - 1)]
+                off = jnp.where(valid, bid, 0) * block
+                args = tuple(
+                    jax.lax.dynamic_slice_in_dim(a, off, block)
+                    for a in (lat_s, lon_s, w_s, wi_s, incl_s,
+                              v_s, alt_s, az_s))
+                ni_t, nt_t, ab_t, vh_t, ah_t, zh_t = chunk_tile_stats(
+                    glat, glon, radius, *args)
+                ni = ni + jnp.where(valid, ni_t, 0)
+                nt = nt + jnp.where(valid, nt_t, 0)
+                ab = ab + jnp.where(valid, ab_t, 0.0)
+                vh = vh + jnp.where(valid, vh_t, 0.0)
+                ah = ah + jnp.where(valid, ah_t, 0.0)
+                zh = zh + jnp.where(valid, zh_t, 0.0)
+            return (t + 1, ni, nt, ab, vh, ah, zh)
 
         cnt_dtype = jnp.asarray(0).dtype   # default int (int64 under x64)
         out = jax.lax.while_loop(

@@ -47,9 +47,10 @@ def _density_reduce(px, py, pz, frac, qx, qy, qz, dr, chunk: int = 128):
     return dens.reshape(-1)[:npts], count.reshape(-1)[:npts]
 
 
-@partial(jax.jit, static_argnames=('chunk', 'block'))
+@partial(jax.jit, static_argnames=('chunk', 'block', 'walk_group'))
 def _density_reduce_culled(px, py, pz, frac, qx, qy, qz, dr,
-                           chunk: int = 128, block: int = 8192):
+                           chunk: int = 128, block: int = 8192,
+                           walk_group: int = 1):
     """Ball-query form of the two-stage block cull (``ops/los.py``):
     Morton-sort packets once, bound blocks with spheres, walk only the
     blocks whose sphere comes within ``dr`` of any probe point in the
@@ -115,18 +116,29 @@ def _density_reduce_culled(px, py, pz, frac, qx, qy, qz, dr,
         k = jnp.sum(pred)
         order = jnp.sort(jnp.where(pred, iota_b, nblocks))
 
+        ntrips = -(-k // walk_group)
+
         def tile_cond(c):
-            return c[0] < k
+            return c[0] < ntrips
 
         def tile_body(c):
-            j, dens_c, count_c = c
-            off = order[j] * block
-            pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
-            pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
-            pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
-            ft = jax.lax.dynamic_slice_in_dim(f_s, off, block)
-            d_t, c_t = tile_vmap(x0, y0, z0, pxt, pyt, pzt, ft)
-            return j + 1, dens_c + d_t, count_c + c_t.astype(count_c.dtype)
+            t, dens_c, count_c = c
+            # walk_group tiles per trip (round-5 LOS-cull lever); masked
+            # past-k slots contribute exact zeros
+            for g in range(walk_group):
+                j = t * walk_group + g
+                valid = j < k
+                bid = order[jnp.minimum(j, nblocks - 1)]
+                off = jnp.where(valid, bid, 0) * block
+                pxt = jax.lax.dynamic_slice_in_dim(px_s, off, block)
+                pyt = jax.lax.dynamic_slice_in_dim(py_s, off, block)
+                pzt = jax.lax.dynamic_slice_in_dim(pz_s, off, block)
+                ft = jax.lax.dynamic_slice_in_dim(f_s, off, block)
+                d_t, c_t = tile_vmap(x0, y0, z0, pxt, pyt, pzt, ft)
+                dens_c = dens_c + jnp.where(valid, d_t, 0.0)
+                count_c = count_c + jnp.where(valid, c_t,
+                                              0).astype(count_c.dtype)
+            return t + 1, dens_c, count_c
 
         _, dens, count = jax.lax.while_loop(
             tile_cond, tile_body,

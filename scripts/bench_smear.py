@@ -50,6 +50,9 @@ def main():
     ap.add_argument('--packets', type=int, default=1 << 20)
     ap.add_argument('--grid', default='180,90')
     ap.add_argument('--blocks', default='4096,8192')
+    ap.add_argument('--walk-groups', default='1',
+                    help='tiles per while_loop trip, timed per block '
+                         '(matmul impl only)')
     ap.add_argument('--reps', type=int, default=3)
     ap.add_argument('--dense-grid', default='36,18',
                     help='reduced grid for the dense anchor ("" skips)')
@@ -90,7 +93,13 @@ def main():
         return best, out
 
     times = {}
+    groups = [int(g) for g in args.walk_groups.split(',')]
     for block in map(int, args.blocks.split(',')):
+        for grp in groups[1:]:
+            timed(lambda b=block, g=grp: _smeared_point_stats_culled(
+                *gargs, *pargs, **stat_args, block=b, hist_impl='matmul',
+                walk_group=g),
+                f'culled-matmul block={block} group={grp}')
         times[f'culled-matmul/{block}'], out_m = timed(
             lambda b=block: _smeared_point_stats_culled(
                 *gargs, *pargs, **stat_args, block=b, hist_impl='matmul'),
@@ -107,7 +116,10 @@ def main():
             s = np.asarray(s, np.float64)
             scale = max(np.abs(s).max(), 1e-30)
             rel = np.abs(m - s).max() / scale
-            flag = '' if rel < 1e-6 else '  <-- DRIFT'
+            # few-1e-6 is f32 summation-order (matmul accumulates in a
+            # different order than scatter); bf16 operand rounding showed
+            # as 1.4e-4 before the Precision.HIGHEST fix
+            flag = '' if rel < 1e-5 else '  <-- DRIFT'
             print(f'  matmul-vs-scatter stat[{i}]: max rel {rel:.2e}{flag}')
 
     if args.dense_grid:

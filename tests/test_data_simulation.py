@@ -271,8 +271,15 @@ def test_model_density(use_ca_catalog):
     inp = use_ca_catalog
     # probe points on a dawn-side arc near the spot
     pts = np.linspace(1.1, 3.0, 10)
-    dens = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3)
+    # explicit dense baseline (the default is now 'auto' = culled at
+    # block 2048 on every backend — round-5 ladder)
+    dens = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3,
+                        cull_block=0)
     assert np.all(np.isfinite(dens.density))
+    # the 'auto' default must equal the dense opt-out
+    dens_auto = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3)
+    np.testing.assert_allclose(dens_auto.density, dens.density, rtol=1e-12)
+    np.testing.assert_array_equal(dens_auto.packets, dens.packets)
     # the ball-query block cull is exact
     dens_c = ModelDensity(inp, -pts, np.zeros(10), np.zeros(10), dr=0.3,
                           cull_block=128)
@@ -321,6 +328,11 @@ def test_density_reduce_culled_matches_dense():
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_ref),
                                    rtol=1e-12, err_msg=f'dr={dr}')
         np.testing.assert_array_equal(np.asarray(c_c), np.asarray(c_ref))
+        # multi-tile trips are bit-identical to the single-tile walk
+        d_g, c_g = _density_reduce_culled(px, py, pz, frac, qx, qy, qz,
+                                          dr, block=256, walk_group=3)
+        np.testing.assert_array_equal(np.asarray(d_g), np.asarray(d_c))
+        np.testing.assert_array_equal(np.asarray(c_g), np.asarray(c_c))
     assert int(c_ref.sum()) > 0
 
 
@@ -406,6 +418,11 @@ def test_smeared_point_stats_culled_matches_dense():
     # the MXU one-hot histogram form (what 'auto' picks on TPU)
     cul_mm = _smeared_point_stats_culled(*args, chunk=32, block=256,
                                          hist_impl='matmul')
+    # multi-tile trips: bit-identical to the single-tile walk
+    cul_g = _smeared_point_stats_culled(*args, chunk=32, block=256,
+                                        walk_group=3)
+    for a, b in zip(cul, cul_g):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     for name, a, b, c in zip(('n_inc', 'n_tot', 'abund', 'vh', 'ah', 'zh'),
                              ref, cul, cul_mm):
         a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
