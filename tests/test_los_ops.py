@@ -334,3 +334,19 @@ def test_los_fitted_accumulate_culled_matches_dense():
                 np.testing.assert_array_equal(np.asarray(ss_g),
                                               np.asarray(ss_c))
     assert float(jnp.sum(ss)) > 0
+
+
+def test_resolve_cull_block(monkeypatch):
+    """Backend-default routing: unset (None/'auto') picks the measured
+    default per backend; explicit 0 is a dense opt-out; ints pass
+    through unchanged."""
+    import jax as _jax
+    from nexoclom_tpu.ops import los as _los
+    assert _los.resolve_cull_block(512) == 512
+    assert _los.resolve_cull_block(0) == 0
+    assert _los.resolve_cull_block(None) == 0          # CPU test backend
+    assert _los.resolve_cull_block('auto') == 0
+    monkeypatch.setattr(_jax, 'default_backend', lambda: 'tpu')
+    assert _los.resolve_cull_block(None) == 4096
+    assert _los.resolve_cull_block('auto', accel_default=2048) == 2048
+    assert _los.resolve_cull_block(0) == 0             # opt-out survives
