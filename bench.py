@@ -328,7 +328,12 @@ def bench_los():
                                       los_reduce_culled)
 
     rng = np.random.default_rng(0)
-    n, n_spectra = 1 << 20, 1024
+    # 4M packets = the e2e production workload: the denser cloud culls
+    # far harder (11.7% surviving tiles at block 4096 vs 27% at 1M;
+    # docs/scaling.md round-5 ladder), so this is the representative
+    # scale for the cull headline.  Validated on hardware by
+    # scripts/tpu_stages/18_cull_4m.sh (1.91x per-call, block 4096).
+    n, n_spectra = 1 << 22, 1024
     r = rng.uniform(1.05, 8.0, n)
     costh = rng.uniform(-1, 1, n)
     phi = rng.uniform(0, 2 * np.pi, n)
