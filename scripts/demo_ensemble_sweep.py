@@ -10,8 +10,14 @@ On one chip the ensemble axis is vmapped; on a pod the same program shards
 over ('ensemble', 'packets') — see __graft_entry__.dryrun_multichip, which
 executes this exact structure on virtual devices.
 
+The sweep axis is (species x TAA): ``--species Na,Ca,Mg --members 4``
+runs a 12-member ensemble (4 true anomalies per species) — the
+north-star scale configuration (BASELINE.json's multi-species
+parameter sweep; the reference fans one Condor job per species input,
+``utilities/Condor.py:21-105``).
+
 Usage: python scripts/demo_ensemble_sweep.py [--members 8]
-       [--packets 65536] [--nsteps 121] [--tpu]
+       [--species Na[,Ca,Mg]] [--packets 65536] [--nsteps 121] [--tpu]
 """
 import argparse
 import os
@@ -23,7 +29,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--members', type=int, default=8)
+    parser.add_argument('--members', type=int, default=8,
+                        help='true anomalies per species')
+    parser.add_argument('--species', default='Na',
+                        help='comma-separated species list (sweep axis is '
+                             'species x TAA)')
     parser.add_argument('--packets', type=int, default=65536)
     parser.add_argument('--nsteps', type=int, default=121)
     parser.add_argument('--tpu', action='store_true')
@@ -37,48 +47,25 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from nexoclom_tpu.atomicdata import radpres_table
-    from nexoclom_tpu.initial_state.loss_info import LossInfo
-    from nexoclom_tpu.ops.integrator import (EngineSpec, default_lookup_impl,
-                                             empty_force_table)
-    from nexoclom_tpu.parallel import make_ensemble_step, stack_force_tables
-    from nexoclom_tpu.solarsystem import SSObject, planet_dist
+    from nexoclom_tpu.ops.integrator import EngineSpec, default_lookup_impl
+    from nexoclom_tpu.parallel import make_ensemble_step, species_sweep_tables
+    from nexoclom_tpu.solarsystem import SSObject
 
     dtype = jnp.float32
     mercury = SSObject('Mercury')
     radius_km = mercury.radius
 
-    # sweep members: Na at different true anomalies (distance + radial
-    # velocity + photo rate all vary)
-    from nexoclom_tpu.ops.pltable import compress_uniform
+    # sweep members: (species x TAA) — distance, radial velocity, radpres
+    # table, and photo rate all vary per member.  species_sweep_tables
+    # compresses each species ONCE at 1 AU, scales per TAA, and pads every
+    # table to a common knot count so one compiled program covers the
+    # whole sweep (parallel/ensemble.py).
+    species = [s.strip() for s in args.species.split(',') if s.strip()]
     taas = np.linspace(0, 2 * np.pi, args.members, endpoint=False)
-    # compress ONCE at 1 AU and scale per member: a(v; aplanet) is exactly
-    # a(v; 1 AU)/aplanet^2 on the same grid, and a piecewise-linear fit
-    # scales linearly — compressing each member independently could pick
-    # different knot counts when a borderline knot sits within an ulp of
-    # the tolerance, breaking stack_force_tables' shape contract
-    v0, dv, accel_1au = radpres_table('Na', 1.0, npoints=512)
-    pl_1au = compress_uniform(v0 / radius_km, dv / radius_km,
-                              accel_1au / radius_km, rel_tol=1e-3,
-                              dtype=np.float32)
-    tables = []
-    for taa in taas:
-        aplanet, vr = planet_dist(mercury, float(taa))
-        scale = 1.0 / aplanet ** 2
-        tables.append(empty_force_table(dtype)._replace(
-            gm=jnp.asarray(mercury.gm_rp3, dtype),
-            vrplanet=jnp.asarray(vr / radius_km, dtype),
-            rp_v0=jnp.asarray(v0 / radius_km, dtype),
-            rp_dv=jnp.asarray(dv / radius_km, dtype),
-            rp_accel=jnp.asarray(accel_1au * scale / radius_km, dtype),
-            # base packs [y0, vmax]: scale the value, keep the clamp limit
-            rp_pl=pl_1au._replace(
-                dslope=pl_1au.dslope * scale,
-                base=pl_1au.base * jnp.asarray([scale, 1.0],
-                                               pl_1au.base.dtype)),
-            ion_rate=jnp.asarray(LossInfo('Na', 0.0, aplanet).photo, dtype)))
-    forces = stack_force_tables(tables)
-    keys = jax.random.split(jax.random.PRNGKey(7), args.members)
+    members = [(sp, float(taa)) for sp in species for taa in taas]
+    forces = species_sweep_tables(members, mercury, dtype=dtype)
+    n_members = len(members)
+    keys = jax.random.split(jax.random.PRNGKey(7), n_members)
 
     spec = EngineSpec(gravity=True, radpres=True, constant_rate=False,
                       surface_bounce=False, check_outer_edge=True,
@@ -88,6 +75,7 @@ def main():
         nsteps=args.nsteps, n_packets=args.packets,
         vprob_model=2.0 / radius_km, delv_model=1.0 / radius_km,
         endtime=30.0 * args.nsteps, image_bins=64, dtype=dtype)
+    member_names = [f'{sp}@{np.degrees(taa):.0f}' for sp, taa in members]
     compiled = jax.jit(step)
 
     final, images = compiled(keys, forces)          # compile + run
@@ -97,15 +85,16 @@ def main():
     checksum = float(jnp.sum(images))
     elapsed = time.perf_counter() - t0
 
-    packet_steps = args.members * args.packets * (args.nsteps - 1)
+    packet_steps = n_members * args.packets * (args.nsteps - 1)
     print(f'backend = {jax.default_backend()}')
-    print(f'{args.members} members x {args.packets} packets x '
+    print(f'{n_members} members ({len(species)} species x {args.members} '
+          f'TAA) x {args.packets} packets x '
           f'{args.nsteps - 1} steps = {packet_steps:.3e} packet-steps '
           f'in {elapsed:.2f} s -> {packet_steps / elapsed:.3e} '
           f'packet-steps/s')
     surviving = np.asarray(jax.vmap(lambda f: jnp.sum(f.frac))(final))
-    print('surviving frac per member:',
-          np.array2string(surviving / args.packets, precision=3))
+    for name, frac in zip(member_names, surviving / args.packets):
+        print(f'  {name}: surviving frac {frac:.3f}')
     print(f'image checksum = {checksum:.4e}')
 
 
