@@ -29,3 +29,19 @@ def test_example_runs(name, packets, extra, tmp_path, monkeypatch):
         '--savepath', str(tmp_path), *extra])
     module = importlib.import_module(name)
     module.main()
+
+
+def test_demo_species_sweep(monkeypatch, capsys):
+    """The (species x TAA) ensemble demo — the north-star sweep shape —
+    runs end to end at tiny scale (the Condor-fan-out role,
+    utilities/Condor.py:21-105)."""
+    scripts_dir = os.path.join(os.path.dirname(__file__), '..', 'scripts')
+    monkeypatch.syspath_prepend(scripts_dir)
+    monkeypatch.setattr(sys, 'argv', [
+        'demo_ensemble_sweep.py', '--members', '2', '--species', 'Na,Ca',
+        '--packets', '512', '--nsteps', '5'])
+    module = importlib.import_module('demo_ensemble_sweep')
+    module.main()
+    out = capsys.readouterr().out
+    assert '4 members (2 species x 2 TAA)' in out
+    assert 'Ca@180' in out
