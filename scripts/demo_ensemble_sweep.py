@@ -34,8 +34,13 @@ def main():
     parser.add_argument('--species', default='Na',
                         help='comma-separated species list (sweep axis is '
                              'species x TAA)')
-    parser.add_argument('--packets', type=int, default=65536)
+    parser.add_argument('--packets', type=int, default=65536,
+                        help='packets per member per chunk')
     parser.add_argument('--nsteps', type=int, default=121)
+    parser.add_argument('--chunks', type=int, default=1,
+                        help='sequential seed chunks through the one '
+                             'compiled program (scale runs: total packets '
+                             '= members x species x packets x chunks)')
     parser.add_argument('--tpu', action='store_true')
     args = parser.parse_args()
 
@@ -78,18 +83,28 @@ def main():
     member_names = [f'{sp}@{np.degrees(taa):.0f}' for sp, taa in members]
     compiled = jax.jit(step)
 
-    final, images = compiled(keys, forces)          # compile + run
+    final, images = compiled(keys, forces)          # compile + warmup
     checksum = float(jnp.sum(images))
+
+    # timed chunks: independent seed streams through the ONE compiled
+    # program, per-member images accumulated on device (the 1e9-packet
+    # multi-species sweep pattern — BASELINE.md north-star scale config)
     t0 = time.perf_counter()
-    final, images = compiled(keys, forces)
-    checksum = float(jnp.sum(images))
+    total_images = jnp.zeros_like(images)
+    for c in range(args.chunks):
+        keys = jax.random.split(jax.random.PRNGKey(1000 + c), n_members)
+        final, images = compiled(keys, forces)
+        total_images = total_images + images
+    checksum = float(jnp.sum(total_images))          # device sync
     elapsed = time.perf_counter() - t0
 
-    packet_steps = n_members * args.packets * (args.nsteps - 1)
+    total_packets = n_members * args.packets * args.chunks
+    packet_steps = total_packets * (args.nsteps - 1)
     print(f'backend = {jax.default_backend()}')
     print(f'{n_members} members ({len(species)} species x {args.members} '
-          f'TAA) x {args.packets} packets x '
-          f'{args.nsteps - 1} steps = {packet_steps:.3e} packet-steps '
+          f'TAA) x {args.packets} packets x {args.chunks} chunks '
+          f'= {total_packets:.3e} packets, x {args.nsteps - 1} steps '
+          f'= {packet_steps:.3e} packet-steps '
           f'in {elapsed:.2f} s -> {packet_steps / elapsed:.3e} '
           f'packet-steps/s')
     surviving = np.asarray(jax.vmap(lambda f: jnp.sum(f.frac))(final))
