@@ -79,6 +79,31 @@ def test_losresult_radiance_and_fit(use_ca_catalog):
     assert np.allclose(los2.radiance.to_numpy(), model, rtol=1e-12)
 
 
+def test_losresult_compute_dtype_crn(use_ca_catalog):
+    """``compute_dtype`` forces the retrieval arithmetic precision over the
+    SAME engine packets — the common-random-numbers accuracy probe
+    (scripts/validate_accuracy.py --case fit-stage).  f32 and f64
+    retrievals must agree closely but not bitwise (proof the dtype really
+    routed), and the cached-iteration criteria keep them separate."""
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    f64 = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(3.0), label='cdt64',
+                    compute_dtype='float64')
+    f64.simulate_data_from_inputs(scdata)
+    f32 = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(3.0), label='cdt32',
+                    compute_dtype='float32')
+    f32.simulate_data_from_inputs(scdata)
+    a = f64.radiance.to_numpy()
+    b = f32.radiance.to_numpy()
+    scale = np.abs(a).max()
+    assert scale > 0
+    assert np.allclose(b, a, rtol=0, atol=2e-3 * scale)
+    assert not np.array_equal(a, b)
+    assert np.isclose(f32.sourcerate, f64.sourcerate, rtol=5e-3)
+
+
 def test_losresult_mask_dsl(use_ca_catalog):
     inp = use_ca_catalog
     rad = np.linspace(0.1, 3.0, 12)
