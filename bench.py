@@ -536,9 +536,22 @@ def bench_e2e(n: int = 1 << 22):
 
 
 def main():
+    import contextlib
+    import sys
+
     from nexoclom_tpu.utilities.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     wait_for_device()
+
+    # The driver contract is ONE JSON line on stdout; library progress
+    # prints (Input.run, LOSResult) go to stderr instead.
+    real_stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        record = _run_stages()
+    print(json.dumps(record), file=real_stdout)
+
+
+def _run_stages():
 
     rate, const_detail = bench_const_step()
     adaptive_rate, accepted, attempted, n_mono, adapt_detail = \
@@ -571,7 +584,7 @@ def main():
         record['e2e_wall_s'] = round(e2e_s, 1)
         detail['e2e'] = e2e_detail
     record['detail'] = detail
-    print(json.dumps(record))
+    return record
 
 
 if __name__ == '__main__':
