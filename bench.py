@@ -17,7 +17,8 @@ One JSON line with five driver-visible metrics (round-over-round record):
   scan (8 chunks — enough to amortise the per-chunk dispatch; a 1e8-packet
   run reaches 3.45e8, docs/scaling.md).
 * ``los_value`` — (spectrum x packet) pairs/s of the LOS pipeline on the
-  MESSENGER-like orbit geometry (1024 limb-scan spectra x 2^20 packets,
+  MESSENGER-like orbit geometry (1024 limb-scan spectra x 2^22 packets —
+  the e2e production workload,
   1° cones), through the two-stage block cull (``los_reduce_culled``,
   results identical to the dense kernel) at blocks 4096 AND 8192
   (``NEXOCLOM_BENCH_WALK_GROUP`` overrides the tiles-per-trip default).
@@ -449,30 +450,14 @@ def bench_los():
         detail['walk_group'] = wg
 
     # dispatch-free kernel rates: every single dispatch on this tunnel
-    # carries a ~25-50 ms round trip shared by dense and culled alike
-    # (docs/scaling.md round-5 ladder), so the per-call numbers above
-    # understate the kernel speedup; a lax.scan of R calls inside ONE
-    # dispatch isolates it (the carry perturbs dphi by an exact runtime
-    # zero so XLA cannot hoist the body)
-    R = 5
+    # carries a ~25-50 ms round trip shared by dense and culled alike,
+    # so the per-call numbers above understate the kernel speedup; the
+    # shared scan-in-dispatch helper isolates it with the same
+    # methodology as scripts/bench_los.py
+    from nexoclom_tpu.utilities.tracing import scan_kernel_seconds
 
     def kernel_rate(fn):
-        @jax.jit
-        def run():
-            def body(c, _):
-                rad = fn(dphi + jnp.minimum(c, 0.0))[0]
-                return c + jnp.sum(rad), None
-            s, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
-                                None, length=R)
-            return s
-        float(run())
-        best = min(_t(run) for _ in range(3))
-        return pairs / (best / R)
-
-    def _t(run):
-        t0 = time.perf_counter()
-        float(run())
-        return time.perf_counter() - t0
+        return pairs / scan_kernel_seconds(fn, dphi, length=5, reps=3)
 
     kd = kernel_rate(lambda dp: los_reduce(*fn_args, dp, rp_cm))
     kw2 = {} if wg is None else {'walk_group': wg}

@@ -205,13 +205,18 @@ class LOSResultFitted(LOSResult):
             radvel = output.X['vy'].to_numpy() + vr_model
             weight_fit = self.packet_weighting(
                 output.X['frac'].to_numpy(), radvel, output.aplanet)
-            fit_arrays = (jnp.asarray(output.X['x'].to_numpy()),
-                          jnp.asarray(output.X['y'].to_numpy()),
-                          jnp.asarray(output.X['z'].to_numpy()),
-                          jnp.asarray(weight_fit))
+            # same forced retrieval dtype as the accumulate stage above,
+            # so the CRN accuracy probe's "full retrieval chain in the
+            # chosen precision" claim covers this kernel too
+            fit_arrays = (jnp.asarray(output.X['x'].to_numpy(), dtype=cdt),
+                          jnp.asarray(output.X['y'].to_numpy(), dtype=cdt),
+                          jnp.asarray(output.X['z'].to_numpy(), dtype=cdt),
+                          jnp.asarray(weight_fit, dtype=cdt))
             n_fit_rows = fit_arrays[0].shape[0]
-            reduce_args = (jnp.asarray(sc_pos), jnp.asarray(bore),
-                           jnp.asarray(obstruction), jnp.asarray(outer_dd),
+            reduce_args = (jnp.asarray(sc_pos, dtype=cdt),
+                           jnp.asarray(bore, dtype=cdt),
+                           jnp.asarray(obstruction, dtype=cdt),
+                           jnp.asarray(outer_dd, dtype=cdt),
                            self.dphi, self.radius_km * CM_PER_KM)
             if cull_block and mesh is not None:
                 from nexoclom_tpu.ops.los import los_reduce_culled_sharded

@@ -69,8 +69,13 @@ class LOSResult(ModelResult):
         # prefilter role, compute_iteration.py:171-173): packet block
         # size for ops.los.los_reduce_culled; 0 = exact dense reduction
         # None = never set (downstream defaults decide, e.g. the smear's
-        # 'auto'); an EXPLICIT 0 is a dense opt-out that inherits as such
+        # 'auto'); an EXPLICIT 0 is a dense opt-out that inherits as such.
+        # 'auto' (the spelled-out backend default accepted by the other
+        # family members) is the same as unset here: downstream
+        # resolve_cull_block picks the backend block.
         _cb = kwargs.get('cull_block', None)
+        if _cb == 'auto':
+            _cb = None
         self.cull_block = None if _cb is None else int(_cb or 0)
         # force the device retrieval arithmetic to a dtype regardless of
         # process x64 state — the common-random-numbers accuracy probe

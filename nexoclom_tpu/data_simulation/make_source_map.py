@@ -46,7 +46,8 @@ from nexoclom_tpu.particle_tracking.output import Output
 
 DEFAULT_PARAMS = dict(smear_radius=np.radians(10), nlonbins=180, nlatbins=90,
                       nvelbins=100, nazbins=45, naltbins=23,
-                      smear_abundance=True, cull_block='auto', sharded=False)
+                      smear_abundance=True, cull_block='auto', sharded=False,
+                      compute_dtype=None)
 
 
 def _haversine(lat1, lon1, lat2, lon2):
@@ -453,10 +454,13 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
     from nexoclom_tpu.parallel.mesh import resolve_packet_mesh, shard_padded
     mesh = resolve_packet_mesh(params.get('sharded', False),
                                'make_source_map')
-    packet_arrays = (jnp.asarray(lat), jnp.asarray(lon),
-                     jnp.asarray(weight), jnp.asarray(included),
-                     jnp.asarray(v_kms), jnp.asarray(altitude),
-                     jnp.asarray(azimuth))
+    # forced retrieval dtype (CRN accuracy probe) covers the smear too
+    cdt = params.get('compute_dtype')
+    packet_arrays = (jnp.asarray(lat, dtype=cdt), jnp.asarray(lon, dtype=cdt),
+                     jnp.asarray(weight, dtype=cdt), jnp.asarray(included),
+                     jnp.asarray(v_kms, dtype=cdt),
+                     jnp.asarray(altitude, dtype=cdt),
+                     jnp.asarray(azimuth, dtype=cdt))
     if mesh is not None:
         # NaN latitude pads fail every haversine compare (inert rows)
         packet_arrays, _ = shard_padded(
@@ -468,8 +472,9 @@ def _distribution_for_x0(X0, radius_km, vmax, params, todo):
     else:
         smear = _smeared_point_stats
     n_inc, n_tot, abund_s, vh, ah, zh = smear(
-        jnp.asarray(gridlat.ravel()), jnp.asarray(gridlon.ravel()),
-        jnp.asarray(radius_scale), *packet_arrays,
+        jnp.asarray(gridlat.ravel(), dtype=cdt),
+        jnp.asarray(gridlon.ravel(), dtype=cdt),
+        jnp.asarray(radius_scale, dtype=cdt), *packet_arrays,
         vmax=vmax, nvelbins=nvel, naltbins=nalt, nazbins=naz)
 
     shape = gridlon.shape
@@ -498,6 +503,10 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
         params['cull_block'] = losresult.cull_block
     if 'sharded' not in explicit:
         params['sharded'] = getattr(losresult, 'sharded', False)
+    if 'compute_dtype' not in explicit:
+        # the CRN accuracy probe forces the whole retrieval chain to one
+        # dtype; the fitted map's device smear rides the same switch
+        params['compute_dtype'] = getattr(losresult, 'compute_dtype', None)
 
     # one restore per file: the vmax scan and the distribution pass reuse
     # the same deserialized Outputs (full-array restores dominate

@@ -202,9 +202,9 @@ class ModelDensity:
         # 13.4x at block 2048 even on CPU (docs/scaling.md), so 'auto'
         # culls on EVERY backend (unlike the cone kernels, whose CPU
         # dense form wins).  Explicit 0 forces dense.
-        if cull_block in (None, 'auto'):
-            cull_block = 2048
-        self.cull_block = int(cull_block or 0)
+        from nexoclom_tpu.ops.los import resolve_cull_block
+        self.cull_block = resolve_cull_block(
+            cull_block, accel_default=2048, cpu_default=2048)
         self.origin = inputs.geometry.planet
         self.inputs = inputs
         radius_cm = self.origin.radius * CM_PER_KM

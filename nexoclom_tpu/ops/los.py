@@ -36,18 +36,23 @@ _WALK_GROUP = 8   # tiles per while_loop trip in the culled walk — the
                   # dense kernel; docs/scaling.md round-5 cull ladder)
 
 
-def resolve_cull_block(cull_block, accel_default: int = 4096):
+def resolve_cull_block(cull_block, accel_default: int = 4096,
+                       cpu_default: int = 0):
     """Resolve a user cull_block setting to a concrete block size.
 
     ``None``/``'auto'`` pick the measured-best default for the backend:
-    dense (0) on CPU, where the O(S x N) reduction is vector-parallel
-    and the Morton sort is relatively costlier, and ``accel_default``
-    on accelerators (block 4096 measured best for the cone kernels,
-    2048 for the source-map smear — round-5 TPU ladders).  An explicit
-    0 forces the dense kernel; ints pass through.  Results are
-    identical either way (the cull is exact)."""
+    ``cpu_default`` (dense for the cone kernels, where the O(S x N)
+    reduction is vector-parallel and the Morton sort is relatively
+    costlier; 2048 for the density ball query, which wins even on CPU)
+    and ``accel_default`` on accelerators (block 4096 measured best for
+    the cone kernels, 2048 for the source-map smear and density —
+    round-5 TPU ladders).  An explicit 0 forces the dense kernel; ints
+    pass through.  Results are identical either way (the cull is
+    exact).  Every family member's 'auto' routes through here so the
+    next retune has one site to touch."""
     if cull_block in (None, 'auto'):
-        return 0 if jax.default_backend() == 'cpu' else accel_default
+        return (cpu_default if jax.default_backend() == 'cpu'
+                else accel_default)
     return int(cull_block or 0)
 
 

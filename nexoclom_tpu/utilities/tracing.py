@@ -42,6 +42,45 @@ def device_barrier(value) -> float:
     return float(jnp.asarray(value).sum())
 
 
+def scan_kernel_seconds(kernel_fn, arg, length: int = 5,
+                        reps: int = 3) -> float:
+    """Best-of-``reps`` per-call seconds of ``kernel_fn(arg)``, measured
+    as a ``lax.scan`` of ``length`` calls inside ONE dispatch.
+
+    On the axon tunnel every dispatch carries a ~25-50 ms host round
+    trip (docs/scaling.md round-5 ladder), so per-call wall times
+    understate a kernel's device rate; scanning R calls in one dispatch
+    amortises it.  The scan carry perturbs ``arg`` by ``min(carry, 0)``
+    — an exact runtime zero that XLA cannot prove is zero — so the body
+    re-executes every trip instead of being hoisted/CSE'd.
+    ``kernel_fn`` must return an array (or tuple whose first element is
+    an array) reduced into the carry.  Shared by ``bench.py`` and
+    ``scripts/bench_los.py`` so the bench record and the ladder scripts
+    measure with the same methodology.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run():
+        def body(c, _):
+            out = kernel_fn(arg + jnp.minimum(c, 0.0))
+            if isinstance(out, tuple):
+                out = out[0]
+            return c + jnp.sum(out), None
+        s, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                            None, length=length)
+        return s
+
+    float(run())                            # compile + barrier
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run())                        # scalar pull = true barrier
+        best = min(best, time.perf_counter() - t0)
+    return best / length
+
+
 class StepRateTimer:
     """Measure packet-steps/sec over timed regions.
 

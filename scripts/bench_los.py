@@ -108,28 +108,20 @@ def main():
     R = args.inner_reps
 
     def timed_kernel(kernel_fn):
-        """Best-of-`reps` per-call seconds; with --inner-reps R > 1 each
-        timed dispatch scans R kernel calls and the time is divided by
-        R (the carry-dependent dphi perturbation is an exact runtime
-        zero, but XLA cannot prove it, so the body re-executes)."""
-        if R == 1:
-            run = lambda: jnp.sum(kernel_fn(dphi)[0])
-        else:
-            @jax.jit
-            def run():
-                def body(c, _):
-                    rad = kernel_fn(dphi + jnp.minimum(c, 0.0))[0]
-                    return c + jnp.sum(rad), None
-                s, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
-                                    None, length=R)
-                return s
+        """Best-of-3 per-call seconds; with --inner-reps R > 1 each
+        timed dispatch scans R kernel calls inside ONE dispatch via the
+        shared helper (same methodology as bench.py's LOS stage)."""
+        if R > 1:
+            from nexoclom_tpu.utilities.tracing import scan_kernel_seconds
+            return scan_kernel_seconds(kernel_fn, dphi, length=R, reps=3)
+        run = lambda: jnp.sum(kernel_fn(dphi)[0])
         float(run())                        # compile + barrier
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
             float(run())
             best = min(best, time.perf_counter() - t0)
-        return best / R
+        return best
 
     rad, npack, used = los_reduce(*fn_args, dphi, rp_cm, **kw)
     checksum = float(jnp.sum(rad))          # compile + barrier

@@ -6,6 +6,7 @@
 # logs land in .round5/NN_name.log.  Append new stage scripts at any
 # time; the watcher picks them up on its next wake.
 cd "$(dirname "$0")/.."
+mkdir -p .round5
 while true; do
   pending=0
   for stage in scripts/tpu_stages/*.sh; do

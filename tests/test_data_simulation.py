@@ -104,6 +104,82 @@ def test_losresult_compute_dtype_crn(use_ca_catalog):
     assert np.isclose(f32.sourcerate, f64.sourcerate, rtol=5e-3)
 
 
+def test_losresult_cull_block_auto(use_ca_catalog):
+    """'auto' is a valid cull_block spelling on every family member;
+    on LOSResult it means unset (downstream resolve_cull_block picks
+    the backend default block)."""
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    los = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                    dphi=math.radians(3.0), label='autocull',
+                    cull_block='auto')
+    assert los.cull_block is None
+    los.simulate_data_from_inputs(scdata)
+    assert np.all(np.isfinite(los.radiance.to_numpy()))
+
+
+def test_fitted_compute_dtype_crn(use_ca_catalog):
+    """``compute_dtype`` must reach the WHOLE fitted chain — the
+    data/model accumulate AND the fitted-radiance reduce — so the CRN
+    accuracy probe's retrieval-stage bound covers every device kernel.
+    f32 and f64 fitted radiances agree closely but not bitwise."""
+    inp = use_ca_catalog
+    scdata = _spacecraft_data()
+    unfit = LOSResult(scdata, inp, {'quantity': 'radiance'},
+                      dphi=math.radians(3.0), label='cdtfit')
+    unfit.simulate_data_from_inputs(scdata)
+    pattern = 1.0 + 0.5 * np.sin(np.linspace(0, np.pi, 12))
+    scdata.data['radiance'] = unfit.radiance.to_numpy() * pattern
+    scdata.data['sigma'] = 0.05 * scdata.data['radiance'].clip(lower=1e-3)
+    unfit.determine_source_rate(scdata, use_weight=False)
+    out = {}
+    for dt in ('float64', 'float32'):
+        fitted = LOSResultFitted(scdata, 'cdtfit', {'quantity': 'radiance'},
+                                 compute_dtype=dt)
+        fitted.determine_source_from_data(scdata)
+        out[dt] = (fitted.radiance.to_numpy(), fitted.sourcerate)
+    a, b = out['float64'][0], out['float32'][0]
+    scale = np.abs(a).max()
+    assert scale > 0
+    assert np.allclose(b, a, rtol=0, atol=1e-2 * scale)
+    assert not np.array_equal(a, b)
+    assert np.isclose(out['float32'][1], out['float64'][1], rtol=2e-2)
+
+
+def test_distribution_compute_dtype_routes():
+    """The source-map smear rides the same compute_dtype switch: f32 and
+    f64 device smears agree closely but not bitwise (proof the dtype
+    reached the kernel)."""
+    import pandas as pd
+
+    from nexoclom_tpu.data_simulation.make_source_map import (
+        DEFAULT_PARAMS, _distribution_for_x0)
+    rng = np.random.default_rng(7)
+    n = 500
+    X0 = pd.DataFrame({
+        'frac': rng.uniform(0.1, 1.0, n),
+        'longitude': rng.uniform(0, 2 * np.pi, n),
+        'latitude': rng.uniform(-np.pi / 2, np.pi / 2, n),
+        'v': rng.uniform(0.1, 2.0, n) / 2440.0,     # R_p/s -> ~km/s
+        'altitude': rng.uniform(0, np.pi / 2, n),
+        'azimuth': rng.uniform(0, 2 * np.pi, n),
+    })
+    params = {**DEFAULT_PARAMS, 'nlonbins': 12, 'nlatbins': 6,
+              'nvelbins': 5, 'naltbins': 4, 'nazbins': 4,
+              'cull_block': 0}
+    out = {}
+    for dt in ('float64', 'float32'):
+        p = {**params, 'compute_dtype': dt}
+        out[dt] = _distribution_for_x0(X0, 2440.0, 3.0, p, 'source')
+    a = out['float64']['abundance_uncor']
+    b = out['float32']['abundance_uncor']
+    assert np.allclose(b, a, rtol=1e-4, atol=1e-6 * np.abs(a).max())
+    assert not np.array_equal(a, b)
+    # counts are integer-exact in both precisions
+    assert np.array_equal(out['float64']['n_included'],
+                          out['float32']['n_included'])
+
+
 def test_losresult_mask_dsl(use_ca_catalog):
     inp = use_ca_catalog
     rad = np.linspace(0.1, 3.0, 12)

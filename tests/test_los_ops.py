@@ -346,7 +346,10 @@ def test_resolve_cull_block(monkeypatch):
     assert _los.resolve_cull_block(0) == 0
     assert _los.resolve_cull_block(None) == 0          # CPU test backend
     assert _los.resolve_cull_block('auto') == 0
+    # the density ball query culls even on CPU (measured 13.4x win)
+    assert _los.resolve_cull_block(None, cpu_default=2048) == 2048
     monkeypatch.setattr(_jax, 'default_backend', lambda: 'tpu')
     assert _los.resolve_cull_block(None) == 4096
     assert _los.resolve_cull_block('auto', accel_default=2048) == 2048
     assert _los.resolve_cull_block(0) == 0             # opt-out survives
+    assert _los.resolve_cull_block(0, cpu_default=2048) == 0
