@@ -204,3 +204,37 @@ def test_debug_mode_end_to_end(monkeypatch):
     inp.options.endtime = 300.0
     out = Output(inp, 50, seed=1)   # passes validation
     assert out.npackets == 50
+
+
+def test_bench_pool_rep_policy():
+    """The bench pool stage's stop rule (bench.py::pool_stage_should_stop):
+    converged-within-2.5% AND anchored reps stop at 3; a uniformly loaded
+    host (converged but off-anchor, the bench_r5_run5.json failure mode)
+    keeps extending until the bounded budget; convergence alone suffices
+    past 7 reps."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        from bench import pool_stage_should_stop
+    finally:
+        sys.path.pop(0)
+
+    anchor = 62.0
+    # quiet host: three reps near the anchor, two fastest within 2.5%
+    assert pool_stage_should_stop([61.3, 61.6, 62.8], anchor_s=anchor)
+    # too few reps never stop, however fast
+    assert not pool_stage_should_stop([60.0, 60.1], anchor_s=anchor)
+    # loaded host (run-5 shape): converged at 67.5/69.0 but 9% off anchor
+    # -> keep extending through reps 3..6
+    run5 = [71.9, 79.1, 90.8, 69.0, 70.9, 67.5]
+    for k in range(3, len(run5) + 1):
+        assert not pool_stage_should_stop(run5[:k], anchor_s=anchor)
+    # ...but once 7 reps are spent, convergence alone ends the stage
+    assert pool_stage_should_stop(run5 + [68.1], anchor_s=anchor)
+    # 7+ reps without convergence still extend
+    assert not pool_stage_should_stop([70, 80, 90, 85, 88, 91, 95],
+                                      anchor_s=anchor)
+    # an anchored quiet window found late stops immediately
+    assert pool_stage_should_stop([70.0, 80.0, 61.0, 61.9],
+                                  anchor_s=anchor)
