@@ -737,7 +737,7 @@ def test_cp_rate3d_engine_decay_static():
     for i, pos in enumerate(positions):
         az = math.atan2(-pos[0], pos[1]) % (2 * math.pi)
         rho_c = math.hypot(pos[0], pos[1])
-        expected = float(interp([rho_c, az, pos[2]]))
+        expected = float(interp([rho_c, az, pos[2]])[0])
         assert float(final.frac[i]) == pytest.approx(
             math.exp(-expected * T), rel=5e-3), i
 
@@ -787,7 +787,7 @@ def test_cp_rate3d_corotating():
 
     def rate_at(t):
         phi_sys = (az - (phase0 - omega * t)) % (2 * math.pi)
-        return float(interp([rho_c, phi_sys, pos[2]]))
+        return float(interp([rho_c, phi_sys, pos[2]])[0])
 
     integral = quad(rate_at, 0.0, T, limit=400)[0]
     assert float(final.frac[0]) == pytest.approx(math.exp(-integral),
