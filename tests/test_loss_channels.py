@@ -495,6 +495,8 @@ def test_longitude_factor_loader_validation():
                  'eimp_phi_phase': '200'})
 
 
+@pytest.mark.filterwarnings(
+    'ignore::scipy.integrate.IntegrationWarning')
 def test_longitude_factor_static_and_corotating():
     """The System III factor h(phi_sys): static case matches np.interp at
     the packet's azimuth; co-rotating case matches quad() of the analytic
@@ -742,6 +744,8 @@ def test_cp_rate3d_engine_decay_static():
             math.exp(-expected * T), rel=5e-3), i
 
 
+@pytest.mark.filterwarnings(
+    'ignore::scipy.integrate.IntegrationWarning')
 def test_cp_rate3d_corotating():
     """A co-rotating CP field sweeps its longitude structure past a fixed
     packet; the RK-integrated decay matches quad() of the analytic
