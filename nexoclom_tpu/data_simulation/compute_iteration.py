@@ -120,7 +120,11 @@ class IterationResultFitted(IterationResult):
 def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     """Simulate one output file along every spacecraft line of sight."""
     t0 = time.time()
-    output = Output.restore(outputfile)
+    # only the LOS-relevant X columns (the full-frame restore dominates
+    # the stage's wall time at production packet counts); X0 itself is
+    # never needed here — its row count is the meta npackets
+    output = Output.restore(
+        outputfile, columns={'X': ('x', 'y', 'z', 'vy', 'frac', 'Index')})
     packets = output.X
     vr_model = output.vrplanet / losresult.radius_km
 
@@ -194,8 +198,9 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     npack = np.asarray(npack)
     used = np.asarray(used)
 
-    # per-initial-packet inclusion flags (compute_iteration.py:145,191)
-    included = np.zeros(len(output.X0), dtype=bool)
+    # per-initial-packet inclusion flags (compute_iteration.py:145,191);
+    # npackets == len(X0) by construction (one X0 row per launched packet)
+    included = np.zeros(output.npackets, dtype=bool)
     packet_ids = packets['Index'].to_numpy().astype(int)
     included[packet_ids[used]] = True
 

@@ -383,7 +383,8 @@ def make_source_map(outputfile: str, params=None, todo='source'):
     if todo not in ('source', 'available'):
         return None
     params = {**DEFAULT_PARAMS, **(params or {})}
-    output = Output.restore(outputfile)
+    # source maps bin initial states only — skip the (much larger) X frame
+    output = Output.restore(outputfile, columns={'X0': None})
     X0 = output.X0
     radius_km = output.inputs.geometry.planet.radius
     vmax = params.get('vmax')
@@ -510,8 +511,10 @@ def build_sourcemap_from_outputs(losresult, params, todo='source',
 
     # one restore per file: the vmax scan and the distribution pass reuse
     # the same deserialized Outputs (full-array restores dominate
-    # source-map cost on multi-GB stores)
-    outputs = [Output.restore(f) for f in losresult.modelfiles]
+    # source-map cost on multi-GB stores; only X0 is binned, so the X
+    # frame — the store's bulk — is skipped entirely)
+    outputs = [Output.restore(f, columns={'X0': None})
+               for f in losresult.modelfiles]
 
     # common speed grid over all outputs
     vmax = 0.0

@@ -229,7 +229,10 @@ class ModelDensity:
         endtime = None
         for fname in self.outputfiles:
             print(f'Output filename: {fname}')
-            output = Output.restore(fname)
+            # the ball query reads only positions and weights; skip the
+            # rest of the frame (restore cost is per-column)
+            output = Output.restore(
+                fname, columns={'X': ('x', 'y', 'z', 'frac')})
             X = output.X
             packet_arrays = (jnp.asarray(X['x'].to_numpy()),
                              jnp.asarray(X['y'].to_numpy()),

@@ -144,7 +144,10 @@ class ModelImage(ModelResult):
     # -------------------------------------------------------------- compute
     def create_image(self, fname):
         M = self.image_rotation()
-        output = Output.restore(fname)
+        # positions + weighting inputs only ('time' feeds the F26
+        # moon-centered frame and the moving-moon occultors)
+        output = Output.restore(
+            fname, columns={'X': ('x', 'y', 'z', 'vy', 'frac', 'time')})
         packets = output.X
         vr_model = output.vrplanet / self.radius_km
 

@@ -68,6 +68,36 @@ def test_output_catalog_and_restore(tmp_path):
     assert restored.aplanet == pytest.approx(out.aplanet)
 
 
+def test_output_restore_column_pruning(tmp_path):
+    """Pruned restores load bit-identical columns (and only those) —
+    the fast path compute_iteration / images / density / source maps use."""
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
+    out = Output(inp, 40, seed=11)
+    full = Output.restore(out.filename)
+
+    pruned = Output.restore(
+        out.filename, columns={'X': ('x', 'y', 'z', 'vy', 'frac', 'Index')})
+    assert list(pruned.X.columns) == [
+        c for c in full.X.columns
+        if c in ('x', 'y', 'z', 'vy', 'frac', 'Index')]
+    for col in pruned.X.columns:
+        assert pruned.X[col].dtype == full.X[col].dtype
+        assert np.array_equal(pruned.X[col].values, full.X[col].values)
+    assert len(pruned.X0) == 0          # frame absent from the dict
+    assert pruned.npackets == full.npackets == len(full.X0)
+    assert pruned.totalsource == full.totalsource
+    assert pruned.inputs == full.inputs
+
+    x0_only = Output.restore(out.filename, columns={'X0': None})
+    assert list(x0_only.X0.columns) == list(full.X0.columns)
+    for col in x0_only.X0.columns:
+        assert np.array_equal(x0_only.X0[col].values, full.X0[col].values)
+    assert len(x0_only.X) == 0
+
+    with pytest.raises(KeyError):
+        Output.restore(out.filename, columns={'X': ('x', 'nosuchcol')})
+
+
 def test_compress_drops_dead_packets():
     inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out_c = Output(inp, 100, seed=3, compress=True)
