@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -319,6 +320,25 @@ class Output:
         self.planet = inputs.geometry.planet
         self.compress = compress
         self.seed = seed
+        # wall-clock decomposition of this chunk (tables / sample / kernel /
+        # assemble / save), populated as stages complete; the reference's
+        # only equivalent is a per-100-steps print (Output.py:354-355).
+        # Logged through the package logger when NEXOCLOM_TRACE_STAGES is
+        # set (utilities.tracing.setup_logging to see it).
+        self.stage_seconds = {}
+        _stage_t0 = time.perf_counter()
+
+        def _stage(name):
+            nonlocal _stage_t0
+            now = time.perf_counter()
+            self.stage_seconds[name] = round(
+                self.stage_seconds.get(name, 0.0) + (now - _stage_t0), 3)
+            _stage_t0 = now
+            if os.environ.get('NEXOCLOM_TRACE_STAGES'):
+                from nexoclom_tpu.utilities.tracing import logger
+                logger.info('Output stage %s: %.3f s', name,
+                            self.stage_seconds[name])
+        self._stage = _stage
 
         if not run_model:
             self.X0 = pd.DataFrame()
@@ -356,6 +376,7 @@ class Output:
         forces = build_force_table(inputs, self.aplanet, vrplanet_model,
                                    radius_km, dtype)
         surface = build_surface_table(inputs, spec, radius_km, dtype)
+        _stage('tables')
 
         if seed is None:
             seed = int(np.random.SeedSequence().entropy % (2 ** 31))
@@ -363,11 +384,18 @@ class Output:
         x0 = build_initial_state(inputs, int(npackets), seed=seed,
                                  dtype=dtype)
         self.npackets = int(npackets)
-        self.totalsource = float(np.asarray(x0['frac']).sum())
 
+        # ONE stacked device->host pull instead of 14 per-column transfers:
+        # every axon dispatch/transfer carries a ~25-50 ms round trip
+        # (docs/scaling.md), so per-column pulls cost ~0.7 s of pure
+        # latency at any packet count.  Same bytes, same f64 upcast.
+        stacked = np.asarray(jnp.stack([x0[col] for col in X0_COLUMNS]),
+                             dtype=np.float64)
         self.X0 = pd.DataFrame(
-            {col: np.asarray(x0[col], dtype=np.float64)
-             for col in X0_COLUMNS})
+            {col: stacked[i] for i, col in enumerate(X0_COLUMNS)})
+        # same f64 host sum as before, off the already-pulled frame
+        self.totalsource = float(self.X0['frac'].to_numpy().sum())
+        _stage('sample')
 
         state0 = packet_state_from_dict(x0)
         options = inputs.options
@@ -407,10 +435,14 @@ class Output:
                 jnp.asarray(radius_km, dtype),
                 run_key, nsteps=self.nsteps, save_history=True)
             self.totalsource *= self.nsteps
+            from nexoclom_tpu.utilities.tracing import device_barrier
+            device_barrier(final.t)
+            _stage('kernel')
             if self._shard_pad:
                 history = jax.tree.map(lambda leaf: leaf[:, :self.npackets],
                                        history)
             self.X = self._assemble_history(state0, history)
+            _stage('assemble')
         else:
             # baked variant: tables as compile-time constants — 4x faster
             # while-loop iterations on axon v5e (ops/integrator.py).
@@ -436,12 +468,17 @@ class Output:
                 orchestrator=getattr(options, 'adaptive_orchestrator',
                                      'auto'),
                 inner_steps=4, mesh=mesh)
+            from nexoclom_tpu.utilities.tracing import device_barrier
+            device_barrier(final.t)
+            _stage('kernel')
             if self._shard_pad:
                 final = jax.tree.map(lambda leaf: leaf[:self.npackets],
                                      final)
             self.X = self._assemble_final(final)
+            _stage('assemble')
 
         self.save()
+        _stage('save')
 
     # ------------------------------------------------------------ assembly
     def _assemble_history(self, state0: PacketState, history) -> pd.DataFrame:
@@ -474,20 +511,17 @@ class Output:
     def _assemble_final(self, final: PacketState) -> pd.DataFrame:
         """Adaptive-mode result: one row per packet (reference keeps the
         initial v/altitude/azimuth columns alongside the final state,
-        ``Output.py:185-190,361-366``)."""
+        ``Output.py:185-190,361-366``).  The 9 state leaves come back in
+        ONE stacked transfer (per-pull latency is ~25-50 ms on axon)."""
+        s = np.asarray(jnp.stack(list(final)), np.float64)
+        (t, x, y, z, vx, vy, vz, frac, lossfrac) = s
         out = pd.DataFrame({
-            'time': np.asarray(final.t, np.float64),
-            'x': np.asarray(final.x, np.float64),
-            'y': np.asarray(final.y, np.float64),
-            'z': np.asarray(final.z, np.float64),
-            'vx': np.asarray(final.vx, np.float64),
-            'vy': np.asarray(final.vy, np.float64),
-            'vz': np.asarray(final.vz, np.float64),
-            'frac': np.asarray(final.frac, np.float64),
+            'time': t, 'x': x, 'y': y, 'z': z,
+            'vx': vx, 'vy': vy, 'vz': vz, 'frac': frac,
             'v': self.X0['v'].values,
             'altitude': self.X0['altitude'].values,
             'azimuth': self.X0['azimuth'].values,
-            'lossfrac': np.asarray(final.lossfrac, np.float64),
+            'lossfrac': lossfrac,
         })
         out['Index'] = out.index
         return out
