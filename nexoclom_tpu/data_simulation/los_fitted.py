@@ -115,10 +115,20 @@ class LOSResultFitted(LOSResult):
                 fitted_results.append(result)
                 continue
 
-            output = Output.restore(ufit_outfile)
+            # the retrieval touches only x/y/z/vy/frac/Index of X and
+            # X0.frac; untouched columns stream raw into the fitted
+            # store (Output.save_from_store), so skip their restore
+            # entirely.  use_selected subsamples X rows and needs the
+            # full frames (and a plain save).
             if use_selected:
+                output = Output.restore(ufit_outfile)
                 rng = np.random.default_rng(output.seed)
                 self._select_one_snapshot_per_trajectory(output, rng)
+            else:
+                output = Output.restore(
+                    ufit_outfile,
+                    columns={'X': ('x', 'y', 'z', 'vy', 'frac', 'Index'),
+                             'X0': ('frac',)})
             packets = output.X
             vr_model = output.vrplanet / self.radius_km
 
@@ -196,10 +206,15 @@ class LOSResultFitted(LOSResult):
             nsteps = getattr(output, 'nsteps', 1)
             output.totalsource = float(output.X0['frac'].sum() * nsteps)
 
-            # save the reweighted run as a new fitted Output
+            # save the reweighted run as a new fitted Output (raw-copy
+            # the untouched columns from the unfit store; bit-identical
+            # to a full restore + save)
             output.inputs = self.inputs
             output.compress = False
-            output.save()
+            if use_selected:
+                output.save()
+            else:
+                output.save_from_store(ufit_outfile)
 
             # fitted radiance with the updated weights
             radvel = output.X['vy'].to_numpy() + vr_model

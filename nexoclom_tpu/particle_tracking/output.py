@@ -581,6 +581,60 @@ class Output:
             saver(f, **arrays)
         os.replace(tmp, self.filename)
 
+    def save_from_store(self, source_filename: str,
+                        replace=('X.frac', 'X0.frac')):
+        """Catalog + write this Output as a copy of ``source_filename``'s
+        array store with this instance's reweighted columns.
+
+        The fitted retrieval rescales ONLY ``frac`` (reference
+        ``LOSResultFitted.py:184-214``) yet persists a full Output; a
+        restore-all + save-all round trip pays an f32 -> f64 -> f32
+        convert of every untouched column at production packet counts.
+        Here untouched columns stream raw (f32 -> f32 is exact, so the
+        written store is bit-identical to the full round trip); columns
+        named in ``replace`` come from this instance's frames, which is
+        all a column-pruned restore needs to carry.  Same atomic
+        tmp-write + zlib crossover as :meth:`save`.
+        """
+        catalog = get_catalog()
+        self.idnum, self.filename = catalog.insert_output(
+            self.inputs.to_dict(), self.npackets, self.totalsource)
+
+        arrays = {}
+        with np.load(source_filename) as data:
+            for key in data.files:
+                if key == 'meta':
+                    continue
+                if key in replace:
+                    name, col = key.split('.', 1)
+                    values = getattr(self, name)[col].to_numpy()
+                    if values.dtype == np.float64:
+                        values = values.astype(np.float32)
+                    arrays[key] = values
+                else:
+                    arrays[key] = data[key]
+        meta = {
+            'idnum': self.idnum,
+            'npackets': self.npackets,
+            'totalsource': self.totalsource,
+            'aplanet': float(self.aplanet),
+            'vrplanet': float(self.vrplanet),
+            'GM': float(self.GM),
+            'nsteps': getattr(self, 'nsteps', None),
+            'seed': self.seed,
+            'compress': self.compress,
+            'inputs': self.inputs.to_dict(),
+        }
+        arrays['meta'] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+        tmp = self.filename + '.tmp.npz'
+        raw_bytes = sum(a.nbytes for a in arrays.values())
+        saver = (np.savez_compressed if raw_bytes <= _SAVE_COMPRESS_MAX
+                 else np.savez)
+        with open(tmp, 'wb') as f:
+            saver(f, **arrays)
+        os.replace(tmp, self.filename)
+
     @classmethod
     def restore(cls, filename: str, columns=None) -> 'Output':
         """Rebuild an Output (float64 frames) from its array store

@@ -98,6 +98,53 @@ def test_output_restore_column_pruning(tmp_path):
         Output.restore(out.filename, columns={'X': ('x', 'nosuchcol')})
 
 
+def test_save_from_store_bit_identical_to_full_round_trip(tmp_path):
+    """The fitted retrieval's raw-copy save writes the same store as a
+    full restore + reweight + save (los_fitted.py routes through it)."""
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
+    out = Output(inp, 40, seed=13)
+
+    rng = np.random.default_rng(3)
+    x0_scale = rng.uniform(0.2, 2.0, out.npackets)
+
+    # reference path: full restore, rescale frac, plain save
+    full = Output.restore(out.filename)
+    ids = full.X['Index'].to_numpy().astype(int)
+    full.X = full.X.assign(frac=full.X['frac'].to_numpy() * x0_scale[ids])
+    full.X0 = full.X0.assign(frac=full.X0['frac'].to_numpy() * x0_scale)
+    full.totalsource = float(full.X0['frac'].sum())
+    full.compress = False
+    full.save()
+
+    # fast path: pruned restore, same rescale, raw-copy save
+    pruned = Output.restore(
+        out.filename,
+        columns={'X': ('x', 'y', 'z', 'vy', 'frac', 'Index'),
+                 'X0': ('frac',)})
+    ids = pruned.X['Index'].to_numpy().astype(int)
+    pruned.X = pruned.X.assign(
+        frac=pruned.X['frac'].to_numpy() * x0_scale[ids])
+    pruned.X0 = pruned.X0.assign(
+        frac=pruned.X0['frac'].to_numpy() * x0_scale)
+    pruned.totalsource = float(pruned.X0['frac'].sum())
+    pruned.compress = False
+    pruned.save_from_store(out.filename)
+
+    with np.load(full.filename) as a, np.load(pruned.filename) as b:
+        keys_a = sorted(a.files)
+        assert keys_a == sorted(b.files)
+        for key in keys_a:
+            if key == 'meta':
+                continue
+            assert a[key].dtype == b[key].dtype, key
+            assert np.array_equal(a[key], b[key]), key
+    ra = Output.restore(full.filename)
+    rb = Output.restore(pruned.filename)
+    assert ra.totalsource == rb.totalsource
+    assert list(ra.X.columns) == list(rb.X.columns)
+    assert list(ra.X0.columns) == list(rb.X0.columns)
+
+
 def test_compress_drops_dead_packets():
     inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
     out_c = Output(inp, 100, seed=3, compress=True)
