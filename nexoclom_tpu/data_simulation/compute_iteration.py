@@ -117,9 +117,26 @@ class IterationResultFitted(IterationResult):
         self.fitted = True
 
 
+def _stage_tracer(prefix='compute_iteration'):
+    """Per-call stage logger (active when NEXOCLOM_TRACE_STAGES is set),
+    same decomposition idea as Output.stage_seconds."""
+    if not os.environ.get('NEXOCLOM_TRACE_STAGES'):
+        return lambda name: None
+    from nexoclom_tpu.utilities.tracing import logger
+    last = time.perf_counter()
+
+    def mark(name):
+        nonlocal last
+        now = time.perf_counter()
+        logger.info('%s stage %s: %.3f s', prefix, name, now - last)
+        last = now
+    return mark
+
+
 def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     """Simulate one output file along every spacecraft line of sight."""
     t0 = time.time()
+    mark = _stage_tracer()
     # only the LOS-relevant X columns (the full-frame restore dominates
     # the stage's wall time at production packet counts); X0 itself is
     # never needed here — its row count is the meta npackets
@@ -127,6 +144,7 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
         outputfile, columns={'X': ('x', 'y', 'z', 'vy', 'frac', 'Index')})
     packets = output.X
     vr_model = output.vrplanet / losresult.radius_km
+    mark('restore')
 
     radvel = packets['vy'].to_numpy() + vr_model
     weight = losresult.packet_weighting(packets['frac'].to_numpy(), radvel,
@@ -197,6 +215,7 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     rad = np.asarray(rad)
     npack = np.asarray(npack)
     used = np.asarray(used)
+    mark('kernel')
 
     # per-initial-packet inclusion flags (compute_iteration.py:145,191);
     # npackets == len(X0) by construction (one X0 row per launched packet)
@@ -215,6 +234,7 @@ def compute_iteration(losresult, outputfile: str, scdata) -> IterationResult:
     }
     result = IterationResult(iteration, losresult)
     result.save_iteration()
+    mark('save')
     print(f'Iteration time: {time.time() - t0:.1f} s '
           f'({len(data)} spectra x {len(packets)} packet rows)')
     return result

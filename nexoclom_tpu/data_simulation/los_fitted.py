@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 
 from nexoclom_tpu.data_simulation.compute_iteration import (
-    IterationResultFitted)
+    IterationResultFitted, _stage_tracer)
 from nexoclom_tpu.data_simulation.los_result import LOSResult
 from nexoclom_tpu.ops.los import (los_fitted_accumulate, los_geometry,
                                   los_reduce, resolve_cull_block)
@@ -105,6 +105,7 @@ class LOSResultFitted(LOSResult):
         sigma = data.sigma.to_numpy(dtype=float)
 
         fitted_results = []
+        mark = _stage_tracer('fitted_iteration')
         print(f'LOSResultFitted: {len(unfit.outid)} unfitted files.')
         for ct, (ufit_id, ufit_outfile) in enumerate(
                 zip(unfit.outid, unfit.outputfiles)):
@@ -137,6 +138,7 @@ class LOSResultFitted(LOSResult):
                 packets['frac'].to_numpy(), radvel, output.aplanet)
 
             n_x0 = len(output.X0)
+            mark('restore')
             mesh = resolve_packet_mesh(getattr(self, 'sharded', False),
                                        'LOSResultFitted')
             cdt = getattr(self, 'compute_dtype', None)
@@ -190,6 +192,7 @@ class LOSResultFitted(LOSResult):
                     self.dphi, n_x0=n_x0, use_weight=use_weight)
             ratio_x_sigma = np.asarray(ratio_x_sigma)
             sigma_sum = np.asarray(sigma_sum)
+            mark('accumulate')
 
             used = sigma_sum > 0
             weighting = np.zeros(n_x0)
@@ -215,6 +218,7 @@ class LOSResultFitted(LOSResult):
                 output.save()
             else:
                 output.save_from_store(ufit_outfile)
+            mark('save_reweighted')
 
             # fitted radiance with the updated weights
             radvel = output.X['vy'].to_numpy() + vr_model
@@ -275,6 +279,7 @@ class LOSResultFitted(LOSResult):
             }
             result = IterationResultFitted(iteration, self)
             result.save_iteration()
+            mark('refit_save')
             fitted_results.append(result)
             print(f'Completed {ct + 1} of {len(unfit.outid)}')
 
