@@ -468,8 +468,11 @@ class Output:
                 orchestrator=getattr(options, 'adaptive_orchestrator',
                                      'auto'),
                 inner_steps=4, mesh=mesh)
-            from nexoclom_tpu.utilities.tracing import device_barrier
-            device_barrier(final.t)
+            if isinstance(final.t, jax.Array):
+                # the pool orchestrators return host numpy (already
+                # synced); only device results need the barrier
+                from nexoclom_tpu.utilities.tracing import device_barrier
+                device_barrier(final.t)
             _stage('kernel')
             if self._shard_pad:
                 final = jax.tree.map(lambda leaf: leaf[:self.npackets],
@@ -511,9 +514,15 @@ class Output:
     def _assemble_final(self, final: PacketState) -> pd.DataFrame:
         """Adaptive-mode result: one row per packet (reference keeps the
         initial v/altitude/azimuth columns alongside the final state,
-        ``Output.py:185-190,361-366``).  The 9 state leaves come back in
-        ONE stacked transfer (per-pull latency is ~25-50 ms on axon)."""
-        s = np.asarray(jnp.stack(list(final)), np.float64)
+        ``Output.py:185-190,361-366``).  Device-resident leaves (the
+        chunked/constant drivers) come back in ONE stacked transfer
+        (per-pull latency is ~25-50 ms on axon); the pool orchestrators
+        already return host numpy, which stacks host-side."""
+        import jax
+        if isinstance(final.t, jax.Array):
+            s = np.asarray(jnp.stack(list(final)), np.float64)
+        else:
+            s = np.stack([np.asarray(leaf, np.float64) for leaf in final])
         (t, x, y, z, vx, vy, vz, frac, lossfrac) = s
         out = pd.DataFrame({
             'time': t, 'x': x, 'y': y, 'z': z,
