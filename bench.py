@@ -547,7 +547,10 @@ def bench_e2e(n: int = 1 << 22):
                    'run_s': round(run_s, 1), 'los_s': round(los_s, 2),
                    'fit_s': round(fit_s, 3),
                    'fitted_s': round(fitted_s, 2),
-                   'total_s': round(total, 1)}
+                   'total_s': round(total, 1),
+                   # per-chunk Output wall decomposition
+                   # (tables/sample/kernel/assemble/save)
+                   'run_stages': getattr(inp, 'last_run_stages', [])}
 
 
 def main():

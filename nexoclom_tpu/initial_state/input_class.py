@@ -185,6 +185,7 @@ class Input:
         from nexoclom_tpu.particle_tracking.output import Output
 
         t_start = time.time()
+        self.last_run_stages = []
         if overwrite:
             self.delete_files()
             totalpackets = 0
@@ -230,8 +231,11 @@ class Input:
                 it += 1
                 t0 = time.time()
                 chunk_seed = None if seed is None else seed + it - 1
-                Output(self, this_chunk, compress=compress, seed=chunk_seed,
-                       dtype=dtype, sharded=sharded)
+                out = Output(self, this_chunk, compress=compress,
+                             seed=chunk_seed, dtype=dtype, sharded=sharded)
+                # per-chunk wall decomposition, surfaced for bench.py's
+                # detail.e2e block and post-hoc analysis
+                self.last_run_stages.append(dict(out.stage_seconds))
                 print(f'Iteration {it} completed in '
                       f'{time.time() - t0:.1f} s.')
             _, outputfiles, totalpackets, _ = self.search()
