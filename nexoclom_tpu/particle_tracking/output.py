@@ -389,13 +389,41 @@ class Output:
         # every axon dispatch/transfer carries a ~25-50 ms round trip
         # (docs/scaling.md), so per-column pulls cost ~0.7 s of pure
         # latency at any packet count.  Same bytes, same f64 upcast.
-        stacked = np.asarray(jnp.stack([x0[col] for col in X0_COLUMNS]),
-                             dtype=np.float64)
-        self.X0 = pd.DataFrame(
-            {col: stacked[i] for i, col in enumerate(X0_COLUMNS)})
-        # same f64 host sum as before, off the already-pulled frame
-        self.totalsource = float(self.X0['frac'].to_numpy().sum())
+        stacked_dev = jnp.stack([x0[col] for col in X0_COLUMNS])
+
+        _x0_exc = []
+
+        def _build_x0_frame():
+            try:
+                stacked = np.asarray(stacked_dev, dtype=np.float64)
+                self.X0 = pd.DataFrame(
+                    {col: stacked[i] for i, col in enumerate(X0_COLUMNS)})
+                # same f64 host sum as before, off the already-pulled frame
+                self.totalsource = float(self.X0['frac'].to_numpy().sum())
+            except BaseException as exc:   # re-raised at the join point
+                _x0_exc.append(exc)
+
+        # NEXOCLOM_OVERLAP_PULL=1 pulls the X0 frame on a helper thread
+        # while the main thread runs the integrator — the d2h copy of
+        # the (already computed) stack can overlap kernel execution.
+        # Opt-in while the axon runtime's concurrent-transfer behavior
+        # is being measured (scripts/tpu_stages/63_e2e_overlap.sh).
+        x0_thread = None
+        if os.environ.get('NEXOCLOM_OVERLAP_PULL') == '1':
+            import threading
+            x0_thread = threading.Thread(target=_build_x0_frame)
+            x0_thread.start()
+        else:
+            _build_x0_frame()
+            if _x0_exc:
+                raise _x0_exc[0]
         _stage('sample')
+
+        def _join_x0():
+            if x0_thread is not None:
+                x0_thread.join()
+            if _x0_exc:
+                raise _x0_exc[0]
 
         state0 = packet_state_from_dict(x0)
         options = inputs.options
@@ -434,6 +462,7 @@ class Output:
                 jnp.asarray(options.outeredge, dtype),
                 jnp.asarray(radius_km, dtype),
                 run_key, nsteps=self.nsteps, save_history=True)
+            _join_x0()
             self.totalsource *= self.nsteps
             from nexoclom_tpu.utilities.tracing import device_barrier
             device_barrier(final.t)
@@ -468,6 +497,7 @@ class Output:
                 orchestrator=getattr(options, 'adaptive_orchestrator',
                                      'auto'),
                 inner_steps=4, mesh=mesh)
+            _join_x0()
             if isinstance(final.t, jax.Array):
                 # the pool orchestrators return host numpy (already
                 # synced); only device results need the barrier
