@@ -98,6 +98,22 @@ def test_output_restore_column_pruning(tmp_path):
         Output.restore(out.filename, columns={'X': ('x', 'nosuchcol')})
 
 
+def test_overlap_pull_frames_identical(monkeypatch):
+    """NEXOCLOM_OVERLAP_PULL only reorders the X0 transfer; frames and
+    totalsource are bit-identical to the synchronous path."""
+    inp = _shrink(Input(os.path.join(INPUTFILES, 'mercury_gravity.input')))
+    inp.options.step_size = 0.0
+    inp.options.resolution = 1e-3
+    base = Output(inp, 64, seed=21)
+    monkeypatch.setenv('NEXOCLOM_OVERLAP_PULL', '1')
+    over = Output(inp, 64, seed=21)
+    assert over.totalsource == base.totalsource
+    for col in base.X0.columns:
+        assert np.array_equal(over.X0[col].values, base.X0[col].values), col
+    for col in base.X.columns:
+        assert np.array_equal(over.X[col].values, base.X[col].values), col
+
+
 def test_save_from_store_bit_identical_to_full_round_trip(tmp_path):
     """The fitted retrieval's raw-copy save writes the same store as a
     full restore + reweight + save (los_fitted.py routes through it)."""
