@@ -52,6 +52,36 @@ X0_COLUMNS = ['time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac', 'v',
               'longitude', 'latitude', 'local_time', 'altitude', 'azimuth']
 
 
+def _block_frame(cols: dict) -> pd.DataFrame:
+    """Frame from stored columns with the f32 -> f64 / int32 -> int64
+    upcast done while filling ONE [C, N] block pandas adopts zero-copy.
+    A dict-of-columns frame re-copies every column at construction
+    (~2 s at 4M rows x 14 columns, measured); this is one pass.
+    Column order (= store key order) is preserved."""
+    if not cols:
+        return pd.DataFrame()
+    names = list(cols)
+    floaty = [n for n in names
+              if cols[n].dtype in (np.float32, np.float64)]
+    if len(floaty) < 2:
+        return pd.DataFrame({
+            n: (v.astype(np.float64) if v.dtype == np.float32 else
+                v.astype(np.int64) if v.dtype == np.int32 else v)
+            for n, v in cols.items()})
+    n_rows = len(cols[names[0]])
+    buf = np.empty((len(floaty), n_rows), np.float64)
+    for i, name in enumerate(floaty):
+        buf[i] = cols[name]                  # upcast during the fill
+    frame = pd.DataFrame(buf.T, columns=floaty, copy=False)
+    for name in names:                       # ascending insert positions
+        if name not in floaty:
+            values = cols[name]
+            if values.dtype == np.int32:
+                values = values.astype(np.int64)
+            frame.insert(names.index(name), name, values)
+    return frame
+
+
 def engine_spec_from_inputs(inputs) -> EngineSpec:
     """Map Input sections onto the static engine configuration."""
     sint = inputs.surfaceinteraction
@@ -396,8 +426,11 @@ class Output:
         def _build_x0_frame():
             try:
                 stacked = np.asarray(stacked_dev, dtype=np.float64)
-                self.X0 = pd.DataFrame(
-                    {col: stacked[i] for i, col in enumerate(X0_COLUMNS)})
+                # zero-copy block frame: pandas adopts the [C, N] array
+                # as its single block (a dict-of-columns frame re-copies
+                # every column — ~2 s at 4M rows, measured)
+                self.X0 = pd.DataFrame(stacked.T, columns=X0_COLUMNS,
+                                       copy=False)
                 # same f64 host sum as before, off the already-pulled frame
                 self.totalsource = float(self.X0['frac'].to_numpy().sum())
             except BaseException as exc:   # re-raised at the join point
@@ -520,26 +553,25 @@ class Output:
         n = self.npackets
         nsteps = self.nsteps
 
-        def stack(initial, column):
-            # (N, nsteps): step 0 = initial state, steps 1.. from the scan
-            return np.concatenate(
-                [np.asarray(initial, np.float64)[:, None],
-                 np.asarray(column, np.float64).T], axis=1).reshape(-1)
-
         x0 = self.X0
-        frames = {
-            'Index': np.repeat(np.arange(n), nsteps),
-            'time': stack(x0['time'], history.t),
-            'x': stack(x0['x'], history.x),
-            'y': stack(x0['y'], history.y),
-            'z': stack(x0['z'], history.z),
-            'vx': stack(x0['vx'], history.vx),
-            'vy': stack(x0['vy'], history.vy),
-            'vz': stack(x0['vz'], history.vz),
-            'frac': stack(x0['frac'], history.frac),
-            'lossfrac': stack(np.zeros(n), history.lossfrac),
-        }
-        return pd.DataFrame(frames)
+        names = ['time', 'x', 'y', 'z', 'vx', 'vy', 'vz', 'frac',
+                 'lossfrac']
+        initials = [x0['time'], x0['x'], x0['y'], x0['z'], x0['vx'],
+                    x0['vy'], x0['vz'], x0['frac'], np.zeros(n)]
+        columns = [history.t, history.x, history.y, history.z, history.vx,
+                   history.vy, history.vz, history.frac, history.lossfrac]
+        # fill one [9, N*nsteps] block in place -> zero-copy frame (a
+        # dict-of-columns frame would re-copy every column; the per-
+        # column concatenate+reshape allocated each twice)
+        buf = np.empty((9, n * nsteps), np.float64)
+        for i, (initial, column) in enumerate(zip(initials, columns)):
+            view = buf[i].reshape(n, nsteps)
+            # step 0 = initial state, steps 1.. from the scan
+            view[:, 0] = np.asarray(initial, np.float64)
+            view[:, 1:] = np.asarray(column, np.float64).T
+        out = pd.DataFrame(buf.T, columns=names, copy=False)
+        out.insert(0, 'Index', np.repeat(np.arange(n), nsteps))
+        return out
 
     def _assemble_final(self, final: PacketState) -> pd.DataFrame:
         """Adaptive-mode result: one row per packet (reference keeps the
@@ -553,15 +585,17 @@ class Output:
             s = np.asarray(jnp.stack(list(final)), np.float64)
         else:
             s = np.stack([np.asarray(leaf, np.float64) for leaf in final])
-        (t, x, y, z, vx, vy, vz, frac, lossfrac) = s
-        out = pd.DataFrame({
-            'time': t, 'x': x, 'y': y, 'z': z,
-            'vx': vx, 'vy': vy, 'vz': vz, 'frac': frac,
-            'v': self.X0['v'].values,
-            'altitude': self.X0['altitude'].values,
-            'azimuth': self.X0['azimuth'].values,
-            'lossfrac': lossfrac,
-        })
+        # one [12, N] block -> zero-copy frame (see _build_x0_frame)
+        buf = np.empty((12, s.shape[1]), np.float64)
+        buf[:8] = s[:8]                      # time x y z vx vy vz frac
+        buf[8] = self.X0['v'].values
+        buf[9] = self.X0['altitude'].values
+        buf[10] = self.X0['azimuth'].values
+        buf[11] = s[8]                       # lossfrac
+        out = pd.DataFrame(
+            buf.T, columns=['time', 'x', 'y', 'z', 'vx', 'vy', 'vz',
+                            'frac', 'v', 'altitude', 'azimuth', 'lossfrac'],
+            copy=False)
         out['Index'] = out.index
         return out
 
@@ -705,12 +739,7 @@ class Output:
                     want = columns.get(name, ())
                     if want is not None and col not in want:
                         continue
-                values = data[key]
-                if values.dtype == np.float32:
-                    values = values.astype(np.float64)
-                elif values.dtype == np.int32:
-                    values = values.astype(np.int64)
-                frames[name][col] = values
+                frames[name][col] = data[key]
         if columns is not None:
             for name, want in columns.items():
                 missing = set(want or ()) - set(frames.get(name, {}))
@@ -722,8 +751,8 @@ class Output:
         output = cls.__new__(cls)
         output.inputs = Input.from_dict(meta['inputs'])
         output.planet = output.inputs.geometry.planet
-        output.X0 = pd.DataFrame(frames['X0'])
-        output.X = pd.DataFrame(frames['X'])
+        output.X0 = _block_frame(frames['X0'])
+        output.X = _block_frame(frames['X'])
         output.idnum = meta['idnum']
         output.filename = filename
         output.npackets = meta['npackets']
