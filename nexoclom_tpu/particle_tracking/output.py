@@ -383,7 +383,8 @@ class Output:
 
         # satellite start points WORK here (quirk F16) — the reference
         # raises 'Satellite start points not set up' (Output.py:153-155);
-        # starttime-based moon phases still raise in satellites.moon_phi
+        # starttime-based moon phases come from the vendored mean
+        # ephemeris / user registry (quirk F24)
 
         if dtype is None:
             dtype = (jnp.float64 if get_config().precision == 'float64'
