@@ -416,21 +416,21 @@ class Output:
                                  dtype=dtype)
         self.npackets = int(npackets)
 
-        # ONE stacked device->host pull instead of 14 per-column transfers:
-        # every axon dispatch/transfer carries a ~25-50 ms round trip
-        # (docs/scaling.md), so per-column pulls cost ~0.7 s of pure
-        # latency at any packet count.  Same bytes, same f64 upcast.
-        stacked_dev = jnp.stack([x0[col] for col in X0_COLUMNS])
-
+        # Per-COLUMN device->host pulls (~16 MB each at 4M packets): a
+        # single stacked 235 MB pull stalls the axon tunnel for minutes
+        # (377/981 s measured, .round5/62_e2e_quiet.log) while 16 MB
+        # pulls never have; the ~25-50 ms per-transfer round trip is the
+        # cheap side of that trade.  The columns fill ONE [C, N] block
+        # pandas adopts zero-copy (a dict-of-columns frame re-copies
+        # every column at construction).
         _x0_exc = []
 
         def _build_x0_frame():
             try:
-                stacked = np.asarray(stacked_dev, dtype=np.float64)
-                # zero-copy block frame: pandas adopts the [C, N] array
-                # as its single block (a dict-of-columns frame re-copies
-                # every column — ~2 s at 4M rows, measured)
-                self.X0 = pd.DataFrame(stacked.T, columns=X0_COLUMNS,
+                buf = np.empty((len(X0_COLUMNS), int(npackets)), np.float64)
+                for i, col in enumerate(X0_COLUMNS):
+                    buf[i] = np.asarray(x0[col])     # upcast during fill
+                self.X0 = pd.DataFrame(buf.T, columns=X0_COLUMNS,
                                        copy=False)
                 # same f64 host sum as before, off the already-pulled frame
                 self.totalsource = float(self.X0['frac'].to_numpy().sum())
