@@ -578,21 +578,24 @@ class Output:
         """Adaptive-mode result: one row per packet (reference keeps the
         initial v/altitude/azimuth columns alongside the final state,
         ``Output.py:185-190,361-366``).  Device-resident leaves (the
-        chunked/constant drivers) come back in ONE stacked transfer
-        (per-pull latency is ~25-50 ms on axon); the pool orchestrators
-        already return host numpy, which stacks host-side."""
-        import jax
-        if isinstance(final.t, jax.Array):
-            s = np.asarray(jnp.stack(list(final)), np.float64)
-        else:
-            s = np.stack([np.asarray(leaf, np.float64) for leaf in final])
-        # one [12, N] block -> zero-copy frame (see _build_x0_frame)
-        buf = np.empty((12, s.shape[1]), np.float64)
-        buf[:8] = s[:8]                      # time x y z vx vy vz frac
+        chunked/constant drivers) come back in per-LEAF transfers: a
+        single stacked ~200 MB pull can stall the axon tunnel for
+        minutes (the X0 finding — 377/981 s measured on a 235 MB stack,
+        .round5/62_e2e_quiet.log) while per-column pulls never have, and
+        the ~25-50 ms per-transfer latency x 9 leaves is the cheap side
+        of that trade.  The pool orchestrators already return host
+        numpy, for which np.asarray is free."""
+        leaves = list(final)   # t x y z vx vy vz frac lossfrac
+        # one [12, N] block -> zero-copy frame (see _build_x0_frame),
+        # filled leaf-by-leaf (pull + f64 upcast in one pass, no
+        # intermediate [9, N] stack)
+        buf = np.empty((12, int(final.t.shape[0])), np.float64)
+        for i in range(8):                   # time x y z vx vy vz frac
+            buf[i] = np.asarray(leaves[i], np.float64)
         buf[8] = self.X0['v'].values
         buf[9] = self.X0['altitude'].values
         buf[10] = self.X0['azimuth'].values
-        buf[11] = s[8]                       # lossfrac
+        buf[11] = np.asarray(leaves[8], np.float64)  # lossfrac
         out = pd.DataFrame(
             buf.T, columns=['time', 'x', 'y', 'z', 'vx', 'vy', 'vz',
                             'frac', 'v', 'altitude', 'azimuth', 'lossfrac'],
