@@ -82,6 +82,28 @@ def _block_frame(cols: dict) -> pd.DataFrame:
     return frame
 
 
+_PULL_SLICE_BYTES = int(os.environ.get('NEXOCLOM_PULL_SLICE_MB', '64')) << 20
+
+
+def _pull_into(dst: np.ndarray, src) -> None:
+    """Fill host view ``dst`` from ``src`` (same shape; device or host
+    array), pulling device arrays above the slice quantum in bounded
+    slices along the leading axis: one stacked 235 MB d2h transfer
+    stalled the axon tunnel for minutes (377/981 s measured,
+    .round5/62_e2e_quiet.log) while <=64 MB pulls never have, and the
+    ~25-50 ms per-slice dispatch latency is the cheap side of that
+    trade.  ``NEXOCLOM_PULL_SLICE_MB`` tunes the quantum.  Host numpy
+    sources are a single (possibly strided) copy."""
+    import jax
+    if not isinstance(src, jax.Array) or src.nbytes <= _PULL_SLICE_BYTES:
+        dst[...] = np.asarray(src, dst.dtype)
+        return
+    n = int(src.shape[0])
+    step = max(1, _PULL_SLICE_BYTES // max(src.nbytes // max(n, 1), 1))
+    for i0 in range(0, n, step):
+        dst[i0:i0 + step] = np.asarray(src[i0:i0 + step], dst.dtype)
+
+
 def engine_spec_from_inputs(inputs) -> EngineSpec:
     """Map Input sections onto the static engine configuration."""
     sint = inputs.surfaceinteraction
@@ -429,7 +451,7 @@ class Output:
             try:
                 buf = np.empty((len(X0_COLUMNS), int(npackets)), np.float64)
                 for i, col in enumerate(X0_COLUMNS):
-                    buf[i] = np.asarray(x0[col])     # upcast during fill
+                    _pull_into(buf[i], x0[col])      # upcast during fill
                 self.X0 = pd.DataFrame(buf.T, columns=X0_COLUMNS,
                                        copy=False)
                 # same f64 host sum as before, off the already-pulled frame
@@ -569,7 +591,10 @@ class Output:
             view = buf[i].reshape(n, nsteps)
             # step 0 = initial state, steps 1.. from the scan
             view[:, 0] = np.asarray(initial, np.float64)
-            view[:, 1:] = np.asarray(column, np.float64).T
+            # bounded-slice pull: a history column is N x nsteps x 4 B
+            # (~0.5 GB at the 1-GiB chunk budget) — far above the
+            # measured stacked-pull stall threshold
+            _pull_into(view[:, 1:].T, column)
         out = pd.DataFrame(buf.T, columns=names, copy=False)
         out.insert(0, 'Index', np.repeat(np.arange(n), nsteps))
         return out
@@ -591,11 +616,11 @@ class Output:
         # intermediate [9, N] stack)
         buf = np.empty((12, int(final.t.shape[0])), np.float64)
         for i in range(8):                   # time x y z vx vy vz frac
-            buf[i] = np.asarray(leaves[i], np.float64)
+            _pull_into(buf[i], leaves[i])
         buf[8] = self.X0['v'].values
         buf[9] = self.X0['altitude'].values
         buf[10] = self.X0['azimuth'].values
-        buf[11] = np.asarray(leaves[8], np.float64)  # lossfrac
+        _pull_into(buf[11], leaves[8])       # lossfrac
         out = pd.DataFrame(
             buf.T, columns=['time', 'x', 'y', 'z', 'vx', 'vy', 'vz',
                             'frac', 'v', 'altitude', 'azimuth', 'lossfrac'],

@@ -98,6 +98,35 @@ def test_output_restore_column_pruning(tmp_path):
         Output.restore(out.filename, columns={'X': ('x', 'nosuchcol')})
 
 
+def test_pull_into_sliced_matches_single_copy(monkeypatch):
+    """_pull_into's bounded-slice device pull is bit-identical to one
+    np.asarray copy, for 1-D leaves and strided 2-D history views."""
+    import jax.numpy as jnp
+
+    from nexoclom_tpu.particle_tracking import output as out_mod
+
+    rng = np.random.default_rng(7)
+    # force many slices: 1 KB quantum over ~39 KB sources
+    monkeypatch.setattr(out_mod, '_PULL_SLICE_BYTES', 1024)
+
+    src1 = jnp.asarray(rng.standard_normal(10000), jnp.float32)
+    dst1 = np.empty(10000, np.float64)
+    out_mod._pull_into(dst1, src1)
+    assert np.array_equal(dst1, np.asarray(src1, np.float64))
+
+    src2 = jnp.asarray(rng.standard_normal((100, 64)), jnp.float32)
+    buf = np.empty((64, 101), np.float64)      # history-style layout
+    view = buf[:, 1:]
+    out_mod._pull_into(view.T, src2)
+    assert np.array_equal(view, np.asarray(src2, np.float64).T)
+
+    # host numpy source: single copy path
+    src3 = rng.standard_normal(500).astype(np.float32)
+    dst3 = np.empty(500, np.float64)
+    out_mod._pull_into(dst3, src3)
+    assert np.array_equal(dst3, src3.astype(np.float64))
+
+
 def test_overlap_pull_frames_identical(monkeypatch):
     """NEXOCLOM_OVERLAP_PULL only reorders the X0 transfer; frames and
     totalsource are bit-identical to the synchronous path."""
